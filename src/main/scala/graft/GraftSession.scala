@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Scale stance (designed for a multi-executor cluster, tested on local[N]):
+  *   - AQE on: runtime join-strategy switching, skew-join splitting,
+  *     partition coalescing replace any hand-tuned per-query plans.
+  *   - shuffle.partitions sized to the local core count here; on a real
+  *     cluster this is expected to be overridden (or left to AQE coalescing
+  *     from a high initial value).
+  *   - UTC session timezone: required for oracle parity and the only sane
+  *     choice for a 100 TB event store.
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(master: String = s"local[$cpus]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
+      // type, so read as long and convert in the loader (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The five reference analyses (SURVEY.md §2.3 A1–A5, README.md:56-76 of the
+  * reference) re-declared over the testdata `events` table, plus rollup and
+  * approx-distinct coverage (A6/A7).
+  *
+  * All are single hash-aggregate plans: partial (map-side) aggregation then a
+  * single shuffle on the grouping key — the minimal-shuffle shape that scales
+  * linearly with input on a large cluster. Double sums/means go through the
+  * exact-decimal path (see [[Det]]) so results hash-match DuckDB.
+  */
+object Analytics {
+  import Det._
+
+  /** JSON key extraction that both engines share: regexp, not a JSON parser,
+    * so the oracle does not depend on DuckDB's JSON extension. */
+  private val kPatScala = "\"k\":\\s*(\\d+)"
+  private val kPatSql = "\"k\":\\s*(\\d+)"
+
+  val defs: Seq[QueryDef] = Seq(
+    // A1/Q03 — daily event counts by type (reference images/daily_events.png).
+    QueryDef(
+      "q03_daily_counts",
+      """SELECT CAST(ts AS DATE) AS date, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("date", "event_type")
+    },
+
+    // A2/Q04 — most visited keys, top-10 (reference
+    // images/most_visited_subcategories.png); TakeOrderedAndProject, no
+    // global sort. Ties broken on the key for cross-engine determinism.
+    QueryDef(
+      "q04_top_viewed_keys",
+      s"""SELECT regexp_extract(props, '$kPatSql', 1) AS k, COUNT(*) AS cnt
+         |FROM events WHERE event_type = 'view'
+         |GROUP BY 1 ORDER BY cnt DESC, k LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "view")
+        .groupBy(regexp_extract(col("props"), kPatScala, 1).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("k"))
+        .limit(10)
+    },
+
+    // A3/Q05 — hour × event_type price stats (avg/sum/count).
+    QueryDef(
+      "q05_hourly_stats",
+      s"""SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour, event_type,
+         |${sqlAvg("value")} AS avg_value, ${sqlSum("value")} AS sum_value,
+         |COUNT(*) AS cnt
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(hour(col("ts")).as("hour"), col("event_type"))
+          .agg(
+            davg(col("value")).as("avg_value"),
+            dsum(col("value")).as("sum_value"),
+            count(lit(1)).as("cnt"))
+          .orderBy("hour", "event_type")
+    },
+
+    // A4/Q06 — conversion volume: events + exact distinct users per type.
+    QueryDef(
+      "q06_funnel_volume",
+      """SELECT event_type, COUNT(*) AS n_events,
+        |COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
+    // A7/Q06b — HLL approximate distinct (the 100-TB path where exact
+    // COUNT(DISTINCT) would shuffle every key). Sketch values are
+    // engine-specific → rows-only check, no DuckDB oracle.
+    QueryDef.noOracle("q06b_approx_distinct") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    },
+
+    // A5/Q07 — purchase conversion rate per day: distinct purchasers over
+    // distinct viewers (conditional distinct aggregation, one shuffle).
+    QueryDef(
+      "q07_conversion_rate",
+      """SELECT CAST(ts AS DATE) AS date,
+        |COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS viewers,
+        |COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
+        |CASE WHEN COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) > 0
+        |     THEN COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+        |          / CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS DOUBLE)
+        |END AS conversion_rate
+        |FROM events GROUP BY 1 ORDER BY date""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(
+          countDistinct(when(col("event_type") === "view", col("user_id"))).as("viewers"),
+          countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("purchasers"))
+        .withColumn(
+          "conversion_rate",
+          when(col("viewers") > 0, col("purchasers") / col("viewers").cast("double")))
+        .orderBy("date")
+    },
+
+    // A6/Q08 — rollup over (date, event_type): subtotal + grand-total rows.
+    QueryDef(
+      "q08_rollup_counts",
+      """SELECT CAST(ts AS DATE) AS date, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY ROLLUP(date, event_type)
+        |ORDER BY date NULLS FIRST, event_type NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .rollup(to_date(col("ts")).as("date"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("date").asc_nulls_first, col("event_type").asc_nulls_first)
+    }
+  )
+}
