@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All declared queries, in registry form. */
   val all: Seq[QueryDef] =
-    Analytics.defs ++ Joins.defs ++ Windows.defs ++ SetsAndScalars.defs
+    IngestParity.defs ++ Analytics.defs ++ Joins.defs ++ Windows.defs ++
+      SetsAndScalars.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
