@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.functions.TextHash._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Q22–Q23 — deduplication operators over the `documents` table (SURVEY.md
+  * §2.11 X1/X2; BASELINE.json north star): exact hash dedup, MinHash
+  * signatures, MinHash+LSH near-dup pairs, SimHash near-dup pairs, and
+  * char-n-gram Jaccard under prefix blocking.
+  *
+  * Scale design: every pair-producing query goes through a *blocking* stage
+  * (LSH band buckets, SimHash sub-bands, or token-prefix keys) so the join is
+  * an equi-join on a bucket key — a plain shuffle join that scales linearly —
+  * never an all-pairs cross join. At 100 TB the same plans hold: the bucket
+  * key is the shuffle key, AQE splits skewed buckets, and the per-doc
+  * signature computation (one md5 per shingle + k integer permutations) is a
+  * narrow projection that rides the scan. The signature frame is persisted
+  * before self-joining so signatures are computed once per doc, not once per
+  * plan branch.
+  */
+object DedupQueries {
+
+  /** Per-doc signature frame: hashed tokens, hashed distinct shingles,
+    * MinHash signature. One md5 per token + one per shingle. */
+  private def sigFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      hashArray(toks).as("thash"),
+      array_distinct(hashArray(shingles(toks))).as("shash"))
+      .withColumn("sig", minhashSig(col("shash")))
+  }
+
+  private val sqlSigCtes =
+    s"""src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |shd AS (SELECT doc_id, ${sqlHashArray("toks")} AS thash,
+       |        list_distinct(${sqlHashArray(sqlShingles("toks"))}) AS shash FROM src),
+       |sig AS (SELECT *, ${sqlMinhashSig("shash")} AS sig FROM shd)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // X1/Q22 — exact dedup by normalized text hash: rank within each hash
+    // group (kept = rank 1). One shuffle on the 256-bit hash; at 100 TB this
+    // is the standard exact-dedup pass (hash computed in the scan projection,
+    // shuffle carries only (hash, doc_id)).
+    QueryDef(
+      "q22_exact_dedup",
+      """SELECT doc_id, sha256(lower(trim(text))) AS text_sha,
+        |ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS dup_rank
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = sha2(lower(trim(col("text"))), 256)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        h.as("text_sha"),
+        row_number().over(Window.partitionBy(h).orderBy(col("doc_id"))).as("dup_rank"))
+        .orderBy("doc_id")
+    },
+
+    // X2/Q23 — per-doc MinHash signature + SimHash + rolling fingerprint
+    // (doc-level: always N rows, verifies the hashing machinery end-to-end).
+    QueryDef(
+      "q23_doc_signatures",
+      s"""WITH $sqlSigCtes
+         |SELECT doc_id, len(shash) AS n_shingles,
+         |array_to_string(list_transform(sig, x -> x::VARCHAR), '-') AS sig_str,
+         |${sqlSimhash16("thash")} AS simhash,
+         |${sqlFingerprint("thash")} AS fp
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      sigFrame(s, dir).select(
+        col("doc_id"),
+        size(col("shash")).cast("long").as("n_shingles"),
+        concat_ws("-", transform(col("sig"), _.cast("string"))).as("sig_str"),
+        simhash16(col("thash")).as("simhash"),
+        fingerprint(col("thash")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // X2/Q23b — MinHash + LSH near-dup pairs: band-bucket equi-join produces
+    // candidates; exact Jaccard on distinct shingle-hash sets confirms.
+    // Estimated (signature) Jaccard reported alongside.
+    QueryDef(
+      "q23b_minhash_lsh_pairs",
+      s"""WITH $sqlSigCtes,
+         |bands AS (
+         |  SELECT doc_id, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
+         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk
+         |    AND a.doc_id < b.doc_id)
+         |SELECT da, db,
+         |round(${sqlEstJaccard("x.sig", "y.sig")}, 6) AS est_jaccard,
+         |round(${sqlJaccard("x.shash", "y.shash")}, 6) AS jaccard
+         |FROM cand JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
+         |WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val sigs = sigFrame(s, dir).persist()
+      val bands = sigs.select(
+        col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val x = sigs.select(col("doc_id").as("xid"), col("sig").as("xsig"), col("shash").as("xsh"))
+      val y = sigs.select(col("doc_id").as("yid"), col("sig").as("ysig"), col("shash").as("ysh"))
+      cand
+        .join(x, col("da") === col("xid"))
+        .join(y, col("db") === col("yid"))
+        .filter(jaccard(col("xsh"), col("ysh")) >= 0.2)
+        .select(
+          col("da"), col("db"),
+          round(estJaccard(col("xsig"), col("ysig")), 6).as("est_jaccard"),
+          round(jaccard(col("xsh"), col("ysh")), 6).as("jaccard"))
+        .orderBy("da", "db")
+    },
+
+    // X2/Q23c — SimHash near-dup pairs: 4 sub-bands of 4 bits; pigeonhole
+    // guarantees any pair at Hamming distance ≤ 3 shares at least one
+    // sub-band, so the bucket equi-join finds all of them. (16-bit SimHash is
+    // the testdata-scale demo; the 100-TB config is 64-bit with 8-bit bands —
+    // same plan shape.)
+    QueryDef(
+      "q23c_simhash_pairs",
+      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${sqlSimhash16(sqlHashArray("toks"))} AS h FROM src),
+         |bands AS (
+         |  SELECT doc_id, h, j, (h // CAST(power(16, j) AS BIGINT)) % 16 AS bv
+         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.h AS ha, b.h AS hb
+         |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+         |    AND a.doc_id < b.doc_id)
+         |SELECT da, db, ha, hb, ${sqlHamming("ha", "hb")} AS ham
+         |FROM cand WHERE ${sqlHamming("ha", "hb")} <= 1
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), simhash16(hashArray(tokens(col("text")))).as("h"))
+        .persist()
+      val bandRows = base
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bv", floor(col("h") / pow(lit(16), col("j"))).cast("long") % 16)
+      bandRows.alias("a")
+        .join(bandRows.alias("b"),
+          col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.h").as("ha"), col("b.h").as("hb"))
+        .distinct()
+        .filter(hamming(col("ha"), col("hb")) <= 1)
+        .withColumn("ham", hamming(col("ha"), col("hb")))
+        .orderBy("da", "db")
+    },
+
+    // X2/Q23d — char-4-gram Jaccard under token-prefix blocking: docs
+    // sharing their first 3 tokens are compared exactly. Prefix blocking is
+    // the cheap high-recall blocker for boilerplate/near-identical docs; the
+    // block key is the shuffle key.
+    QueryDef(
+      "q23d_ngram_jaccard_pairs",
+      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks,
+         |    list_distinct(${sqlCharGrams("text")}) AS grams FROM documents),
+         |keyed AS (SELECT doc_id, grams,
+         |    concat_ws(' ', toks[1], toks[2], toks[3]) AS pkey FROM src)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |round(${sqlJaccard("a.grams", "b.grams")}, 6) AS gram_jaccard
+         |FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+         |WHERE ${sqlJaccard("a.grams", "b.grams")} >= 0.3
+         |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val keyed = Tables.documents(s, dir).select(
+        col("doc_id"),
+        array_distinct(charGrams(col("text"))).as("grams"),
+        concat_ws(" ",
+          try_element_at(toks, lit(1)), try_element_at(toks, lit(2)),
+          try_element_at(toks, lit(3))).as("pkey"))
+      keyed.alias("a")
+        .join(keyed.alias("b"),
+          col("a.pkey") === col("b.pkey") && col("a.doc_id") < col("b.doc_id"))
+        .filter(jaccard(col("a.grams"), col("b.grams")) >= 0.3)
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          round(jaccard(col("a.grams"), col("b.grams")), 6).as("gram_jaccard"))
+        .orderBy("da", "db")
+    }
+  )
+}
