@@ -15,7 +15,7 @@ object SparkEntry {
   /** All declared queries, in registry form. */
   val all: Seq[QueryDef] =
     IngestParity.defs ++ Analytics.defs ++ Joins.defs ++ Windows.defs ++
-      SetsAndScalars.defs ++ DedupQueries.defs
+      SetsAndScalars.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
