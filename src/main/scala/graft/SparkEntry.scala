@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, in registry form. */
   val all: Seq[QueryDef] =
     IngestParity.defs ++ Analytics.defs ++ Joins.defs ++ Windows.defs ++
-      SetsAndScalars.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
+      SetsAndScalars.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      TextAnalysisQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
