@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Q19–Q21 — streaming operators (SURVEY.md §2.9 T1–T7), run to completion
+  * over a deterministic file-replay of the `events` table and compared
+  * against batch SQL oracles (stream–batch parity: for a bounded in-order
+  * replay the final streaming result must equal the batch computation).
+  *
+  * Scale notes: all stateful operators keep bounded per-key state (counts,
+  * min/max timestamps, boolean flags) and rely on watermarks for eviction in
+  * production; the replay harness runs with AvailableNow so results are
+  * deterministic without wall-clock pacing (SURVEY.md §3.2).
+  */
+object StreamingQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // T1-T3/Q19 — unbounded ingest + stateless per-event transform + append
+    // sink (the reference's Beam pipeline, write_session_stream.py:100-113,
+    // as readStream → select → parquet sink).
+    QueryDef(
+      "q19_stream_pipeline",
+      """SELECT event_id, event_type,
+        |CAST(value AS DOUBLE) AS price,
+        |CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q19")
+        .filter(col("event_type") =!= "error")
+        .select(
+          col("event_id"), col("event_type"),
+          col("value").cast("double").as("price"),
+          hour(col("ts")).as("hour"))
+      StreamRunner.toParquet(s, stream, "q19").orderBy("event_id")
+    },
+
+    // T5/Q20 — watermark + tumbling event-time window counts. Complete mode
+    // so every window is emitted for the bounded replay (append would hold
+    // back windows past the final watermark).
+    QueryDef(
+      "q20_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q20")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      StreamRunner.toMemory(s, stream, "q20", "complete")
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    },
+
+    // T6/Q20b — session windows (30-minute gap) per user: the streaming
+    // native form of the reference's `user_session` concept
+    // (write_session_batch.py:159). Oracle = gaps-and-islands in SQL.
+    QueryDef(
+      "q20b_session_window",
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS st
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(st) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q20b")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamRunner.toMemory(s, stream, "q20b", "complete")
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // T7/Q21 — stateful streaming dedup: first occurrence of each
+    // (user_id, event_type); append-mode state-backed distinct.
+    QueryDef(
+      "q21_stream_distinct",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q21")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      StreamRunner.toParquet(s, stream, "q21").orderBy("user_id", "event_type")
+    },
+
+    // T7/Q21b — per-user funnel state machine via flatMapGroupsWithState:
+    // earliest view and earliest purchase per user, emitted once both exist.
+    // Replayed as a single micro-batch (singleFile) so emission matches the
+    // batch oracle exactly; in production the same operator runs with a
+    // watermark-driven state TTL.
+    QueryDef(
+      "q21b_funnel_state",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, first_view, first_purchase,
+        |  (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000 AS latency_s
+        |FROM f
+        |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |  AND first_purchase >= first_view
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import java.sql.Timestamp
+      val stream = StreamRunner
+        .replay(s, Tables.events(s, dir), "q21b", singleFile = true)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, String, Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, String, Timestamp)],
+           state: GroupState[(Option[Long], Option[Long])]) =>
+            var (view, purchase) = state.getOption.getOrElse((None: Option[Long], None: Option[Long]))
+            rows.foreach { case (_, t, ts) =>
+              val micros = ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+              if (t == "view" && view.forall(_ > micros)) view = Some(micros)
+              if (t == "purchase" && purchase.forall(_ > micros)) purchase = Some(micros)
+            }
+            state.update((view, purchase))
+            (view, purchase) match {
+              case (Some(v), Some(p)) if p >= v => Iterator((user, v, p, (p - v) / 1000000))
+              case _ => Iterator.empty
+            }
+        }
+        .toDF("user_id", "fv", "fp", "latency_s")
+        .select(
+          col("user_id"),
+          timestamp_micros(col("fv")).as("first_view"),
+          timestamp_micros(col("fp")).as("first_purchase"),
+          col("latency_s"))
+      StreamRunner.toParquet(s, stream, "q21b").orderBy("user_id")
+    }
+  )
+}

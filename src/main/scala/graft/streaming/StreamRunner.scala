@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Test/driver harness for the streaming operators (SURVEY.md §2.9, §3.2-3.3):
+  * replays a bounded table as a file stream and runs a Structured Streaming
+  * query to completion with `Trigger.AvailableNow`, so streaming results are
+  * plain DataFrames the correctness gate can compare against batch oracles.
+  *
+  * This replaces the reference's wall-clock replay scripts
+  * (streaming_pipeline/send_session_stream.py:82-83,
+  * simulate_session_stream.py:89-93): correctness comes from event-time
+  * processing + watermarks, not arrival pacing, so tests drive the stream
+  * deterministically instead of sleeping. `speedFactor`/pacing map to
+  * trigger configuration in production.
+  */
+object StreamRunner {
+
+  private val n = new AtomicInteger(0)
+
+  private def tempDir(tag: String): String =
+    Files.createTempDirectory(s"graft_${tag}_${n.incrementAndGet()}_").toFile.getAbsolutePath
+
+  /** Materialize a bounded frame and re-open it as a parquet file stream.
+    * `singleFile=true` forces one input file so `AvailableNow` runs exactly
+    * one micro-batch (required by operators whose emission the harness wants
+    * to compare 1:1 with batch, e.g. flatMapGroupsWithState). */
+  def replay(spark: SparkSession, df: DataFrame, tag: String,
+             singleFile: Boolean = false): DataFrame = {
+    val dir = tempDir(s"replay_$tag")
+    val w = if (singleFile) df.coalesce(1) else df
+    w.write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir)
+  }
+
+  /** Run a streaming frame to completion into an in-memory sink (bounded
+    * results: aggregations, stateful outputs) and return the sink table. */
+  def toMemory(spark: SparkSession, sdf: DataFrame, tag: String,
+               mode: String): DataFrame = {
+    val name = s"graft_mem_${tag}_${n.incrementAndGet()}"
+    val q = sdf.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Run an append-mode streaming frame to a parquet sink (row-level
+    * results too big for the driver) and read the sink back. */
+  def toParquet(spark: SparkSession, sdf: DataFrame, tag: String): DataFrame = {
+    val out = tempDir(s"sink_$tag")
+    val q = sdf.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tempDir(s"chk_$tag"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+}
