@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Multimodal pipeline: synthetic payload layout, stub decode determinism,
+  * and schema survival through a parquet round-trip. */
+class MultimodalSpec extends SparkSpec {
+
+  private implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  test("synthesize emits an 8-byte header plus the utf-8 text") {
+    val m = Multimodal.synthesize(Tables.documents(spark, sf)).filter(_.media_id == 3L).head()
+    assert(m.kind === Multimodal.Kinds(0))
+    assert(m.payload.length >= 8)
+    assert(m.payload(0) === 0.toByte)
+    assert((m.payload(1) & 0xff) === 32 + (3 % 8) * 16)
+  }
+
+  test("decodeFeatures parses header dims and counts 64-byte frames") {
+    val feats = Multimodal.decodeFeatures(Multimodal.synthesize(Tables.documents(spark, sf)))
+      .collect().sortBy(_.media_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width === 32 + (f.media_id % 8) * 16)
+      assert(f.height === 32 + (f.media_id % 5) * 16)
+      assert(f.n_frames === ((f.n_bytes - 8 + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes))
+      assert(f.kind === Multimodal.Kinds((f.media_id % 3).toInt))
+    }
+  }
+
+  test("decode is deterministic across runs") {
+    def run() = Multimodal.decodeFeatures(Multimodal.synthesize(Tables.documents(spark, sf)))
+      .collect().map(f => (f.media_id, f.checksum)).sortBy(_._1).toSeq
+    assert(run() === run())
+  }
+
+  test("media schema round-trips through parquet with binary payload intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_").toFile.getAbsolutePath
+    import spark.implicits._
+    val in = Multimodal.synthesize(Tables.documents(spark, sf))
+    in.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[Multimodal.MediaFile]
+    assert(back.count() === in.count())
+    val (a, b) = (in.filter(_.media_id == 0L).head(), back.filter(_.media_id == 0L).head())
+    assert(a.payload.toSeq === b.payload.toSeq)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics the batch oracle can't check: watermark-driven late
+  * data dropping, driven deterministically through MemoryStream
+  * (SURVEY.md §5.2.2 — no wall-clock sleeps). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window append mode drops events later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val windowed = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".cast("string").as("ws"), $"cnt")
+    val q = windowed.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: two on-time events in [10:00, 10:10)
+      mem.addData((ts(1), "a"), (ts(5), "a"))
+      q.processAllAvailable()
+      // batch 2: advance event time to 10:31 → watermark 10:26 closes [10:00,10:10)
+      mem.addData((ts(31), "a"))
+      q.processAllAvailable()
+      // batch 3: a late event for the closed window — must be dropped
+      mem.addData((ts(2), "late"))
+      q.processAllAvailable()
+      // batch 4: advance far enough to close [10:30,10:40) too
+      mem.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 10:00:00") === 2L, "late event must not inflate the closed window")
+      assert(rows("2024-01-01 10:30:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates keeps state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val distincted = mem.toDF().toDF("ts", "k").dropDuplicates("k")
+    val q = distincted.writeStream.format("memory").queryName("dd_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((ts(1), "x"), (ts(2), "y"))
+      q.processAllAvailable()
+      mem.addData((ts(3), "x"), (ts(4), "z"))
+      q.processAllAvailable()
+      val ks = spark.table("dd_test").select("k").as[String].collect().sorted.toSeq
+      assert(ks === Seq("x", "y", "z"))
+    } finally q.stop()
+  }
+}
