@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *     choice for a 100 TB event store.
   */
 object GraftSession {
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
 
   def builder(master: String = s"local[$cpus]"): SparkSession.Builder =
     SparkSession
@@ -25,6 +25,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
       // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
       // type, so read as long and convert in the loader (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

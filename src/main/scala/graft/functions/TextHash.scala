@@ -66,7 +66,12 @@ object TextHash {
   /** Word n-shingles: shingle i = tokens i..i+n-1 joined by one space.
     * Docs shorter than n yield one (shorter) shingle — `concat_ws` skips the
     * NULLs that `try_element_at` returns past the end, identically to
-    * DuckDB's NULL-skipping `concat_ws` over out-of-range list indexes. */
+    * DuckDB's NULL-skipping `concat_ws` over out-of-range list indexes.
+    *
+    * PERF: pass `toks` as a *bound attribute* (`.as("toks")` in a prior
+    * select), not a raw `split(...)` expression — the lambda body re-runs
+    * its argument expression per element, so an inlined split would execute
+    * n× per shingle. */
   def shingles(toks: Column, n: Int = ShingleN): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),

@@ -22,15 +22,64 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Per-doc signature frame: hashed tokens, hashed distinct shingles,
-    * MinHash signature. One md5 per token + one per shingle. */
+  /** Materialize a reused intermediate to parquet and read it back. The
+    * signature frames are consumed by several plan branches (band explode ×2,
+    * pair lookups ×2); one parquet round-trip beats both recompute-per-branch
+    * and `persist()` (Spark's columnar cache is very slow on wide array
+    * columns). At warehouse scale this is the signature/feature table you
+    * would materialize once and reuse across every dedup run. */
+  private def materialized(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_").toFile.getAbsolutePath
+    df.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  /** Per-doc signature frame: distinct shingle-hash set + MinHash signature.
+    *
+    * Formulated as explode → codegen'd hash + k codegen'd `min` aggregates →
+    * reassemble, NOT as per-row higher-order lambdas: HOFs evaluate
+    * interpreted (~10× slower here), while this shape keeps md5/conv and the
+    * permutation arithmetic inside whole-stage codegen and compresses the
+    * exploded rows back down with map-side partial aggregation before the
+    * (tiny) shuffle on doc_id — the shape that stays linear at 100 TB. */
   private def sigFrame(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      hashArray(toks).as("thash"),
-      array_distinct(hashArray(shingles(toks))).as("shash"))
-      .withColumn("sig", minhashSig(col("shash")))
+    // tokens bound to an attribute BEFORE shingling: a lambda body
+    // re-evaluates its argument expression per array element, so passing the
+    // raw split() into shingles() would re-run the regex split 3× per
+    // shingle (CollapseProject keeps the binding because it is multi-use)
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
+      .select(col("doc_id"), hash32(col("sh")).as("h"))
+    val mins = (0 until MinhashK).map(i =>
+      min((col("h") * permA(i) + permB(i)) % Mod).as(s"m$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("shash"), mins: _*)
+      .select(
+        col("doc_id"), col("shash"),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Per-doc token-sequence frame: ordered token hashes, SimHash (bit votes
+    * as codegen'd conditional sums), rolling fingerprint. Same explode →
+    * aggregate shape as [[sigFrame]]. */
+  private def tokFrame(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p"), hash32(col("tok")).as("h"))
+    val votes = (0 until 16).map { b =>
+      val p = 1L << b
+      sum(when(col("h") % (2 * p) >= p, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    tf.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("p"), col("h")))).as("ph"), votes: _*)
+      .select(
+        col("doc_id"),
+        transform(col("ph"), x => x.getField("h")).as("thash"),
+        (0 until 16)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   private val sqlSigCtes =
@@ -68,12 +117,14 @@ object DedupQueries {
          |${sqlSimhash16("thash")} AS simhash,
          |${sqlFingerprint("thash")} AS fp
          |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      sigFrame(s, dir).select(
-        col("doc_id"),
-        size(col("shash")).cast("long").as("n_shingles"),
-        concat_ws("-", transform(col("sig"), _.cast("string"))).as("sig_str"),
-        simhash16(col("thash")).as("simhash"),
-        fingerprint(col("thash")).as("fp"))
+      sigFrame(s, dir)
+        .join(tokFrame(s, dir), "doc_id")
+        .select(
+          col("doc_id"),
+          size(col("shash")).cast("long").as("n_shingles"),
+          concat_ws("-", transform(col("sig"), _.cast("string"))).as("sig_str"),
+          col("simhash"),
+          fingerprint(col("thash")).as("fp"))
         .orderBy("doc_id")
     },
 
@@ -96,7 +147,7 @@ object DedupQueries {
          |FROM cand JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
          |WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val sigs = sigFrame(s, dir).persist()
+      val sigs = materialized(s, sigFrame(s, dir), "q23b_sig")
       val bands = sigs.select(
         col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
       val cand = bands.alias("a")
@@ -137,21 +188,22 @@ object DedupQueries {
          |SELECT da, db, ha, hb, ${sqlHamming("ha", "hb")} AS ham
          |FROM cand WHERE ${sqlHamming("ha", "hb")} <= 1
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), simhash16(hashArray(tokens(col("text")))).as("h"))
-        .persist()
+      val base = materialized(s,
+        tokFrame(s, dir).select(col("doc_id"), col("simhash").as("h")), "q23c_sim")
       val bandRows = base
         .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("bv", floor(col("h") / pow(lit(16), col("j"))).cast("long") % 16)
+      // hamming filter sits in the join condition so the (large) bucket
+      // collision set shrinks before the distinct's shuffle
       bandRows.alias("a")
         .join(bandRows.alias("b"),
           col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            hamming(col("a.h"), col("b.h")) <= 1)
         .select(
           col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           col("a.h").as("ha"), col("b.h").as("hb"))
         .distinct()
-        .filter(hamming(col("ha"), col("hb")) <= 1)
         .withColumn("ham", hamming(col("ha"), col("hb")))
         .orderBy("da", "db")
     },
@@ -171,13 +223,16 @@ object DedupQueries {
          |FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
          |WHERE ${sqlJaccard("a.grams", "b.grams")} >= 0.3
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val toks = tokens(col("text"))
-      val keyed = Tables.documents(s, dir).select(
-        col("doc_id"),
-        array_distinct(charGrams(col("text"))).as("grams"),
-        concat_ws(" ",
-          try_element_at(toks, lit(1)), try_element_at(toks, lit(2)),
-          try_element_at(toks, lit(3))).as("pkey"))
+      val keyed = materialized(s,
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            array_distinct(charGrams(col("text"))).as("grams"),
+            concat_ws(" ",
+              try_element_at(col("toks"), lit(1)), try_element_at(col("toks"), lit(2)),
+              try_element_at(col("toks"), lit(3))).as("pkey")),
+        "q23d_keyed")
       keyed.alias("a")
         .join(keyed.alias("b"),
           col("a.pkey") === col("b.pkey") && col("a.doc_id") < col("b.doc_id"))
