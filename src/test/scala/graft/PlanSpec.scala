@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale — predicate pushdown into the parquet scan, column pruning,
+  * broadcast joins for dims, top-k without a global sort — asserted on the
+  * executed plan text so a refactor can't silently regress them
+  * (SURVEY.md §4.2; the 100-TB design contract). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q04: filter pushed to scan, columns pruned, top-k via TakeOrderedAndProject") {
+    val p = plan("q04_top_viewed_keys")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]"))
+    assert(p.contains("TakeOrderedAndProject"))
+    // the scan must not read unused columns (events has ts/user_id/value...)
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"))
+  }
+
+  test("q09: small dim side is broadcast, fact scan pruned to 3 columns") {
+    val p = plan("q09_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("struct<l_partkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q10: the 5-table chain broadcasts every dim (no shuffle join at this SF)") {
+    val p = plan("q10_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+
+  test("q24: query side broadcast; corpus streams through one nested-loop pass") {
+    val p = plan("q24_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("vec_dot"))
+  }
+
+  test("q03: single hash aggregate with partial (map-side) aggregation") {
+    val p = plan("q03_daily_counts")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial+final HashAggregate")
+    // the scan reads only the two needed columns
+    assert(p.contains("ReadSchema: struct<ts:"))
+  }
+
+  test("q01: ingest transform is a narrow plan (no shuffle before the sort)") {
+    val p = plan("q01_batch_transform")
+    // exactly one exchange: the final orderBy's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+}
