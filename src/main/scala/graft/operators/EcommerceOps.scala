@@ -94,12 +94,16 @@ object EcommerceOps {
   // (send_session_stream.py:30-33 / write_session_stream.py:51-59).
   // ---------------------------------------------------------------------
 
-  /** S4 — encode selected columns as one comma-joined UTF-8 binary message.
-    * Faithful constraint: values must not contain whitespace/commas (the
-    * reference collapses whitespace to commas and cannot round-trip them —
-    * FIXTURES.md). */
+  /** S4 — encode a row as one comma-joined UTF-8 binary message, faithfully:
+    * nulls render as the string `NaN` (pandas `to_string`) and *all*
+    * whitespace collapses to commas (send_session_stream.py:23-33) — which
+    * splits a `yyyy-MM-dd HH:mm:ss UTC` timestamp into three wire fields,
+    * exactly like the reference (rejoined at write_session_stream.py:25-28).
+    * Values containing spaces therefore cannot round-trip (FIXTURES.md). */
   def encodeMessage(cols: Seq[Column]): Column =
-    concat_ws(",", cols: _*).cast("binary")
+    regexp_replace(
+      concat_ws(",", cols.map(c => coalesce(c.cast("string"), lit("NaN"))): _*),
+      "\\s+", ",").cast("binary")
 
   /** S5 — decode a comma-joined message back to string fields (1-based). */
   def decodeField(message: Column, i: Int): Column =

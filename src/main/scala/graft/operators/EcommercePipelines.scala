@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.sources.Ecommerce
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's two pipelines end-to-end, Spark-native (SURVEY.md §3):
+  *
+  *   - [[runBatch]] ≙ `write_session_batch.py`: CSV → transform →
+  *     OLTP-style table. The reference's per-100-row pandas loop with a
+  *     `toPandas()` collect per chunk (§3.1) collapses into one lazy narrow
+  *     plan: scan → stringify/dict-pack/record-id → parquet append. No
+  *     driver materialization anywhere — the 100 TB constraint.
+  *
+  *   - [[runStream]] ≙ `send_session_stream.py` + `write_session_stream.py`:
+  *     rows → comma-joined UTF-8 messages (the Pub/Sub wire format, S4) →
+  *     streaming decode (S5) → per-event transform (T2) → append sink (T3),
+  *     on Structured Streaming with a deterministic replay instead of
+  *     wall-clock pacing (§3.2).
+  */
+object EcommercePipelines {
+
+  /** Batch pipeline: returns the sink-shaped frame (all-string columns,
+    * dict-packed category_code, record_id) and writes it if `out` is set. */
+  def runBatch(spark: SparkSession, csvPath: String, out: Option[String] = None): DataFrame = {
+    val transformed = EcommerceOps.batchTransform(Ecommerce.readCsv(spark, csvPath))
+    out.foreach(dir => transformed.write.mode("append").parquet(dir))
+    transformed
+  }
+
+  /** Streaming pipeline over the wire format: encode each row as the
+    * replay scripts do, stream the messages, decode + transform per event,
+    * append to the sink. Returns the final sink contents. */
+  def runStream(spark: SparkSession, csvPath: String): DataFrame = {
+    val cols = Ecommerce.schema.fieldNames
+    // S4 — the replay encoder's comma-joined UTF-8 message per event
+    val messages = Ecommerce.readCsv(spark, csvPath)
+      .select(EcommerceOps.encodeMessage(cols.map(col).toIndexedSeq).as("value"))
+    val stream = StreamRunner.replay(spark, messages, "ecom_wire")
+    // S5 — decode the wire fields. The whitespace-collapse split event_time
+    // into 3 fields (date, time, "UTC"); rejoin them like the reference's
+    // DoFn (write_session_stream.py:25-28), then the 8 remaining columns.
+    val rest = cols.drop(1)
+    val decoded = rest.zipWithIndex.foldLeft(
+      stream.withColumn("event_time_string",
+        concat_ws(" ",
+          EcommerceOps.decodeField(col("value"), 1),
+          EcommerceOps.decodeField(col("value"), 2),
+          EcommerceOps.decodeField(col("value"), 3)))) {
+      case (df, (name, i)) =>
+        df.withColumn(name, EcommerceOps.decodeField(col("value"), i + 4))
+    }.drop("value")
+    // T2 — the Beam DoFn's per-event transform, stateless
+    val transformed = EcommerceOps.streamTransform(decoded)
+    StreamRunner.toParquet(spark, transformed, "ecom_sink")
+  }
+}

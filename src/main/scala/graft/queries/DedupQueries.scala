@@ -169,18 +169,19 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
-    // X2/Q23c — SimHash near-dup pairs: 4 sub-bands of 4 bits; pigeonhole
-    // guarantees any pair at Hamming distance ≤ 3 shares at least one
-    // sub-band, so the bucket equi-join finds all of them. (16-bit SimHash is
-    // the testdata-scale demo; the 100-TB config is 64-bit with 8-bit bands —
-    // same plan shape.)
+    // X2/Q23c — SimHash near-dup pairs: 2 sub-bands of 8 bits; pigeonhole
+    // guarantees any pair at Hamming distance ≤ 1 shares at least one
+    // sub-band, so the bucket equi-join finds all of them — and 8-bit bands
+    // keep buckets ~16× smaller than 4-bit ones, shrinking the candidate
+    // join quadratically. (16-bit SimHash is the testdata-scale demo; the
+    // 100-TB config is 64-bit with wider bands — same plan shape.)
     QueryDef(
       "q23c_simhash_pairs",
       s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, ${sqlSimhash16(sqlHashArray("toks"))} AS h FROM src),
          |bands AS (
-         |  SELECT doc_id, h, j, (h // CAST(power(16, j) AS BIGINT)) % 16 AS bv
-         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS j)),
+         |  SELECT doc_id, h, j, (h // CAST(power(256, j) AS BIGINT)) % 256 AS bv
+         |  FROM sh, (SELECT unnest(generate_series(0, 1)) AS j)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.h AS ha, b.h AS hb
          |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
@@ -191,8 +192,8 @@ object DedupQueries {
       val base = materialized(s,
         tokFrame(s, dir).select(col("doc_id"), col("simhash").as("h")), "q23c_sim")
       val bandRows = base
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(3))).as("j"))
-        .withColumn("bv", floor(col("h") / pow(lit(16), col("j"))).cast("long") % 16)
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(1))).as("j"))
+        .withColumn("bv", floor(col("h") / pow(lit(256), col("j"))).cast("long") % 256)
       // hamming filter sits in the join condition so the (large) bucket
       // collision set shrinks before the distinct's shuffle
       bandRows.alias("a")
