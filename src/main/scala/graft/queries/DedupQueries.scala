@@ -224,15 +224,23 @@ object DedupQueries {
          |FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
          |WHERE ${sqlJaccard("a.grams", "b.grams")} >= 0.3
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      // gram generation via explode + codegen'd substr + collect_set, not a
+      // per-row lambda (same distinct-gram sets, interpreted-HOF cost gone)
       val keyed = materialized(s,
         Tables.documents(s, dir)
           .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
           .select(
-            col("doc_id"),
-            array_distinct(charGrams(col("text"))).as("grams"),
+            col("doc_id"), col("text"),
             concat_ws(" ",
               try_element_at(col("toks"), lit(1)), try_element_at(col("toks"), lit(2)),
-              try_element_at(col("toks"), lit(3))).as("pkey")),
+              try_element_at(col("toks"), lit(3))).as("pkey"))
+          .select(col("doc_id"), col("pkey"), col("text"),
+            explode(sequence(lit(1),
+              greatest(length(col("text")) - (CharGramN - 1), lit(1)))).as("i"))
+          .select(col("doc_id"), col("pkey"),
+            col("text").substr(col("i"), lit(CharGramN)).as("g"))
+          .groupBy(col("doc_id"), col("pkey"))
+          .agg(collect_set(col("g")).as("grams")),
         "q23d_keyed")
       keyed.alias("a")
         .join(keyed.alias("b"),
