@@ -146,6 +146,38 @@ object TextAnalysisQueries {
         .orderBy("lang", "source")
     },
 
+    // A7+/Q27 — exact interpolated percentiles per group (Spark `percentile`
+    // ≡ DuckDB `quantile_cont`). Exact percentiles sort within each group —
+    // fine at test scale, the wrong tool at 100 TB; q27b below is the
+    // sketch-based scale path.
+    QueryDef(
+      "q27_value_percentiles",
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 6) AS p50,
+        |round(quantile_cont(value, 0.95), 6) AS p95,
+        |round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    },
+
+    // A7+/Q27b — approx_percentile (t-digest-style sketch): bounded-memory
+    // partial state, mergeable across partitions — the 100-TB percentile
+    // path. Sketch values are engine-specific → rows-only check.
+    QueryDef.noOracle("q27b_approx_percentiles") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("approx"),
+          round(expr("percentile(value, 0.5)"), 6).as("exact_p50"))
+        .orderBy("event_type")
+    },
+
     // X4/Q25d — corpus token histogram, top-20: explode + hash-agg with
     // map-side partials + TakeOrderedAndProject (no global sort).
     QueryDef(

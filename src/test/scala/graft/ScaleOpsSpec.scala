@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Skew
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators: salted aggregation/join equivalence, and bucketed
+  * tables giving shuffle-free co-located joins (SURVEY.md §0 scale stance). */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedCount equals plain groupBy count") {
+    val events = Tables.events(spark, sf)
+    val plain = events.groupBy($"event_type".as("key")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(events, $"event_type", 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val li = Tables.lineitem(spark, sf)
+    val part = Tables.part(spark, sf)
+    val plain = li.join(part, li("l_partkey") === part("p_partkey"))
+      .agg(count(lit(1)), sum($"l_extendedprice".cast("decimal(28,6)")))
+      .collect()(0)
+    val salted = Skew.saltedJoin(li, part, "l_partkey", "p_partkey", "l_orderkey", 4)
+      .agg(count(lit(1)), sum($"l_extendedprice".cast("decimal(28,6)")))
+      .collect()(0)
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sf).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf).write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    try {
+      // co-located join: both sides pre-hashed into the same 4 buckets, so
+      // the sort-merge join needs no Exchange on either side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
