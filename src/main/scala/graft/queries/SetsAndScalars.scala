@@ -76,6 +76,43 @@ object SetsAndScalars {
           coalesce(nullif(col("event_type"), lit("error")), lit("none")).as("n_coal"),
           (col("event_type") === "view").as("b_isview"))
         .orderBy("event_id")
+    },
+
+    // F12-F13/Q18b — array + JSON battery: JSON path extraction on the
+    // `props` column (real parser on both sides, not regexp), and the array
+    // surface (sort/contains/position/slice/reverse/size) over tokens.
+    QueryDef(
+      "q18b_array_json_battery",
+      """WITH src AS (
+        |  SELECT event_id, props, str_split(event_type, '') AS chars
+        |  FROM events)
+        |SELECT event_id,
+        |json_extract_string(props, '$.k') AS j_str,
+        |CAST(json_extract(props, '$.k') AS BIGINT) AS j_int,
+        |CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0 AS j_round,
+        |array_to_string(list_sort(chars), '') AS a_sorted,
+        |list_contains(chars, 'e') AS a_has_e,
+        |CAST(list_position(chars, 'i') AS INTEGER) AS a_pos_i,
+        |array_to_string(chars[2:3], '') AS a_slice,
+        |array_to_string(list_reverse(chars), '') AS a_rev,
+        |len(chars) AS a_len
+        |FROM src ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"), col("props"),
+          filter(split(col("event_type"), ""), c => c =!= "").as("chars"))
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("j_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("j_int"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10 === 0).as("j_round"),
+          concat_ws("", array_sort(col("chars"))).as("a_sorted"),
+          array_contains(col("chars"), "e").as("a_has_e"),
+          array_position(col("chars"), "i").cast("int").as("a_pos_i"),
+          concat_ws("", slice(col("chars"), 2, 2)).as("a_slice"),
+          concat_ws("", reverse(col("chars"))).as("a_rev"),
+          size(col("chars")).cast("long").as("a_len"))
+        .orderBy("event_id")
     }
   )
 }
