@@ -108,6 +108,14 @@ object TextHash {
   /** Hash every element of a string array. */
   def hashArray(arr: Column): Column = transform(arr, hash32(_))
 
+  /** Engine-only fast path: xxhash64 folded into the same [0, 2^32) domain,
+    * ~10× cheaper per value than md5. Drop-in for [[hash32]] wherever DuckDB
+    * oracle parity is not required (DuckDB has no xxhash64) — the production
+    * configuration at 100 TB; the md5 path exists for cross-engine
+    * verification. All downstream arithmetic (MinHash perms, SimHash votes,
+    * LSH bands, fingerprints) is domain-compatible with both. */
+  def hash32Fast(c: Column): Column = pmod(xxhash64(c), lit(1L << 32))
+
   def sqlHashArray(arr: String): String =
     s"list_transform($arr, v -> ${sqlHash32("v")})"
 

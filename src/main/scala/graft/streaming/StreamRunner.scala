@@ -53,6 +53,35 @@ object StreamRunner {
     spark.readStream.schema(df.schema).parquet(dir)
   }
 
+  /** T4 — event-time-paced replay: split the table into `slices` time-ordered
+    * files and feed ONE slice per micro-batch (`maxFilesPerTrigger=1`), so a
+    * downstream query processes the stream incrementally in event-time order
+    * — the deterministic stand-in for the reference's wall-clock-paced
+    * publisher (simulate_session_stream.py:89-93); `speedFactor` maps to
+    * slice count / trigger rate, not to sleeps. */
+  def replayPaced(spark: SparkSession, df: DataFrame, tsCol: String,
+                  slices: Int, tag: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = tempDir(s"paced_$tag")
+    // slices must be written in event-time order as separate commits: the
+    // file source replays files in modification-time order, and a single
+    // multi-part write commits parts in task-completion (arbitrary) order —
+    // which would turn earlier-range slices into droppable late data
+    val withD = df.withColumn("__ts_d", col(tsCol).cast("double"))
+    val qs = withD.stat.approxQuantile(
+      "__ts_d", (1 until slices).map(_.toDouble / slices).toArray, 0.0)
+    for (j <- 0 until slices) {
+      var part = withD
+      if (j > 0) part = part.filter(col("__ts_d") >= qs(j - 1))
+      if (j < slices - 1) part = part.filter(col("__ts_d") < qs(j))
+      part.drop("__ts_d").coalesce(1).write.mode("append").parquet(dir)
+    }
+    spark.readStream
+      .schema(df.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
   /** Run a streaming frame to completion into an in-memory sink (bounded
     * results: aggregations, stateful outputs) and return the sink table. */
   def toMemory(spark: SparkSession, sdf: DataFrame, tag: String,
