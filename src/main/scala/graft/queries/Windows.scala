@@ -74,6 +74,40 @@ object Windows {
           sum(col("value").cast(DecimalType(28, 6))).over(w).cast("double"))
         .select("event_id", "user_id", "ts", "running_value")
         .orderBy("user_id", "event_id")
+    },
+
+    // W3+/Q16b — value-based (RANGE) frame: trailing 1-hour revenue per
+    // user over epoch seconds, plus first/last value and ntile coverage.
+    // RANGE frames are peer-inclusive in both engines; the order column is
+    // floor-seconds on both sides so peers coincide exactly.
+    QueryDef(
+      "q16b_range_frame",
+      """SELECT event_id, user_id,
+        |CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+        |  PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value,
+        |first_value(event_type) OVER w AS first_type,
+        |last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+        |CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val wRange = Window
+        .partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-3600, Window.currentRow)
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("ts_s", col("ts").cast("long"))
+        .withColumn("hour_value",
+          sum(col("value").cast(DecimalType(28, 6))).over(wRange).cast("double"))
+        .withColumn("first_type", first(col("event_type")).over(wOrd))
+        .withColumn("last_type", last(col("event_type")).over(wFull))
+        .withColumn("quartile", ntile(4).over(wOrd))
+        .select("event_id", "user_id", "hour_value", "first_type", "last_type", "quartile")
+        .orderBy("user_id", "event_id")
     }
   )
 }
