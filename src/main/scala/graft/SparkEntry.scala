@@ -18,9 +18,14 @@ object SparkEntry {
       SetsAndScalars.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       TextAnalysisQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Works on any session: the confs the testdata requires (nanos
+    * timestamps, UTC) are dynamic and set here defensively. */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     all.head.df(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
