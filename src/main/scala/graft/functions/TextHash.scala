@@ -84,14 +84,16 @@ object TextHash {
       s"i -> concat_ws(' ', $parts))"
   }
 
-  /** Character n-grams of the raw text. */
-  def charGrams(text: Column, n: Int = CharGramN): Column =
+  /** Character n-grams of the raw text; `stride` > 1 gives the w-shingling
+    * variant (overlapping windows every `stride` chars — ~1/stride the
+    * grams with near-identical pair discrimination). */
+  def charGrams(text: Column, n: Int = CharGramN, stride: Int = 1): Column =
     transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1)), lit(stride)),
       i => text.substr(i, lit(n)))
 
-  def sqlCharGrams(text: String, n: Int = CharGramN): String =
-    s"list_transform(generate_series(1, greatest(length($text)-${n - 1}, 1)), " +
+  def sqlCharGrams(text: String, n: Int = CharGramN, stride: Int = 1): String =
+    s"list_transform(generate_series(1, greatest(length($text)-${n - 1}, 1), $stride), " +
       s"i -> substring($text, i, $n))"
 
   // -----------------------------------------------------------------------

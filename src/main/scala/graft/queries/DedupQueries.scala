@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextHash._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Q22–Q23 — deduplication operators over the `documents` table (SURVEY.md
@@ -61,25 +61,39 @@ object DedupQueries {
         array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Per-doc token-sequence frame: ordered token hashes, SimHash (bit votes
-    * as codegen'd conditional sums), rolling fingerprint. Same explode →
-    * aggregate shape as [[sigFrame]]. */
+  private def simhashFromVotes: Seq[Column] => Column = vs =>
+    vs.zipWithIndex
+      .map { case (v, b) => when(v > 0, lit(1L << b)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+
+  private def voteAggs: Seq[Column] = (0 until 16).map { b =>
+    val p = 1L << b
+    sum(when(col("h") % (2 * p) >= p, 1L).otherwise(-1L)).as(s"v$b")
+  }
+
+  /** Per-doc SimHash only (bit votes as codegen'd conditional sums over
+    * exploded token hashes) — no ordered-token reassembly. */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), hash32(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        simhashFromVotes((0 until 16).map(b => col(s"v$b"))).as("simhash"))
+
+  /** Per-doc token-sequence frame: ordered token hashes, SimHash, rolling
+    * fingerprint. Same explode → aggregate shape as [[sigFrame]]. */
   private def tokFrame(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
       .select(col("doc_id"), col("p"), hash32(col("tok")).as("h"))
-    val votes = (0 until 16).map { b =>
-      val p = 1L << b
-      sum(when(col("h") % (2 * p) >= p, 1L).otherwise(-1L)).as(s"v$b")
-    }
     tf.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("p"), col("h")))).as("ph"), votes: _*)
+      .agg(array_sort(collect_list(struct(col("p"), col("h")))).as("ph"), voteAggs: _*)
       .select(
         col("doc_id"),
         transform(col("ph"), x => x.getField("h")).as("thash"),
-        (0 until 16)
-          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        simhashFromVotes((0 until 16).map(b => col(s"v$b"))).as("simhash"))
   }
 
   private val sqlSigCtes =
@@ -190,7 +204,7 @@ object DedupQueries {
          |FROM cand WHERE ${sqlHamming("ha", "hb")} <= 1
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
       val base = materialized(s,
-        tokFrame(s, dir).select(col("doc_id"), col("simhash").as("h")), "q23c_sim")
+        simhashFrame(s, dir).select(col("doc_id"), col("simhash").as("h")), "q23c_sim")
       val bandRows = base
         .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(1))).as("j"))
         .withColumn("bv", floor(col("h") / pow(lit(256), col("j"))).cast("long") % 256)
@@ -209,14 +223,15 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
-    // X2/Q23d — char-4-gram Jaccard under token-prefix blocking: docs
-    // sharing their first 3 tokens are compared exactly. Prefix blocking is
-    // the cheap high-recall blocker for boilerplate/near-identical docs; the
-    // block key is the shuffle key.
+    // X2/Q23d — char-4-gram Jaccard (stride-2 w-shingling) under
+    // token-prefix blocking: docs sharing their first 3 tokens are compared
+    // exactly. Prefix blocking is the cheap high-recall blocker for
+    // boilerplate/near-identical docs; the block key is the shuffle key; the
+    // stride halves gram volume with near-identical pair discrimination.
     QueryDef(
       "q23d_ngram_jaccard_pairs",
       s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks,
-         |    list_distinct(${sqlCharGrams("text")}) AS grams FROM documents),
+         |    list_distinct(${sqlCharGrams("text", stride = 2)}) AS grams FROM documents),
          |keyed AS (SELECT doc_id, grams,
          |    concat_ws(' ', toks[1], toks[2], toks[3]) AS pkey FROM src)
          |SELECT a.doc_id AS da, b.doc_id AS db,
@@ -236,7 +251,8 @@ object DedupQueries {
               try_element_at(col("toks"), lit(3))).as("pkey"))
           .select(col("doc_id"), col("pkey"), col("text"),
             explode(sequence(lit(1),
-              greatest(length(col("text")) - (CharGramN - 1), lit(1)))).as("i"))
+              greatest(length(col("text")) - (CharGramN - 1), lit(1)),
+              lit(2))).as("i"))
           .select(col("doc_id"), col("pkey"),
             col("text").substr(col("i"), lit(CharGramN)).as("g"))
           .groupBy(col("doc_id"), col("pkey"))
