@@ -93,6 +93,26 @@ object StreamingQueries {
       StreamRunner.toParquet(s, stream, "q21").orderBy("user_id", "event_type")
     },
 
+    // T7/Q21c — watermark-scoped streaming dedup: the input is replayed
+    // twice (every event is an exact duplicate), and
+    // dropDuplicatesWithinWatermark keeps one copy per event_id while its
+    // state is evicted once the watermark passes — the bounded-state dedup
+    // for unbounded streams (plain dropDuplicates state grows forever).
+    // Duplicates here arrive within the watermark, so the result equals
+    // batch DISTINCT.
+    QueryDef(
+      "q21c_stream_dedup_watermark",
+      """SELECT DISTINCT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val doubled = Tables.events(s, dir).select("event_id", "user_id", "event_type", "ts")
+      val stream = StreamRunner
+        .replay(s, doubled.union(doubled), "q21c")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      StreamRunner.toParquet(s, stream, "q21c").orderBy("event_id")
+    },
+
     // T7/Q21b — per-user funnel state machine via flatMapGroupsWithState:
     // earliest view and earliest purchase per user, emitted once both exist.
     // Replayed as a single micro-batch (singleFile) so emission matches the
