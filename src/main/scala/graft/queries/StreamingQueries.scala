@@ -37,6 +37,57 @@ object StreamingQueries {
       StreamRunner.toParquet(s, stream, "q19").orderBy("event_id")
     },
 
+    // T2+/Q19b — stream-static enrichment join: the event stream joins a
+    // bounded dimension (nation, 25 rows — broadcast) per micro-batch. The
+    // standard enrichment shape at scale: dim broadcast to executors, no
+    // stream-side state.
+    QueryDef(
+      "q19b_stream_enrich",
+      """SELECT e.event_id, e.user_id, n.n_name AS region_name
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val dim = Tables.nation(s, dir)
+      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q19b")
+        .withColumn("nk", col("user_id") % 25)
+        .join(broadcast(dim), col("nk") === col("n_nationkey"))
+        .select(col("event_id"), col("user_id"), col("n_name").as("region_name"))
+      StreamRunner.toParquet(s, stream, "q19b").orderBy("event_id")
+    },
+
+    // T5+/Q19c — stream-stream interval join: views ⋈ purchases per user
+    // within 1 hour, both sides watermarked so join state is evicted once
+    // the watermark passes the interval (bounded state). Inner joins emit
+    // eagerly, so the bounded replay equals the batch interval join.
+    QueryDef(
+      "q19c_stream_interval_join",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_s
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+      val src = Tables.events(s, dir)
+      val views = StreamRunner.replay(s, src, "q19c")
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+        .withWatermark("vts", "1 hour")
+      val purchases = StreamRunner.replay(s, src, "q19c")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+        .select(
+          col("view_id"), col("purchase_id"), col("user_id"),
+          floor((unix_micros(col("pts")) - unix_micros(col("vts"))) / 1000000)
+            .as("gap_s"))
+      StreamRunner.toParquet(s, joined, "q19c").orderBy("view_id", "purchase_id")
+    },
+
     // T5/Q20 — watermark + tumbling event-time window counts. Complete mode
     // so every window is emitted for the bounded replay (append would hold
     // back windows past the final watermark).
