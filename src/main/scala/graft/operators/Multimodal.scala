@@ -56,6 +56,31 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: rewrites the header to the target dimensions and
+    * downsamples the body by the linear scale factor (every k-th byte). A
+    * real implementation would decode → scale → re-encode; the contract —
+    * pure per-row function, output strictly smaller, metadata updated in
+    * lockstep with the payload — is what downstream operators rely on. */
+  def resizeStub(media: Dataset[MediaFile], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaFile] = {
+    import spark.implicits._
+    media.map { m =>
+      val header = m.payload.take(8)
+      val w = if (header.length > 1) header(1) & 0xff else targetW
+      val step = math.max(1, w / math.max(targetW, 1))
+      val body = m.payload.drop(8)
+      val sampled = Array.range(0, body.length, step).map(body)
+      val newHeader = header.clone()
+      if (newHeader.length > 2) {
+        newHeader(1) = targetW.toByte
+        newHeader(2) = targetH.toByte
+        newHeader(5) = targetW.toByte
+        newHeader(6) = targetH.toByte
+      }
+      m.copy(payload = newHeader ++ sampled)
+    }
+  }
+
   /** STUB decode + feature extraction. A real implementation would hand the
     * payload to a codec here; the partition-local loop and the output
     * contract are the real thing. */

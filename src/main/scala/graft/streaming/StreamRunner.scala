@@ -98,7 +98,15 @@ object StreamRunner {
     // state (session windows, dedup maps) otherwise stays resident and
     // degrades every later stateful query in the same JVM
     StateStore.stop()
-    spark.table(name)
+    // copy the (bounded, aggregated) result out of the sink and drop the
+    // sink table — otherwise every toMemory call leaves its full result
+    // registered on the driver for the life of the session
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sink.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Run an append-mode streaming frame to a parquet sink (row-level

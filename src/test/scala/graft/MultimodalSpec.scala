@@ -35,6 +35,19 @@ class MultimodalSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("resizeStub shrinks payloads and rewrites dimensions in lockstep") {
+    val in = Multimodal.synthesize(Tables.documents(spark, sf))
+    val resized = Multimodal.resizeStub(in, 16, 16)
+    val feats = Multimodal.decodeFeatures(resized).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width === 16)
+      assert(f.height === 16)
+    }
+    val inSizes = in.collect().map(m => m.media_id -> m.payload.length).toMap
+    resized.collect().foreach(m => assert(m.payload.length <= inSizes(m.media_id)))
+  }
+
   test("media schema round-trips through parquet with binary payload intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_").toFile.getAbsolutePath
     import spark.implicits._
