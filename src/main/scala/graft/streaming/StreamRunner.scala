@@ -82,18 +82,36 @@ object StreamRunner {
       .parquet(dir)
   }
 
+  /** State partitions for harness-scale streaming queries. Stateful
+    * streaming fixes its shuffle-partition count into the checkpoint at the
+    * first batch, and per-batch state-store overhead scales with it — 32
+    * batch-sized partitions cost 2-3× on these streams (measured). Batch
+    * queries keep the session's setting; on a real cluster this is sized to
+    * state volume, not taken from the batch default. */
+  val StateParts = "8"
+
+  private def withStateParts[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, StateParts)
+    try f
+    finally spark.conf.set(key, old)
+  }
+
   /** Run a streaming frame to completion into an in-memory sink (bounded
     * results: aggregations, stateful outputs) and return the sink table. */
   def toMemory(spark: SparkSession, sdf: DataFrame, tag: String,
                mode: String): DataFrame = {
     val name = s"graft_mem_${tag}_${n.incrementAndGet()}"
-    val q = sdf.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = sdf.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // unload the terminated query's state-store providers: completed-query
     // state (session windows, dedup maps) otherwise stays resident and
     // degrades every later stateful query in the same JVM
@@ -113,14 +131,16 @@ object StreamRunner {
     * results too big for the driver) and read the sink back. */
   def toParquet(spark: SparkSession, sdf: DataFrame, tag: String): DataFrame = {
     val out = tempDir(s"sink_$tag")
-    val q = sdf.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", tempDir(s"chk_$tag"))
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) {
+      val q = sdf.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempDir(s"chk_$tag"))
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     StateStore.stop()
     spark.read.parquet(out)
   }
