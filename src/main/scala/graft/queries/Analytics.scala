@@ -124,6 +124,28 @@ object Analytics {
           .rollup(to_date(col("ts")).as("date"), col("event_type"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("date").asc_nulls_first, col("event_type").asc_nulls_first)
+    },
+
+    // A6/Q08b — cube over (dow, event_type) with GROUPING() markers: all
+    // four grouping combinations in one pass (Expand + single hash agg).
+    QueryDef(
+      "q08b_cube_counts",
+      """SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, event_type,
+        |CAST(GROUPING(CAST(dayofweek(ts) + 1 AS INTEGER)) AS INTEGER) AS g_dow,
+        |CAST(GROUPING(event_type) AS INTEGER) AS g_type, COUNT(*) AS cnt
+        |FROM events GROUP BY CUBE(dow, event_type)
+        |ORDER BY g_dow, g_type, dow NULLS FIRST, event_type NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("dow", dayofweek(col("ts")))
+          .cube(col("dow"), col("event_type"))
+          .agg(
+            grouping(col("dow")).cast("int").as("g_dow"),
+            grouping(col("event_type")).cast("int").as("g_type"),
+            count(lit(1)).as("cnt"))
+          .select(col("dow"), col("event_type"), col("g_dow"), col("g_type"), col("cnt"))
+          .orderBy(col("g_dow"), col("g_type"),
+            col("dow").asc_nulls_first, col("event_type").asc_nulls_first)
     }
   )
 }

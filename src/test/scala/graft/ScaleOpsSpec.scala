@@ -30,6 +30,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toFile.getAbsolutePath
+    Tables.events(spark, sf)
+      .withColumn("event_date", to_date($"ts"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val allDates = spark.read.parquet(dir).select("event_date").distinct().count()
+    assert(allDates > 1)
+    val oneDay = spark.read.parquet(dir)
+      .filter($"event_date" === spark.read.parquet(dir).agg(min($"event_date"))
+        .collect()(0).getDate(0))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan.take(600))
+    // pruning means the scan touches one partition's rows, not the table's
+    assert(oneDay.count() < Tables.events(spark, sf).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
