@@ -110,7 +110,12 @@ object StreamRunner {
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // bounded wait: a wedged stream must fail the one query, not hang
+      // the whole verification round
+      if (!q.awaitTermination(10 * 60 * 1000L)) {
+        q.stop()
+        throw new IllegalStateException(s"streaming query $tag timed out")
+      }
     }
     // unload the terminated query's state-store providers: completed-query
     // state (session windows, dedup maps) otherwise stays resident and
@@ -139,7 +144,12 @@ object StreamRunner {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // bounded wait: a wedged stream must fail the one query, not hang
+      // the whole verification round
+      if (!q.awaitTermination(10 * 60 * 1000L)) {
+        q.stop()
+        throw new IllegalStateException(s"streaming query $tag timed out")
+      }
     }
     StateStore.stop()
     spark.read.parquet(out)
