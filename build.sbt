@@ -28,5 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // keep Derby's metastore_db out of the repo working dir
   "-Dderby.system.home=/tmp/graft_derby",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the allocation-heavy bench tail (q23*/q24*) degrades
+  // badly under heap pressure when the host is contended (BENCH_r01's warm
+  // pass); BASELINE.md's protocol already assumes 16g
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

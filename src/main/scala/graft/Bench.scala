@@ -24,7 +24,13 @@ object Bench {
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case t: Throwable =>
+          // surfaced in the JSON below: a broken query must not silently
+          // shrink the total and masquerade as a faster run
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -33,9 +39,13 @@ object Bench {
     val qs = names.map(n => s"\"$n\":${warm(n)}").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
+    val failed = names.filter(n => cold(n) < 0 || warm(n) < 0)
+    val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""cold_total":$coldTotal,"sf":"$sfDir"}""")
+        s""""cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) System.err.println(
+      s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
   }
 }

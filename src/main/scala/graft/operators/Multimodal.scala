@@ -74,6 +74,10 @@ object Multimodal {
       if (newHeader.length > 2) {
         newHeader(1) = targetW.toByte
         newHeader(2) = targetH.toByte
+      }
+      // the mirrored second half exists only in full 8-byte headers — a
+      // 3-6-byte payload must not index past its own length
+      if (newHeader.length > 6) {
         newHeader(5) = targetW.toByte
         newHeader(6) = targetH.toByte
       }

@@ -80,13 +80,25 @@ object Analytics {
 
     // A7/Q06b — HLL approximate distinct (the 100-TB path where exact
     // COUNT(DISTINCT) would shuffle every key). Sketch values are
-    // engine-specific → rows-only check, no DuckDB oracle.
-    QueryDef.noOracle("q06b_approx_distinct") { (s, dir) =>
+    // engine-specific, so the cross-engine contract is a tolerance: the
+    // output carries the exact distinct count plus a boolean flag asserting
+    // the HLL estimate landed within 15% of exact (3× the default 5% rsd).
+    // The oracle recomputes the exact column and expects TRUE — a drifting
+    // sketch flips the flag and fails the hash.
+    QueryDef(
+      "q06b_approx_distinct",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.15).as("approx_ok"))
         .orderBy("event_type")
     },
 

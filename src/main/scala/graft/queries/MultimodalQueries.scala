@@ -35,13 +35,40 @@ object MultimodalQueries {
     },
 
     // X5/Q26b — the typed decode pipeline (synthesize → mapPartitions
-    // decode stub → features). No SQL form — the payload header parse is
-    // partition-local Scala — so the driver records a rows-only check; the
-    // ScalaTest spec pins exact values.
-    QueryDef.noOracle("q26b_media_features") { (s, dir) =>
+    // decode stub → features). The synthetic payload is fully derivable in
+    // SQL — header bytes are pure functions of doc_id, the body is the
+    // UTF-8 text — so the oracle rebuilds every feature, including the
+    // rolling stride-64 checksum (bytes reconstructed bit-by-bit: DuckDB
+    // 1.0 has no blob byte indexing, but get_bit + list_reduce fold the
+    // same (acc*31 + byte) % 1e9+7 recurrence).
+    QueryDef(
+      "q26b_media_features",
+      s"""WITH b AS (SELECT doc_id, encode(text) AS body,
+         |            octet_length(encode(text)) AS nb FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(32 + (doc_id % 8) * 16 AS BIGINT) AS width,
+         |  CAST(32 + (doc_id % 5) * 16 AS BIGINT) AS height,
+         |  CAST(nb + 8 AS BIGINT) AS n_bytes,
+         |  CAST((nb + ${Multimodal.FrameBytes - 1}) // ${Multimodal.FrameBytes} AS BIGINT) AS n_frames,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(0, nb - 1, ${Multimodal.FrameBytes}),
+         |        p -> CAST(list_sum(list_transform(generate_series(0, 7),
+         |               bb -> get_bit(body::BIT, (p*8 + bb)::INTEGER)
+         |                     * CAST(power(2, 7 - bb) AS BIGINT))) AS BIGINT))),
+         |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+         |FROM b ORDER BY media_id""".stripMargin) { (s, dir) =>
       implicit val spark = s
       Multimodal.decodeFeatures(Multimodal.synthesize(Tables.documents(s, dir)))
         .toDF()
+        .select(
+          col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("checksum"))
         .orderBy("media_id")
     }
   )

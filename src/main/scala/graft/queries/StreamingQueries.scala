@@ -99,7 +99,7 @@ object StreamingQueries {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      StreamRunner.toMemory(s, stream, "q20", "complete")
+      StreamRunner.toSnapshot(s, stream, "q20", "complete")
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
         .orderBy("ws", "event_type")
     },
@@ -124,12 +124,38 @@ object StreamingQueries {
       val stream = StreamRunner.replay(s, Tables.events(s, dir), "q20b")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
-      StreamRunner.toMemory(s, stream, "q20b", "complete")
+      StreamRunner.toSnapshot(s, stream, "q20b", "complete")
         .select(
           col("user_id"),
           col("session_window.start").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // T6/Q20c — sliding event-time windows (1 hour every 15 minutes) with a
+    // 10-minute watermark: each event lands in exactly 4 overlapping windows
+    // (60/15), the overlapping-rate-metric shape. Complete mode for the
+    // bounded replay (same reasoning as Q20). Oracle: a sliding window is
+    // SQL-expressible by fanning each event out to its 4 covering window
+    // starts (floor-to-15-min minus k slides, k = 0..3) — every covering
+    // start w satisfies w <= ts < w + 1h by construction.
+    QueryDef(
+      "q20c_sliding_window",
+      """WITH w AS (
+        |  SELECT date_trunc('minute', ts)
+        |      - to_minutes(CAST(EXTRACT(minute FROM ts) AS BIGINT) % 15)
+        |      - to_minutes(15 * k) AS ws,
+        |    event_type
+        |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+        |SELECT ws, event_type, COUNT(*) AS cnt
+        |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q20c")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      StreamRunner.toSnapshot(s, stream, "q20c", "complete")
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
     },
 
     // T7/Q21 — stateful streaming dedup: first occurrence of each

@@ -168,13 +168,38 @@ object TextAnalysisQueries {
 
     // A7+/Q27b — approx_percentile (t-digest-style sketch): bounded-memory
     // partial state, mergeable across partitions — the 100-TB percentile
-    // path. Sketch values are engine-specific → rows-only check.
-    QueryDef.noOracle("q27b_approx_percentiles") { (s, dir) =>
+    // path. Sketch values are engine-specific, so the cross-engine contract
+    // is a tolerance: the output carries the exact percentiles plus boolean
+    // `*_ok` flags asserting the sketch landed within 5% (+1e-3 absolute
+    // slack) of exact. The oracle recomputes the exact columns and expects
+    // every flag TRUE — a drifting sketch flips a flag and fails the hash.
+    // Output is all-scalar (an array column would crash the driver's
+    // canonicalizer).
+    QueryDef(
+      "q27b_approx_percentiles",
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        |round(quantile_cont(value, 0.95), 6) AS exact_p95,
+        |round(quantile_cont(value, 0.99), 6) AS exact_p99,
+        |TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      def ok(approx: Column, exact: Column): Column =
+        abs(approx - exact) <= abs(exact) * 0.05 + 0.001
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("approx"),
-          round(expr("percentile(value, 0.5)"), 6).as("exact_p50"))
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("ap"),
+          expr("percentile(value, 0.5)").as("e50"),
+          expr("percentile(value, 0.95)").as("e95"),
+          expr("percentile(value, 0.99)").as("e99"))
+        .select(
+          col("event_type"),
+          round(col("e50"), 6).as("exact_p50"),
+          round(col("e95"), 6).as("exact_p95"),
+          round(col("e99"), 6).as("exact_p99"),
+          ok(element_at(col("ap"), 1), col("e50")).as("p50_ok"),
+          ok(element_at(col("ap"), 2), col("e95")).as("p95_ok"),
+          ok(element_at(col("ap"), 3), col("e99")).as("p99_ok"))
         .orderBy("event_type")
     },
 

@@ -98,38 +98,45 @@ object StreamRunner {
     finally spark.conf.set(key, old)
   }
 
-  /** Run a streaming frame to completion into an in-memory sink (bounded
-    * results: aggregations, stateful outputs) and return the sink table. */
-  def toMemory(spark: SparkSession, sdf: DataFrame, tag: String,
-               mode: String): DataFrame = {
-    val name = s"graft_mem_${tag}_${n.incrementAndGet()}"
-    withStateParts(spark) {
-      val q = sdf.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      // bounded wait: a wedged stream must fail the one query, not hang
-      // the whole verification round
+  /** Await a started query with a bounded wait (a wedged stream must fail
+    * the one query, not hang the whole verification round), then unload the
+    * terminated query's state-store providers — in a `finally`, so even a
+    * timed-out/failed query can't leave completed-query state (session
+    * windows, dedup maps) resident to degrade every later stateful query in
+    * the same JVM. */
+  private def awaitAndUnload(q: org.apache.spark.sql.streaming.StreamingQuery,
+                             tag: String): Unit =
+    try {
       if (!q.awaitTermination(10 * 60 * 1000L)) {
         q.stop()
         throw new IllegalStateException(s"streaming query $tag timed out")
       }
+    } finally StateStore.stop()
+
+  /** Run a complete/update-mode streaming frame (bounded results:
+    * aggregations, stateful outputs) to completion and return the final
+    * snapshot. Each micro-batch overwrites a parquet snapshot via
+    * `foreachBatch` — the result never passes through the driver, unlike a
+    * memory sink (which both collects to the driver and pins the result as
+    * a temp view for the life of the session). */
+  def toSnapshot(spark: SparkSession, sdf: DataFrame, tag: String,
+                 mode: String): DataFrame = {
+    // append emission is incremental (each batch carries only new rows), so
+    // an overwriting snapshot would keep just the last batch — use toParquet
+    require(mode != "append", s"append-mode stream $tag needs toParquet, not toSnapshot")
+    val out = tempDir(s"snap_$tag")
+    withStateParts(spark) {
+      val q = sdf.writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", tempDir(s"chk_$tag"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitAndUnload(q, tag)
     }
-    // unload the terminated query's state-store providers: completed-query
-    // state (session windows, dedup maps) otherwise stays resident and
-    // degrades every later stateful query in the same JVM
-    StateStore.stop()
-    // copy the (bounded, aggregated) result out of the sink and drop the
-    // sink table — otherwise every toMemory call leaves its full result
-    // registered on the driver for the life of the session
-    val sink = spark.table(name)
-    val rows = sink.collect()
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), sink.schema)
-    spark.catalog.dropTempView(name)
-    out
+    spark.read.parquet(out)
   }
 
   /** Run an append-mode streaming frame to a parquet sink (row-level
@@ -144,14 +151,8 @@ object StreamRunner {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      // bounded wait: a wedged stream must fail the one query, not hang
-      // the whole verification round
-      if (!q.awaitTermination(10 * 60 * 1000L)) {
-        q.stop()
-        throw new IllegalStateException(s"streaming query $tag timed out")
-      }
+      awaitAndUnload(q, tag)
     }
-    StateStore.stop()
     spark.read.parquet(out)
   }
 }

@@ -20,7 +20,7 @@ class PacedReplaySpec extends SparkSpec {
       .agg(count(lit(1)).as("cnt"))
       .select($"window.start".as("ws"), $"event_type", $"cnt")
     // append mode: only watermark-closed windows are emitted
-    val streamed = StreamRunner.toMemory(spark, paced, "paced", "append")
+    val streamed = StreamRunner.toParquet(spark, paced, "paced")
       .as[(java.sql.Timestamp, String, Long)].collect()
       .map(r => (r._1.getTime, r._2) -> r._3).toMap
 
