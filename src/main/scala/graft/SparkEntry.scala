@@ -16,7 +16,8 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     IngestParity.defs ++ Analytics.defs ++ Joins.defs ++ Windows.defs ++
       SetsAndScalars.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      TextAnalysisQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs
+      TextAnalysisQueries.defs ++ CurationQueries.defs ++
+      MultimodalQueries.defs ++ StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Works on any session: the confs the testdata requires (nanos

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.functions.TextHash.{hash32, sqlHash32, sqlTokens, tokens}
+import graft.queries.{TextAnalysisQueries => TA}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q22b/Q25e/Q25f — corpus-curation operators (SURVEY.md §2.11 X1/X4
+  * extensions): the composite filters a training-data pipeline actually
+  * ships, built from the primitives the individual queries verify.
+  *
+  * Scale design notes per query below; common to all three: the documents
+  * scan stays narrow (only the columns the filter needs), corpus-level
+  * statistics (dedup hashes excepted) are tiny aggregates that broadcast
+  * back onto the big table, and nothing ever collects to the driver.
+  */
+object CurationQueries {
+
+  /** Quality score in [0,1] (same formula as q25, shared constants):
+    * 0.5·min(1, tokens/100) + 0.3·stopword_ratio + 0.2·(1-punct_ratio). */
+  private def qualityCol(text: org.apache.spark.sql.Column,
+                         toks: org.apache.spark.sql.Column) = {
+    val nTok = size(toks).cast("double")
+    val nStop = TA.markerCount(toks, TA.enStops).cast("double")
+    val nChars = length(text).cast("double")
+    val nPunct = (length(text) - length(regexp_replace(text, TA.PunctPat, ""))).cast("double")
+    lit(0.5) * least(lit(1.0), nTok / 100.0) +
+      lit(0.3) * (nStop / nTok) +
+      lit(0.2) * (lit(1.0) - nPunct / nChars)
+  }
+
+  private def sqlQuality(text: String, toks: String): String =
+    s"""(0.5 * least(1.0, len($toks) / 100.0)
+       | + 0.3 * (${TA.sqlMarkerCount(toks, TA.enStops)}::DOUBLE / len($toks))
+       | + 0.2 * (1.0 - (length($text) - length(regexp_replace($text, '${TA.PunctPat}', '', 'g')))::DOUBLE / length($text)))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // X1+X4/Q22b — the end-to-end curation pass: keep a document iff it is
+    // the first copy of its normalized text (exact-dedup rank 1), its
+    // quality score clears 0.5, and the n-gram language vote agrees with
+    // the labeled language. One window over the text hash (the only
+    // shuffle, keyed on the 256-bit hash) + per-row scoring that rides the
+    // scan — the linear single-pass shape a 100 TB curation job needs.
+    QueryDef(
+      "q22b_corpus_curation",
+      s"""WITH src AS (SELECT doc_id, lang, text, ${sqlTokens("text")} AS toks FROM documents),
+         |m AS (SELECT doc_id, lang,
+         |  ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS dup_rank,
+         |  round(${sqlQuality("text", "toks")}, 6) AS quality,
+         |  ${TA.sqlPredictLang(TA.Markers.map { case (l, ws) =>
+                l -> TA.sqlMarkerCount("toks", ws) })} AS predicted
+         |  FROM src)
+         |SELECT doc_id, lang, quality, dup_rank
+         |FROM m
+         |WHERE dup_rank = 1 AND quality >= 0.5 AND predicted = lang
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+      val pred = TA.predictLang(
+        TA.Markers.map { case (l, ws) => l -> TA.markerCount(col("toks"), ws) })
+      src
+        .select(
+          col("doc_id"), col("lang"),
+          row_number().over(
+            Window.partitionBy(sha2(lower(trim(col("text"))), 256))
+              .orderBy(col("doc_id"))).as("dup_rank"),
+          round(qualityCol(col("text"), col("toks")), 6).as("quality"),
+          pred.as("predicted"))
+        .filter(col("dup_rank") === 1 && col("quality") >= 0.5 &&
+          col("predicted") === col("lang"))
+        .select(col("doc_id"), col("lang"), col("quality"), col("dup_rank"))
+        .orderBy("doc_id")
+    },
+
+    // X4+/Q25e — per-document keyword extraction, tf-idf style: term
+    // frequency from one explode+agg pass, document frequency as a second
+    // (vocabulary-sized) agg over it, idf broadcast back onto the tf rows,
+    // top-3 terms per doc by weight. The idf weight is the *rational*
+    // (N+1)/(df+1) — not log-idf — because libm `ln` is not guaranteed
+    // correctly rounded and could diverge between engines in the tie-break;
+    // IEEE multiply/divide are exact-deterministic on both. (Production
+    // would use log-idf; the ranking this verifies is the same machinery.)
+    // Scale: tf is the only big shuffle (doc_id, token); df/vocab is small
+    // → broadcast; per-doc top-3 shuffles on doc_id with bounded output.
+    QueryDef(
+      "q25e_tfidf_keywords",
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents)
+         |  GROUP BY doc_id, t),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    round(tf.tf * (n.n_docs + 1) / (df.df + 1.0), 6) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * (n.n_docs + 1) / (df.df + 1.0) DESC, tf.token) AS rank
+         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+         |SELECT doc_id, rank, token, score
+         |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val weight = col("tf") * (col("n_docs") + 1) / (col("df") + 1.0)
+      tf
+        .join(broadcast(df), "token")
+        .crossJoin(broadcast(nDocs))
+        .select(
+          col("doc_id"), col("token"),
+          round(weight, 6).as("score"),
+          row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(weight.desc, col("token"))).as("rank"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // X4+/Q25f — deterministic stratified sampling: cap each language
+    // stratum at ~100 docs by keeping a doc iff
+    // hash(lang:doc_id) mod 1000 < floor(1000 · min(1, 100/count(lang))).
+    // Hash-based sampling is reproducible across runs/engines (no RNG
+    // state) and needs no shuffle of the big table: the per-stratum counts
+    // are a tiny aggregate broadcast back, and the keep-decision rides the
+    // scan. This is the corpus-rebalancing pass (downsample dominant
+    // languages) of a training-data pipeline.
+    QueryDef(
+      "q25f_stratified_sample",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         |k AS (SELECT doc_id, d.lang, cnt,
+         |  ${sqlHash32("concat(d.lang, ':', doc_id)")} % 1000 AS bucket
+         |  FROM documents d JOIN c ON d.lang = c.lang)
+         |SELECT doc_id, lang, bucket
+         |FROM k
+         |WHERE bucket < CAST(floor(1000 * least(1.0, 100.0 / cnt)) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val bucket = hash32(concat(col("lang"), lit(":"), col("doc_id"))) % 1000
+      docs
+        .join(broadcast(counts), "lang")
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"), col("cnt"))
+        .filter(col("bucket") <
+          floor(lit(1000) * least(lit(1.0), lit(100.0) / col("cnt"))).cast("long"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -27,24 +27,24 @@ object TextAnalysisQueries {
     "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
     "zh" -> Seq("的", "是", "了", "在", "有", "我", "不", "这"))
 
-  private val enStops = Markers.toMap.apply("en")
+  private[queries] val enStops = Markers.toMap.apply("en")
 
   /** BPE-ish tokenizer: letter runs, digit runs, single punctuation. */
   private val BpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Punctuation class for the quality score. */
-  private val PunctPat = "[.,!?;:()\\[\\]{}-]"
+  private[queries] val PunctPat = "[.,!?;:()\\[\\]{}-]"
 
-  private def markerCount(toks: Column, words: Seq[String]): Column =
+  private[queries] def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
-  private def sqlMarkerCount(toks: String, words: Seq[String]): String =
+  private[queries] def sqlMarkerCount(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   /** Argmax over per-language scores with alphabetical tie-break, generated
     * as one CASE chain on both sides (first language whose score is >= all
     * later ones wins, scanning alphabetically). */
-  private def predictLang(scores: Seq[(String, Column)]): Column =
+  private[queries] def predictLang(scores: Seq[(String, Column)]): Column =
     scores.init
       .zipWithIndex
       .foldRight(lit(scores.last._1)) { case (((lang, s), i), elseCol) =>
@@ -52,7 +52,7 @@ object TextAnalysisQueries {
         when(rest.map(s >= _).reduce(_ && _), lit(lang)).otherwise(elseCol)
       }
 
-  private def sqlPredictLang(scores: Seq[(String, String)]): String = {
+  private[queries] def sqlPredictLang(scores: Seq[(String, String)]): String = {
     val cases = scores.init.zipWithIndex.map { case ((lang, s), i) =>
       val cond = scores.drop(i + 1).map { case (_, o) => s"$s >= $o" }.mkString(" AND ")
       s"WHEN $cond THEN '$lang'"
