@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** Properties of the curation operators the row-level oracle can't express:
+  * sampling determinism/stratum caps and curation-filter soundness. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byName(name: String) =
+    CurationQueries.defs.find(_.name == name).get.df
+
+  test("stratified sample is deterministic and respects the stratum cap") {
+    val run1 = byName("q25f_stratified_sample")(spark, sf).collect().toSeq
+    val run2 = byName("q25f_stratified_sample")(spark, sf).collect().toSeq
+    // hash-based sampling: identical output across runs, no RNG state
+    assert(run1 === run2)
+    // every sampled stratum stays within ~cap + binomial slack: the
+    // keep-probability is floor(1000·min(1,100/cnt))/1000, so the expected
+    // stratum size is ≤ 100; 2× is far beyond any realistic deviation
+    val perLang = byName("q25f_stratified_sample")(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n")).as[(String, Long)].collect()
+    perLang.foreach { case (lang, n) => assert(n <= 200, s"stratum $lang: $n") }
+  }
+
+  test("curated corpus is a subset of rank-1 docs meeting the quality bar") {
+    val curated = byName("q22b_corpus_curation")(spark, sf)
+      .select("doc_id", "quality", "dup_rank")
+      .as[(Long, Double, Int)].collect()
+    assert(curated.nonEmpty)
+    curated.foreach { case (id, q, r) =>
+      assert(r === 1, s"doc $id: non-first duplicate survived")
+      assert(q >= 0.5, s"doc $id: quality $q below bar")
+    }
+  }
+
+  test("tf-idf keywords: rank is dense 1..k per doc and scores non-increasing") {
+    val rows = byName("q25e_tfidf_keywords")(spark, sf)
+      .select("doc_id", "rank", "score")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, s"doc $doc ranks")
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse === sorted.map(_._3).toSeq,
+        s"doc $doc scores not non-increasing")
+    }
+  }
+}
