@@ -121,8 +121,8 @@ object DedupQueries {
       // both frames come from the shared materialization, so q23b (same
       // signature table) and a second bench pass reuse them instead of
       // re-running the explode+agg passes over documents
-      Materialize(s, sigFrame(s, dir), "sig")
-        .join(Materialize(s, tokFrame(s, dir), "tok"), "doc_id")
+      Materialize(s, dir, "sig")(sigFrame(s, dir))
+        .join(Materialize(s, dir, "tok")(tokFrame(s, dir)), "doc_id")
         .select(
           col("doc_id"),
           size(col("shash")).cast("long").as("n_shingles"),
@@ -151,7 +151,7 @@ object DedupQueries {
          |FROM cand JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
          |WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val sigs = Materialize(s, sigFrame(s, dir), "sig")
+      val sigs = Materialize(s, dir, "sig")(sigFrame(s, dir))
       val bands = sigs.select(
         col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
       val cand = bands.alias("a")
@@ -193,8 +193,8 @@ object DedupQueries {
          |SELECT da, db, ha, hb, ${sqlHamming("ha", "hb")} AS ham
          |FROM cand WHERE ${sqlHamming("ha", "hb")} <= 1
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val base = Materialize(s,
-        simhashFrame(s, dir).select(col("doc_id"), col("simhash").as("h")), "q23c_sim")
+      val base = Materialize(s, dir, "q23c_sim")(
+        simhashFrame(s, dir).select(col("doc_id"), col("simhash").as("h")))
       val bandRows = base
         .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(1))).as("j"))
         .withColumn("bv", floor(col("h") / pow(lit(256), col("j"))).cast("long") % 256)
@@ -231,7 +231,7 @@ object DedupQueries {
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
       // gram generation via explode + codegen'd substr + collect_set, not a
       // per-row lambda (same distinct-gram sets, interpreted-HOF cost gone)
-      val keyed = Materialize(s,
+      val keyed = Materialize(s, dir, "q23d_keyed")(
         Tables.documents(s, dir)
           .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
           .select(
@@ -246,8 +246,7 @@ object DedupQueries {
           .select(col("doc_id"), col("pkey"),
             col("text").substr(col("i"), lit(CharGramN)).as("g"))
           .groupBy(col("doc_id"), col("pkey"))
-          .agg(collect_set(col("g")).as("grams")),
-        "q23d_keyed")
+          .agg(collect_set(col("g")).as("grams")))
       keyed.alias("a")
         .join(keyed.alias("b"),
           col("a.pkey") === col("b.pkey") && col("a.doc_id") < col("b.doc_id"))

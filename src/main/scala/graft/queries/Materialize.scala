@@ -16,18 +16,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Why cached: several queries share the same intermediate (q23 and q23b
   * read one signature table; the q24 family shares the normed corpus), and
   * the bench harness runs every query twice — recomputing an identical
-  * frame per consumer is pure waste. The key is the canonicalized logical
-  * plan's semantic hash, so the same program over a different source dir (or
-  * a changed plan) materializes separately; entries live for the session
-  * (JVM-temp dirs, reclaimed on exit).
+  * frame per consumer is pure waste. The key is (session, tag, source dir):
+  * each tag names one fixed program, so the pair identifies the result.
+  * (NOT the plan's semanticHash: lambda-bearing plans — `transform`,
+  * `aggregate` — allocate fresh lambda-variable IDs per construction that
+  * canonicalization does not normalize, so their hash changes every call
+  * and silently defeats the cache.) The frame is by-name: a cache hit never
+  * builds the plan at all. Entries live for the session (JVM-temp dirs,
+  * reclaimed on exit).
   */
 object Materialize {
 
   private val cache = new ConcurrentHashMap[String, String]()
 
-  def apply(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$tag|" +
-      s"${df.queryExecution.logical.canonicalized.semanticHash()}"
+  def apply(s: SparkSession, srcDir: String, tag: String)(df: => DataFrame): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$tag|$srcDir"
     val dir = cache.computeIfAbsent(key, { _ =>
       val d = java.nio.file.Files
         .createTempDirectory(s"graft_${tag}_").toFile.getAbsolutePath
