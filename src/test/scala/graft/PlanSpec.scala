@@ -48,4 +48,23 @@ class PlanSpec extends SparkSpec {
     // exactly one exchange: the final orderBy's range partitioning
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
+
+  test("q22b: rank-1 filter becomes a WindowGroupLimit before the window shuffle") {
+    val p = plan("q22b_corpus_curation")
+    assert(p.contains("WindowGroupLimit"),
+      "dup_rank = 1 must prune groups pre-shuffle, not post-window")
+  }
+
+  test("q25e: vocabulary (df) and corpus-size frames broadcast onto the tf rows") {
+    val p = plan("q25e_tfidf_keywords")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"), "per-doc top-3 must prune pre-shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q25f: stratum rates broadcast; the big documents side never shuffles") {
+    val p = plan("q25f_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
