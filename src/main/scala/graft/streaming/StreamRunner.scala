@@ -88,7 +88,7 @@ object StreamRunner {
     * batch-sized partitions cost 2-3× on these streams (measured). Batch
     * queries keep the session's setting; on a real cluster this is sized to
     * state volume, not taken from the batch default. */
-  val StateParts = "8"
+  val StateParts: String = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8")
 
   private def withStateParts[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
