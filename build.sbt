@@ -26,6 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // scratch space (replay dirs, checkpoints, shuffle spill) on tmpfs:
+  // /tmp is disk-backed ext4 here, and streaming checkpoint commits
+  // fsync+rename per micro-batch — RAM-backed scratch removes that disk
+  // latency from the harness. Overridable for hosts without /dev/shm.
+  s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMP", "/dev/shm")}",
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_TMP", "/dev/shm")}",
   // keep Derby's metastore_db out of the repo working dir
   "-Dderby.system.home=/tmp/graft_derby",
   // 16g default: the allocation-heavy bench tail (q23*/q24*) degrades
