@@ -190,6 +190,38 @@ object StreamingQueries {
       StreamRunner.toParquet(s, stream, "q21c").orderBy("event_id")
     },
 
+    // T7+X1/Q29 — streaming exact dedup WITH canonical-id attribution: the
+    // incremental-corpus-ingestion operator. Each arriving document is
+    // keyed by its content hash; per-hash state holds the canonical (first)
+    // doc_id, and every doc is emitted with its `dup_of` attribution — what
+    // a training pipeline needs to build dedup maps, not just drop rows
+    // (plain dropDuplicates loses the attribution). State is one long per
+    // distinct content hash; in production the same operator runs with a
+    // watermark TTL. Single-batch replay + in-group sort makes canonical =
+    // min doc_id, matching the batch oracle exactly.
+    QueryDef(
+      "q29_stream_dedup_attribution",
+      """WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS sha FROM documents),
+        |c AS (SELECT sha, MIN(doc_id) AS canon FROM h GROUP BY sha)
+        |SELECT h.doc_id, c.canon AS dup_of, (h.doc_id <> c.canon) AS is_dup
+        |FROM h JOIN c ON h.sha = c.sha ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("sha"))
+      val stream = StreamRunner.replay(s, docs, "q29", singleFile = true)
+        .as[(Long, String)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+            val ids = rows.map(_._1).toArray.sorted
+            val canon = state.getOption.fold(ids.head)(c => math.min(c, ids.head))
+            state.update(canon)
+            ids.iterator.map(id => (id, canon, id != canon))
+        }
+        .toDF("doc_id", "dup_of", "is_dup")
+      StreamRunner.toParquet(s, stream, "q29").orderBy("doc_id")
+    },
+
     // T7/Q21b — per-user funnel state machine via flatMapGroupsWithState:
     // earliest view and earliest purchase per user, emitted once both exist.
     // Replayed as a single micro-batch (singleFile) so emission matches the
