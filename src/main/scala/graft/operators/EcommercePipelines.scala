@@ -29,6 +29,25 @@ object EcommercePipelines {
     transformed
   }
 
+  /** S6 — OLTP-style JDBC sink, the direct analogue of the reference's
+    * Spanner batch inserts (`write_session_batch.py:96-103,162-175`): each
+    * executor partition writes its rows in `batchsize`-row JDBC batches —
+    * the same commit granularity as the reference's 100-row mutations, but
+    * issued from every executor in parallel instead of a driver loop. At
+    * warehouse scale the url points at a real OLTP service; tests use
+    * embedded Derby (the only zero-egress RDBMS in the container). */
+  def writeOltp(df: DataFrame, url: String, table: String,
+                batchSize: Int = 100): Unit =
+    df.write
+      .mode("overwrite")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, new java.util.Properties())
+
+  /** Read an OLTP table back (numPartitions=1: these are small
+    * dimension/result tables; large reads would set partitionColumn). */
+  def readOltp(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.jdbc(url, table, new java.util.Properties())
+
   /** Streaming pipeline over the wire format: encode each row as the
     * replay scripts do, stream the messages, decode + transform per event,
     * append to the sink. Returns the final sink contents. */

@@ -62,6 +62,20 @@ class EcommercePipelineSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS events_batch_test")
   }
 
+  test("S6: batch pipeline lands in an OLTP table via batched JDBC inserts") {
+    // the Spanner-sink analogue against embedded Derby: executor-side
+    // batched inserts, then a JDBC read-back proving the table is queryable
+    val db = Files.createTempDirectory("graft_derby_").toFile.getAbsolutePath
+    val url = s"jdbc:derby:$db/oltp;create=true"
+    val out = EcommercePipelines.runBatch(spark, csvPath)
+    EcommercePipelines.writeOltp(out, url, "session_batches")
+    val back = EcommercePipelines.readOltp(spark, url, "session_batches")
+    assert(back.count() === 5)
+    assert(back.columns.sorted === out.columns.sorted)
+    val brands = back.select("brand").collect().map(_.getString(0)).sorted
+    assert(brands === Array("apple", "apple", "apple", "fila", "nan"))
+  }
+
   test("streaming pipeline: wire codec + per-event transform reach the sink") {
     val sink = EcommercePipelines.runStream(spark, csvPath)
     assert(sink.count() === 5)
