@@ -121,6 +121,32 @@ object CurationQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // X4+/Q25g — token-offset sharding (sequence packing): assign each doc
+    // to a training shard by the token offset at which it starts, budget
+    // 2048 tokens per shard — how pretraining data is packed into
+    // fixed-length sequences, with documents straddling shard boundaries.
+    // Packing runs PER LANGUAGE PARTITION (PARTITION BY lang), not
+    // globally: a global running sum would serialize on one reducer, while
+    // per-partition prefix sums keep every packing stream parallel — at
+    // 100 TB the partition key is the shard-group (source, date, ...).
+    QueryDef(
+      "q25g_token_shards",
+      s"""WITH t AS (SELECT lang, doc_id, len(${sqlTokens("text")}) AS n_tok FROM documents)
+         |SELECT lang, doc_id, n_tok,
+         |  CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0) AS BIGINT) AS shard
+         |FROM t ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      val offset = sum(col("n_tok")).over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok")
+      t.select(col("lang"), col("doc_id"), col("n_tok"),
+          floor(offset / 2048.0).cast("long").as("shard"))
+        .orderBy("lang", "doc_id")
+    },
+
     // X4+/Q25f — deterministic stratified sampling: cap each language
     // stratum at ~100 docs by keeping a doc iff
     // hash(lang:doc_id) mod 1000 < floor(1000 · min(1, 100/count(lang))).

@@ -173,6 +173,66 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // X2+/Q23e — near-dup canonical assignment: every document mapped to
+    // the minimum doc_id among itself and its confirmed LSH neighbours —
+    // the "choose one representative per duplicate group" step a curation
+    // pipeline runs after pair generation. ONE-HOP canonicalization by
+    // design: true connected components iterates this join to a fixpoint
+    // (O(log n) rounds of the same shuffle); one hop already collapses the
+    // dominant case (pairs/small stars) and is what this query verifies.
+    // Reuses the materialized signature table — the pair machinery is
+    // shared with q23b, not recomputed.
+    QueryDef(
+      "q23e_dup_canon",
+      s"""WITH $sqlSigCtes,
+         |bands AS (
+         |  SELECT doc_id, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
+         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk
+         |    AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT da, db FROM cand
+         |  JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
+         |  WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2),
+         |nbrs AS (SELECT da AS doc_id, db AS nbr FROM pairs
+         |         UNION ALL SELECT db, da FROM pairs),
+         |m AS (SELECT doc_id, MIN(nbr) AS mn FROM nbrs GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS canon,
+         |  (m.mn IS NOT NULL AND m.mn < d.doc_id) AS is_dup
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val sigs = Materialize(s, dir, "sig")(sigFrame(s, dir))
+      val bands = sigs.select(
+        col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val x = sigs.select(col("doc_id").as("xid"), col("shash").as("xsh"))
+      val y = sigs.select(col("doc_id").as("yid"), col("shash").as("ysh"))
+      val pairs = cand
+        .join(x, col("da") === col("xid"))
+        .join(y, col("db") === col("yid"))
+        .filter(jaccard(col("xsh"), col("ysh")) >= 0.2)
+        .select(col("da"), col("db"))
+      val nbrs = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
+        .union(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
+      val m = nbrs.groupBy(col("doc_id")).agg(min(col("nbr")).as("mn"))
+        .withColumnRenamed("doc_id", "mid")
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(m, col("doc_id") === col("mid"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(least(col("doc_id"), col("mn")), col("doc_id")).as("canon"),
+          (col("mn").isNotNull && col("mn") < col("doc_id")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // X2/Q23c — SimHash near-dup pairs: 2 sub-bands of 8 bits; pigeonhole
     // guarantees any pair at Hamming distance ≤ 1 shares at least one
     // sub-band, so the bucket equi-join finds all of them — and 8-bit bands
