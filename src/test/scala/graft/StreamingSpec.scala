@@ -78,6 +78,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedup attribution emits as-of-emission canonicals across micro-batches") {
+    // q29's operator contract beyond the single-batch oracle: per-hash
+    // state holds the minimum doc_id seen SO FAR, so an earlier emission's
+    // attribution stands (append mode) while later arrivals of the same
+    // content attribute to the tightened canonical. Canonicals are
+    // monotonically non-increasing per key.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val mem = MemoryStream[(Long, String)]
+    val attributed = mem.toDS()
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val canon = state.getOption.fold(ids.head)(c => math.min(c, ids.head))
+          state.update(canon)
+          ids.iterator.map(id => (id, canon, id != canon))
+      }
+      .toDF("doc_id", "dup_of", "is_dup")
+    val q = attributed.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((5L, "a"), (6L, "b"))
+      q.processAllAvailable()
+      mem.addData((9L, "a"), (3L, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(rows(5L) === ((5L, false)), "first arrival is its own canonical")
+      assert(rows(6L) === ((6L, false)))
+      // batch 2: 3 < 5 tightens the canonical for 'a'; both batch-2 docs
+      // attribute to 3, and 5's already-emitted attribution stands
+      assert(rows(3L) === ((3L, false)))
+      assert(rows(9L) === ((3L, true)))
+    } finally {
+      q.stop()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
   test("streaming dropDuplicates keeps state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
