@@ -22,66 +22,62 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Per-doc signature frame: distinct shingle-hash set + MinHash signature.
+  /** Combined per-doc signature frame: distinct shingle-hash set, MinHash
+    * signature, ordered token hashes, and SimHash — ONE aggregation pass.
     *
-    * Formulated as explode → codegen'd hash + k codegen'd `min` aggregates →
-    * reassemble, NOT as per-row higher-order lambdas: HOFs evaluate
-    * interpreted (~10× slower here), while this shape keeps md5/conv and the
-    * permutation arithmetic inside whole-stage codegen and compresses the
-    * exploded rows back down with map-side partial aggregation before the
-    * (tiny) shuffle on doc_id — the shape that stays linear at 100 TB. */
-  private def sigFrame(s: SparkSession, dir: String): DataFrame = {
+    * Formulated as explode → codegen'd hash + codegen'd conditional
+    * aggregates → reassemble, NOT as per-row higher-order lambdas: HOFs
+    * evaluate interpreted (~10× slower here), while this shape keeps
+    * md5/conv and the permutation arithmetic inside whole-stage codegen and
+    * compresses the exploded rows back down with map-side partial
+    * aggregation before the (tiny) shuffle on doc_id — the shape that stays
+    * linear at 100 TB. The shingle and token streams are exploded in
+    * separate codegen'd branches, unioned with a `kind` marker, and
+    * aggregated once: every downstream consumer (q23, q23b, q23e) reads one
+    * materialized signature table, with parquet column pruning dropping the
+    * columns a consumer doesn't need. Null-skipping aggregates (`min`,
+    * `collect_set/list`, `sum`) make the conditional per-kind aggregation
+    * exact. */
+  private def sigTokFrame(s: SparkSession, dir: String): DataFrame = {
     // tokens bound to an attribute BEFORE shingling: a lambda body
     // re-evaluates its argument expression per array element, so passing the
     // raw split() into shingles() would re-run the regex split 3× per
     // shingle (CollapseProject keeps the binding because it is multi-use)
-    val sh = Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
-      .select(col("doc_id"), hash32(col("sh")).as("h"))
+    val sh = base
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("v"))
+      .select(col("doc_id"), lit(0).as("kind"), lit(-1).as("p"), hash32(col("v")).as("h"))
+    val tk = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), lit(1).as("kind"), col("p"), hash32(col("tok")).as("h"))
+    val isSh = col("kind") === 0
     val mins = (0 until MinhashK).map(i =>
-      min((col("h") * permA(i) + permB(i)) % Mod).as(s"m$i"))
-    sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("shash"), mins: _*)
+      min(when(isSh, (col("h") * permA(i) + permB(i)) % Mod)).as(s"m$i"))
+    val votes = (0 until 16).map { b =>
+      val p = 1L << b
+      sum(when(!isSh, when(col("h") % (2 * p) >= p, 1L).otherwise(-1L))).as(s"v$b")
+    }
+    val ph = array_sort(
+      collect_list(when(!isSh, struct(col("p"), col("h"))))).as("ph")
+    sh.unionByName(tk)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(when(isSh, col("h"))).as("shash"), (mins ++ votes :+ ph): _*)
       .select(
         col("doc_id"), col("shash"),
-        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"),
+        transform(col("ph"), x => x.getField("h")).as("thash"),
+        simhashFromVotes((0 until 16).map(b => col(s"v$b"))).as("simhash"))
   }
+
+  /** The shared materialized signature table (one compute per session+dir). */
+  private def sigTable(s: SparkSession, dir: String): DataFrame =
+    Materialize(s, dir, "sigtok")(sigTokFrame(s, dir))
 
   private def simhashFromVotes: Seq[Column] => Column = vs =>
     vs.zipWithIndex
       .map { case (v, b) => when(v > 0, lit(1L << b)).otherwise(lit(0L)) }
       .reduce(_ + _)
-
-  private def voteAggs: Seq[Column] = (0 until 16).map { b =>
-    val p = 1L << b
-    sum(when(col("h") % (2 * p) >= p, 1L).otherwise(-1L)).as(s"v$b")
-  }
-
-  /** Per-doc SimHash only (bit votes as codegen'd conditional sums over
-    * exploded token hashes) — no ordered-token reassembly. */
-  private def simhashFrame(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), hash32(col("tok")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"),
-        simhashFromVotes((0 until 16).map(b => col(s"v$b"))).as("simhash"))
-
-  /** Per-doc token-sequence frame: ordered token hashes, SimHash, rolling
-    * fingerprint. Same explode → aggregate shape as [[sigFrame]]. */
-  private def tokFrame(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
-      .select(col("doc_id"), col("p"), hash32(col("tok")).as("h"))
-    tf.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("p"), col("h")))).as("ph"), voteAggs: _*)
-      .select(
-        col("doc_id"),
-        transform(col("ph"), x => x.getField("h")).as("thash"),
-        simhashFromVotes((0 until 16).map(b => col(s"v$b"))).as("simhash"))
-  }
 
   private val sqlSigCtes =
     s"""src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
@@ -118,11 +114,9 @@ object DedupQueries {
          |${sqlSimhash16("thash")} AS simhash,
          |${sqlFingerprint("thash")} AS fp
          |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // both frames come from the shared materialization, so q23b (same
-      // signature table) and a second bench pass reuse them instead of
-      // re-running the explode+agg passes over documents
-      Materialize(s, dir, "sig")(sigFrame(s, dir))
-        .join(Materialize(s, dir, "tok")(tokFrame(s, dir)), "doc_id")
+      // one read of the shared signature table — no join: the combined
+      // single-pass materialization carries every signature column
+      sigTable(s, dir)
         .select(
           col("doc_id"),
           size(col("shash")).cast("long").as("n_shingles"),
@@ -151,7 +145,7 @@ object DedupQueries {
          |FROM cand JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
          |WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val sigs = Materialize(s, dir, "sig")(sigFrame(s, dir))
+      val sigs = sigTable(s, dir)
       val bands = sigs.select(
         col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
       val cand = bands.alias("a")
@@ -204,7 +198,7 @@ object DedupQueries {
          |  (m.mn IS NOT NULL AND m.mn < d.doc_id) AS is_dup
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val sigs = Materialize(s, dir, "sig")(sigFrame(s, dir))
+      val sigs = sigTable(s, dir)
       val bands = sigs.select(
         col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
       val cand = bands.alias("a")
@@ -253,8 +247,9 @@ object DedupQueries {
          |SELECT da, db, ha, hb, ${sqlHamming("ha", "hb")} AS ham
          |FROM cand WHERE ${sqlHamming("ha", "hb")} <= 1
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      val base = Materialize(s, dir, "q23c_sim")(
-        simhashFrame(s, dir).select(col("doc_id"), col("simhash").as("h")))
+      // parquet column pruning reads only (doc_id, simhash) off the shared
+      // signature table — no separate SimHash pass
+      val base = sigTable(s, dir).select(col("doc_id"), col("simhash").as("h"))
       val bandRows = base
         .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(1))).as("j"))
         .withColumn("bv", floor(col("h") / pow(lit(256), col("j"))).cast("long") % 256)
