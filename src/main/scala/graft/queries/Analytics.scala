@@ -33,6 +33,40 @@ object Analytics {
           .orderBy("date", "event_type")
     },
 
+    // A1+/Q03b — hourly resample with zero-fill: the dense (hour ×
+    // event_type) grid a time-series consumer expects, with missing slots
+    // as explicit zeros. The spine is generated distributed (one-row
+    // min/max aggregate → `sequence` → explode — no driver loop), the type
+    // dimension is a tiny distinct, and both are broadcast against the
+    // aggregated counts: the big table is touched exactly once.
+    QueryDef(
+      "q03b_resample_hours",
+      """WITH b AS (SELECT MIN(date_trunc('hour', ts)) AS lo,
+        |                  MAX(date_trunc('hour', ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |SELECT s.hr, t.event_type, COALESCE(c.cnt, 0) AS cnt
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN c ON c.hr = s.hr AND c.event_type = t.event_type
+        |ORDER BY s.hr, t.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val spine = ev
+        .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+             max(date_trunc("hour", col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev
+        .groupBy(date_trunc("hour", col("ts")).as("chr"), col("event_type").as("ct"))
+        .agg(count(lit(1)).as("ccnt"))
+      spine.crossJoin(broadcast(types))
+        .join(broadcast(counts),
+          col("chr") === col("hr") && col("ct") === col("event_type"), "left")
+        .select(col("hr"), col("event_type"), coalesce(col("ccnt"), lit(0L)).as("cnt"))
+        .orderBy("hr", "event_type")
+    },
+
     // A2/Q04 — most visited keys, top-10 (reference
     // images/most_visited_subcategories.png); TakeOrderedAndProject, no
     // global sort. Ties broken on the key for cross-engine determinism.

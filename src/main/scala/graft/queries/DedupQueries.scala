@@ -227,6 +227,35 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // X2+/Q23f — benchmark decontamination: flag corpus documents sharing
+    // ≥ 5 distinct 3-token shingles with the held-out eval set (doc_id <
+    // 25 stands in for the benchmark). The classic pre-training hygiene
+    // pass: the eval set's shingle-hash set is tiny → broadcast, the corpus
+    // side explodes its (already materialized) distinct shingle hashes and
+    // semi-joins against it — one broadcast join + one aggregation, no
+    // shuffle of the corpus text. At 100 TB the eval set stays broadcast
+    // and the pass stays a single linear scan of the signature table.
+    QueryDef(
+      "q23f_contamination",
+      s"""WITH $sqlSigCtes,
+         |eval AS (SELECT DISTINCT unnest(shash) AS h FROM shd WHERE doc_id < 25),
+         |ex AS (SELECT doc_id, unnest(shash) AS h FROM shd WHERE doc_id >= 25),
+         |hits AS (SELECT ex.doc_id, COUNT(*) AS n_shared
+         |         FROM ex JOIN eval USING (h) GROUP BY ex.doc_id)
+         |SELECT doc_id, n_shared FROM hits
+         |WHERE n_shared >= 5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val shd = sigTable(s, dir).select(col("doc_id"), col("shash"))
+      val eval = shd.filter(col("doc_id") < 25)
+        .select(explode(col("shash")).as("h")).distinct()
+      shd.filter(col("doc_id") >= 25)
+        .select(col("doc_id"), explode(col("shash")).as("h"))
+        .join(broadcast(eval), "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("doc_id")
+    },
+
     // X2/Q23c — SimHash near-dup pairs: 2 sub-bands of 8 bits; pigeonhole
     // guarantees any pair at Hamming distance ≤ 1 shares at least one
     // sub-band, so the bucket equi-join finds all of them — and 8-bit bands
