@@ -79,7 +79,7 @@ object EcommerceOps {
   /** P2 — cast-all-to-string projection (`astype(str)`,
     * write_session_batch.py:29) with pandas' NaN→'nan' rendering for NULLs. */
   def castAllToString(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => coalesce(col(c).cast("string"), lit("nan")).as(c)): _*)
+    df.select(df.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit("nan")).as(c)): _*)
 
   /** P7 — synthetic row id (pandas index → record_id,
     * write_session_batch.py:172-173). Spark's monotonically_increasing_id is

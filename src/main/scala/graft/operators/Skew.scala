@@ -18,7 +18,7 @@ object Skew {
     * merge per key. The hot key's rows spread over `salts` reducers in
     * stage 1; stage 2 merges `salts` partial rows per key. */
   def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
+    val salted = df.withColumn("__salt", pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     salted
       .groupBy(key.as("key"), col("__salt"))
       .agg(count(lit(1)).as("partial"))
