@@ -22,8 +22,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `aggregate` — allocate fresh lambda-variable IDs per construction that
   * canonicalization does not normalize, so their hash changes every call
   * and silently defeats the cache.) The frame is by-name: a cache hit never
-  * builds the plan at all. Entries live for the session (JVM-temp dirs,
-  * reclaimed on exit).
+  * builds the plan at all. Entries live for the session; the scratch dirs
+  * are tracked by [[graft.TempDirs]] and deleted on JVM exit.
   */
 object Materialize {
 
@@ -31,12 +31,20 @@ object Materialize {
 
   def apply(s: SparkSession, srcDir: String, tag: String)(df: => DataFrame): DataFrame = {
     val key = s"${System.identityHashCode(s)}|$tag|$srcDir"
-    val dir = cache.computeIfAbsent(key, { _ =>
-      val d = java.nio.file.Files
-        .createTempDirectory(s"graft_${tag}_").toFile.getAbsolutePath
+    // check-then-putIfAbsent, NOT computeIfAbsent: building `df` may itself
+    // call Materialize for a dependency (q24d/q24e materialize on top of
+    // the materialized base corpus), and a recursive computeIfAbsent on one
+    // ConcurrentHashMap is forbidden by the JDK — it throws
+    // IllegalStateException("Recursive update") whenever the two keys land
+    // in the same bin. A losing racer just abandons its dir (harness is
+    // effectively single-threaded; dirs are reclaimed on exit regardless).
+    var dir = cache.get(key)
+    if (dir == null) {
+      val d = graft.TempDirs.create(s"graft_${tag}_")
       df.write.mode("overwrite").parquet(d)
-      d
-    })
+      val prev = cache.putIfAbsent(key, d)
+      dir = if (prev == null) d else prev
+    }
     s.read.parquet(dir)
   }
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -24,7 +23,7 @@ object StreamRunner {
   private val n = new AtomicInteger(0)
 
   private def tempDir(tag: String): String =
-    Files.createTempDirectory(s"graft_${tag}_${n.incrementAndGet()}_").toFile.getAbsolutePath
+    graft.TempDirs.create(s"graft_${tag}_${n.incrementAndGet()}_")
 
   /** Replay-source dirs, shared across queries: several streaming queries
     * replay the same bounded table, so the materialization is written once
