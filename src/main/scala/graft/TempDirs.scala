@@ -16,12 +16,23 @@ object TempDirs {
   private val created = new ConcurrentLinkedQueue[Path]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    val leftover = new java.util.ArrayList[Path]()
     created.forEach { p =>
-      try
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      // best-effort but not blind: other shutdown hooks (Spark's checkpoint
+      // flush) may still be writing; anything that survives is reported so
+      // a reintroduced leak is visible, and the walk stream is closed so
+      // the hook can't exhaust handles across many dirs
+      try {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach(f => { try Files.deleteIfExists(f) catch { case _: Exception => () } })
-      catch { case _: Exception => () }
+        finally walk.close()
+      } catch { case _: Exception => () }
+      if (Files.exists(p)) leftover.add(p)
     }
+    if (!leftover.isEmpty)
+      System.err.println(s"[graft] ${leftover.size} scratch dirs not reclaimed: " +
+        s"${leftover.toString.take(500)}")
   }, "graft-tempdir-cleanup"))
 
   /** Create a tracked temp directory; returns its absolute path. */

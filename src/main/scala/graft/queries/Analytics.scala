@@ -35,10 +35,12 @@ object Analytics {
 
     // A1+/Q03b — hourly resample with zero-fill: the dense (hour ×
     // event_type) grid a time-series consumer expects, with missing slots
-    // as explicit zeros. The spine is generated distributed (one-row
-    // min/max aggregate → `sequence` → explode — no driver loop), the type
-    // dimension is a tiny distinct, and both are broadcast against the
-    // aggregated counts: the big table is touched exactly once.
+    // as explicit zeros. The big table is scanned ONCE (into the tiny
+    // hourly-counts aggregate, materialized because Spark does not CSE
+    // across DataFrame branches); the hour spine (min/max → `sequence` →
+    // explode, no driver loop) and the type dimension both derive from
+    // that aggregate — every event lands in it, so its min/max hour and
+    // distinct types equal the raw table's.
     QueryDef(
       "q03b_resample_hours",
       """WITH b AS (SELECT MIN(date_trunc('hour', ts)) AS lo,
@@ -51,15 +53,14 @@ object Analytics {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN c ON c.hr = s.hr AND c.event_type = t.event_type
         |ORDER BY s.hr, t.event_type""".stripMargin) { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val spine = ev
-        .agg(min(date_trunc("hour", col("ts"))).as("lo"),
-             max(date_trunc("hour", col("ts"))).as("hi"))
+      val counts = Materialize(s, dir, "q03b_counts")(
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("chr"), col("event_type").as("ct"))
+          .agg(count(lit(1)).as("ccnt")))
+      val spine = counts
+        .agg(min(col("chr")).as("lo"), max(col("chr")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
-      val types = ev.select(col("event_type")).distinct()
-      val counts = ev
-        .groupBy(date_trunc("hour", col("ts")).as("chr"), col("event_type").as("ct"))
-        .agg(count(lit(1)).as("ccnt"))
+      val types = counts.select(col("ct").as("event_type")).distinct()
       spine.crossJoin(broadcast(types))
         .join(broadcast(counts),
           col("chr") === col("hr") && col("ct") === col("event_type"), "left")

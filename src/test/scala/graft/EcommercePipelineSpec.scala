@@ -11,7 +11,7 @@ import graft.sources.Ecommerce
 class EcommercePipelineSpec extends SparkSpec {
 
   private lazy val csvPath: String = {
-    val dir = Files.createTempDirectory("graft_ecom_csv_").toFile
+    val dir = new java.io.File(TempDirs.create("graft_ecom_csv_"))
     val f = new java.io.File(dir, "events.csv")
     val rows = Seq(
       "event_time,event_type,product_id,category_id,category_code,brand,price,user_id,user_session",
@@ -51,7 +51,7 @@ class EcommercePipelineSpec extends SparkSpec {
   }
 
   test("S8: DDL creates a queryable parquet-backed table") {
-    val loc = Files.createTempDirectory("graft_tbl_").toFile.getAbsolutePath
+    val loc = TempDirs.create("graft_tbl_")
     EcommercePipelines.runBatch(spark, csvPath, Some(loc))
     Ecommerce.createEventsTable(spark, "events_batch_test", loc)
     try {
@@ -65,7 +65,7 @@ class EcommercePipelineSpec extends SparkSpec {
   test("S6: batch pipeline lands in an OLTP table via batched JDBC inserts") {
     // the Spanner-sink analogue against embedded Derby: executor-side
     // batched inserts, then a JDBC read-back proving the table is queryable
-    val db = Files.createTempDirectory("graft_derby_").toFile.getAbsolutePath
+    val db = TempDirs.create("graft_derby_")
     val url = s"jdbc:derby:$db/oltp;create=true"
     val out = EcommercePipelines.runBatch(spark, csvPath)
     EcommercePipelines.writeOltp(out, url, "session_batches")

@@ -49,7 +49,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("media schema round-trips through parquet with binary payload intact") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_media_").toFile.getAbsolutePath
+    val dir = TempDirs.create("graft_media_")
     import spark.implicits._
     val in = Multimodal.synthesize(Tables.documents(spark, sf))
     in.write.mode("overwrite").parquet(dir)

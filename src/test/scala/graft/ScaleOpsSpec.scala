@@ -31,7 +31,7 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("date-partitioned layout prunes partitions at the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toFile.getAbsolutePath
+    val dir = TempDirs.create("graft_part_")
     Tables.events(spark, sf)
       .withColumn("event_date", to_date($"ts"))
       .write.partitionBy("event_date").mode("overwrite").parquet(dir)
