@@ -46,6 +46,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(oneDay.count() < Tables.events(spark, sf).count())
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100-TB join hygiene AQE gives for free: a selective dimension
+    // filter is turned into a bloom filter evaluated on the fact side's
+    // scan, so non-matching fact rows die before the shuffle instead of
+    // crossing the network. Thresholds forced so the tiny test tables
+    // qualify; at warehouse scale the defaults trigger it.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val urgent = Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT")
+      val j = li.join(urgent, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("cnt"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("bloom"),
+        "expected a runtime bloom filter injected on the fact side")
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
