@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** The five reference analyses (SURVEY.md §2.3 A1–A5, README.md:56-76 of the
@@ -158,6 +159,85 @@ object Analytics {
           "conversion_rate",
           when(col("viewers") > 0, col("purchasers") / col("viewers").cast("double")))
         .orderBy("date")
+    },
+
+    // A5+/Q07b — cohort retention: users grouped by first-activity date,
+    // counted by day offset of each later active day. Two hash aggregations
+    // and one join of the (small) per-user cohort frame back onto events —
+    // the cohort frame is the broadcast side at scale.
+    QueryDef(
+      "q07b_cohort_retention",
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort,
+        |        CAST(CAST(e.ts AS DATE) - f.cohort AS BIGINT) AS day_offset
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT cohort, day_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val cohorts = ev
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      ev.join(broadcast(cohorts), "user_id")
+        .select(col("user_id"), col("cohort"),
+          datediff(to_date(col("ts")), col("cohort")).cast("long").as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+
+    // A5+/Q07c — RFM segmentation, scale-safe: quartile CUTOFFS come from a
+    // tiny exact-percentile aggregate (broadcast), and each user buckets by
+    // plain comparisons — no global ntile window (which would serialize
+    // every user through one reducer; the cutoff-broadcast shape is how
+    // segmentation actually runs at 100 TB). Monetary uses the
+    // exact-decimal sum for cross-engine determinism.
+    QueryDef(
+      "q07c_rfm_segments",
+      s"""WITH u AS (SELECT user_id,
+         |    MAX(CAST(ts AS DATE)) AS last_day, COUNT(*) AS freq,
+         |    ${sqlSum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS monetary
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT MAX(last_day) AS maxd,
+         |    quantile_cont(freq, 0.25) AS f25, quantile_cont(freq, 0.5) AS f50,
+         |    quantile_cont(freq, 0.75) AS f75,
+         |    quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50,
+         |    quantile_cont(monetary, 0.75) AS m75
+         |  FROM u)
+         |SELECT user_id,
+         |  CAST(maxd - last_day AS BIGINT) AS recency_days, freq,
+         |  round(monetary, 6) AS monetary,
+         |  CAST(1 + (freq > f25)::INT + (freq > f50)::INT + (freq > f75)::INT AS BIGINT) AS f_bucket,
+         |  CAST(1 + (monetary > m25)::INT + (monetary > m50)::INT + (monetary > m75)::INT AS BIGINT) AS m_bucket
+         |FROM u CROSS JOIN g ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          dsum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+            .as("monetary"))
+      val g = u.agg(
+        max(col("last_day")).as("maxd"),
+        expr("percentile(freq, 0.25)").as("f25"),
+        expr("percentile(freq, 0.5)").as("f50"),
+        expr("percentile(freq, 0.75)").as("f75"),
+        expr("percentile(monetary, 0.25)").as("m25"),
+        expr("percentile(monetary, 0.5)").as("m50"),
+        expr("percentile(monetary, 0.75)").as("m75"))
+      def bucket(c: Column, c25: Column, c50: Column, c75: Column): Column =
+        (lit(1) + (c > c25).cast("int") + (c > c50).cast("int") + (c > c75).cast("int"))
+          .cast("long")
+      u.crossJoin(broadcast(g))
+        .select(
+          col("user_id"),
+          datediff(col("maxd"), col("last_day")).cast("long").as("recency_days"),
+          col("freq"),
+          round(col("monetary"), 6).as("monetary"),
+          bucket(col("freq"), col("f25"), col("f50"), col("f75")).as("f_bucket"),
+          bucket(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_bucket"))
+        .orderBy("user_id")
     },
 
     // A6/Q08 — rollup over (date, event_type): subtotal + grand-total rows.
