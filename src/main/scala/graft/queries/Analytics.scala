@@ -162,9 +162,12 @@ object Analytics {
     },
 
     // A5+/Q07b — cohort retention: users grouped by first-activity date,
-    // counted by day offset of each later active day. Two hash aggregations
-    // and one join of the (small) per-user cohort frame back onto events —
-    // the cohort frame is the broadcast side at scale.
+    // counted by day offset of each later active day. The per-user cohort
+    // frame is UNBOUNDED (one row per user), so it is NOT broadcast: the
+    // join runs on user_id, the same key the cohort aggregation just
+    // shuffled on, so the aggregated side's partitioning is reused and only
+    // the events side shuffles once — the co-partitioned shape that holds
+    // at any user count.
     QueryDef(
       "q07b_cohort_retention",
       """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
@@ -178,7 +181,7 @@ object Analytics {
       val cohorts = ev
         .groupBy(col("user_id"))
         .agg(min(to_date(col("ts"))).as("cohort"))
-      ev.join(broadcast(cohorts), "user_id")
+      ev.join(cohorts, "user_id")
         .select(col("user_id"), col("cohort"),
           datediff(to_date(col("ts")), col("cohort")).cast("long").as("day_offset"))
         .distinct()
@@ -187,12 +190,17 @@ object Analytics {
         .orderBy("cohort", "day_offset")
     },
 
-    // A5+/Q07c — RFM segmentation, scale-safe: quartile CUTOFFS come from a
-    // tiny exact-percentile aggregate (broadcast), and each user buckets by
-    // plain comparisons — no global ntile window (which would serialize
-    // every user through one reducer; the cutoff-broadcast shape is how
-    // segmentation actually runs at 100 TB). Monetary uses the
-    // exact-decimal sum for cross-engine determinism.
+    // A5+/Q07c — RFM segmentation via broadcast quartile cutoffs: each user
+    // buckets by plain comparisons against a 1-row cutoff aggregate — no
+    // global ntile window shuffling every user to one reducer. The cutoffs
+    // here use EXACT percentile (its merged state is per-distinct-value, so
+    // at true 100 TB scale the honest cutoff source is the
+    // `approx_percentile` sketch, bounded state, same bucketing shape) —
+    // exact is used because the oracle must reproduce the cutoffs
+    // bit-for-bit. The per-user frame is materialized once: the cutoff
+    // branch and the output branch would otherwise each re-run the events
+    // scan + per-user aggregation (no CSE across DataFrame branches).
+    // Monetary uses the exact-decimal sum for cross-engine determinism.
     QueryDef(
       "q07c_rfm_segments",
       s"""WITH u AS (SELECT user_id,
@@ -211,13 +219,14 @@ object Analytics {
          |  CAST(1 + (freq > f25)::INT + (freq > f50)::INT + (freq > f75)::INT AS BIGINT) AS f_bucket,
          |  CAST(1 + (monetary > m25)::INT + (monetary > m50)::INT + (monetary > m75)::INT AS BIGINT) AS m_bucket
          |FROM u CROSS JOIN g ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val u = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(
-          max(to_date(col("ts"))).as("last_day"),
-          count(lit(1)).as("freq"),
-          dsum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
-            .as("monetary"))
+      val u = Materialize(s, dir, "q07c_u")(
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            max(to_date(col("ts"))).as("last_day"),
+            count(lit(1)).as("freq"),
+            dsum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+              .as("monetary")))
       val g = u.agg(
         max(col("last_day")).as("maxd"),
         expr("percentile(freq, 0.25)").as("f25"),

@@ -53,6 +53,7 @@ class ScaleOpsSpec extends SparkSpec {
     // crossing the network. Thresholds forced so the tiny test tables
     // qualify; at warehouse scale the defaults trigger it.
     val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
