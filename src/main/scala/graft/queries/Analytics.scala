@@ -21,6 +21,38 @@ object Analytics {
   private val kPatScala = "\"k\":\\s*(\\d+)"
   private val kPatSql = "\"k\":\\s*(\\d+)"
 
+  /** Dense (hour × event_type) grid with zero-filled gaps, shared by q03b
+    * and q03c. One events scan into a materialized tiny aggregate; spine
+    * and type dims derive from it (every event lands in the aggregate, so
+    * its min/max hour and distinct types equal the raw table's). */
+  private def denseHourlyGrid(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val counts = Materialize(s, dir, "q03b_counts")(
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("chr"), col("event_type").as("ct"))
+        .agg(count(lit(1)).as("ccnt")))
+    val spine = counts
+      .agg(min(col("chr")).as("lo"), max(col("chr")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    val types = counts.select(col("ct").as("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(broadcast(counts),
+        col("chr") === col("hr") && col("ct") === col("event_type"), "left")
+      .select(col("hr"), col("event_type"), coalesce(col("ccnt"), lit(0L)).as("cnt"))
+  }
+
+  /** DuckDB CTEs producing the identical dense grid (ends with `grid`). */
+  private val sqlGridCtes =
+    """b AS (SELECT MIN(date_trunc('hour', ts)) AS lo,
+      |              MAX(date_trunc('hour', ts)) AS hi FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |c AS (SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt
+      |      FROM events GROUP BY 1, 2),
+      |grid AS (SELECT s.hr, t.event_type, COALESCE(c.cnt, 0) AS cnt
+      |         FROM spine s CROSS JOIN types t
+      |         LEFT JOIN c ON c.hr = s.hr AND c.event_type = t.event_type)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // A1/Q03 — daily event counts by type (reference images/daily_events.png).
     QueryDef(
@@ -44,29 +76,46 @@ object Analytics {
     // distinct types equal the raw table's.
     QueryDef(
       "q03b_resample_hours",
-      """WITH b AS (SELECT MIN(date_trunc('hour', ts)) AS lo,
-        |                  MAX(date_trunc('hour', ts)) AS hi FROM events),
-        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
-        |types AS (SELECT DISTINCT event_type FROM events),
-        |c AS (SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt
-        |      FROM events GROUP BY 1, 2)
-        |SELECT s.hr, t.event_type, COALESCE(c.cnt, 0) AS cnt
-        |FROM spine s CROSS JOIN types t
-        |LEFT JOIN c ON c.hr = s.hr AND c.event_type = t.event_type
-        |ORDER BY s.hr, t.event_type""".stripMargin) { (s, dir) =>
-      val counts = Materialize(s, dir, "q03b_counts")(
-        Tables.events(s, dir)
-          .groupBy(date_trunc("hour", col("ts")).as("chr"), col("event_type").as("ct"))
-          .agg(count(lit(1)).as("ccnt")))
-      val spine = counts
-        .agg(min(col("chr")).as("lo"), max(col("chr")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
-      val types = counts.select(col("ct").as("event_type")).distinct()
-      spine.crossJoin(broadcast(types))
-        .join(broadcast(counts),
-          col("chr") === col("hr") && col("ct") === col("event_type"), "left")
-        .select(col("hr"), col("event_type"), coalesce(col("ccnt"), lit(0L)).as("cnt"))
-        .orderBy("hr", "event_type")
+      s"""WITH $sqlGridCtes
+         |SELECT hr, event_type, cnt FROM grid
+         |ORDER BY hr, event_type""".stripMargin) { (s, dir) =>
+      denseHourlyGrid(s, dir).orderBy("hr", "event_type")
+    },
+
+    // A1+/Q03c — rolling z-score anomaly flags over the dense hourly grid:
+    // the ingestion-rate watchdog a data pipeline runs. Mean/variance come
+    // from a 24-slot rolling window's integer sum and sum-of-squares —
+    // exact in both engines, so the derived doubles (and the |z| > 3 flag)
+    // are bit-identical. Zero-filled gaps matter: without the dense grid a
+    // silent outage hour would simply be absent instead of flagged.
+    QueryDef(
+      "q03c_anomaly_hours",
+      s"""WITH $sqlGridCtes,
+         |w1 AS (SELECT hr, event_type, cnt,
+         |    CAST(SUM(cnt) OVER w AS DOUBLE) AS s1,
+         |    CAST(SUM(cnt * cnt) OVER w AS DOUBLE) AS s2,
+         |    CAST(COUNT(*) OVER w AS DOUBLE) AS n
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |w2 AS (SELECT hr, event_type, cnt,
+         |    (cnt - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n) + 1e-9) AS z
+         |  FROM w1)
+         |SELECT hr, event_type, cnt, round(z, 6) AS z, (abs(z) > 3.0) AS is_anomaly
+         |FROM w2 ORDER BY event_type, hr""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(-23, Window.currentRow)
+      val z = (col("cnt") - col("s1") / col("n")) /
+        sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")) + 1e-9)
+      denseHourlyGrid(s, dir)
+        .select(col("hr"), col("event_type"), col("cnt"),
+          sum(col("cnt")).over(w).cast("double").as("s1"),
+          sum(col("cnt") * col("cnt")).over(w).cast("double").as("s2"),
+          count(lit(1)).over(w).cast("double").as("n"))
+        .select(col("hr"), col("event_type"), col("cnt"),
+          round(z, 6).as("z"), (abs(z) > 3.0).as("is_anomaly"))
+        .orderBy("event_type", "hr")
     },
 
     // A2/Q04 — most visited keys, top-10 (reference
