@@ -26,12 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // scratch space (replay dirs, checkpoints, shuffle spill) on tmpfs:
-  // /tmp is disk-backed ext4 here, and streaming checkpoint commits
-  // fsync+rename per micro-batch — RAM-backed scratch removes that disk
-  // latency from the harness. Overridable for hosts without /dev/shm.
+  // harness scratch (replay dirs, checkpoints) on tmpfs: streaming
+  // checkpoint commits fsync+rename per micro-batch, and RAM-backed
+  // scratch removes that disk latency. This data is small and bounded
+  // (graft.TempDirs reclaims it on exit). Overridable for hosts without
+  // /dev/shm.
   s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMP", "/dev/shm")}",
-  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_TMP", "/dev/shm")}",
+  // shuffle/spill stays on DISK: spill volume is unbounded (it exists
+  // precisely because data didn't fit in memory), so putting it on tmpfs
+  // would convert disk pressure into RAM pressure and OOM the host on a
+  // genuinely spilling run instead of degrading to disk I/O.
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_SPILL", "/tmp/graft_spill")}",
   // keep Derby's metastore_db out of the repo working dir
   "-Dderby.system.home=/tmp/graft_derby",
   // 16g default: the allocation-heavy bench tail (q23*/q24*) degrades

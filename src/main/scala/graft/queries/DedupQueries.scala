@@ -37,8 +37,20 @@ object DedupQueries {
     * materialized signature table, with parquet column pruning dropping the
     * columns a consumer doesn't need. Null-skipping aggregates (`min`,
     * `collect_set/list`, `sum`) make the conditional per-kind aggregation
-    * exact. */
-  private def sigTokFrame(s: SparkSession, dir: String): DataFrame = {
+    * exact.
+    *
+    * Tiny-doc contract (pinned by `DedupEdgeSpec`): a doc with fewer tokens
+    * than the shingle width still yields exactly one (shorter) shingle —
+    * `shingles` floors its sequence length at 1 and `concat_ws` skips the
+    * NULLs `try_element_at` returns past the end — and an empty/whitespace
+    * text tokenizes to one empty-string token in BOTH engines (Spark
+    * `split(trim(s),"\\s+")` and DuckDB `regexp_split_to_array` each return
+    * `[""]`), so `shash` is never empty and the minhash slots are never
+    * null for any non-null text. A NULL text drops out of both exploded
+    * branches and therefore out of the signature table entirely (testdata
+    * has none; the oracle CTEs would keep a NULL-signature row, so null
+    * text is outside the parity contract). */
+  private[graft] def sigTokFrame(s: SparkSession, dir: String): DataFrame = {
     // tokens bound to an attribute BEFORE shingling: a lambda body
     // re-evaluates its argument expression per array element, so passing the
     // raw split() into shingles() would re-run the regex split 3× per

@@ -16,8 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Why cached: several queries share the same intermediate (q23 and q23b
   * read one signature table; the q24 family shares the normed corpus), and
   * the bench harness runs every query twice — recomputing an identical
-  * frame per consumer is pure waste. The key is (session, tag, source dir):
-  * each tag names one fixed program, so the pair identifies the result.
+  * frame per consumer is pure waste. The key is (session UUID, tag, source
+  * dir) — the UUID via [[graft.SessionToken]], NOT identityHashCode, whose
+  * values are reused after GC and can leak one session's cache entries into
+  * the next. Each tag names one fixed program over an immutable source dir
+  * (the driver testdata is read-only), so the triple identifies the result;
+  * a source dir rewritten mid-session would need a version component here.
   * (NOT the plan's semanticHash: lambda-bearing plans — `transform`,
   * `aggregate` — allocate fresh lambda-variable IDs per construction that
   * canonicalization does not normalize, so their hash changes every call
@@ -30,7 +34,7 @@ object Materialize {
   private val cache = new ConcurrentHashMap[String, String]()
 
   def apply(s: SparkSession, srcDir: String, tag: String)(df: => DataFrame): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$tag|$srcDir"
+    val key = s"${graft.SessionToken(s)}|$tag|$srcDir"
     // check-then-putIfAbsent, NOT computeIfAbsent: building `df` may itself
     // call Materialize for a dependency (q24d/q24e materialize on top of
     // the materialized base corpus), and a recursive computeIfAbsent on one

@@ -41,7 +41,7 @@ object StreamRunner {
     // (measured 4× on session-window aggregation; correctness unchanged)
     spark.conf.set(
       "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
-    val key = s"${System.identityHashCode(spark)}|${df.schema.catalogString}|" +
+    val key = s"${graft.SessionToken(spark)}|${df.schema.catalogString}|" +
       s"${df.queryExecution.logical.canonicalized.semanticHash()}|$singleFile"
     val dir = replayCache.computeIfAbsent(key, { _ =>
       val d = tempDir(s"replay_$tag")
@@ -112,6 +112,15 @@ object StreamRunner {
       }
     } finally StateStore.stop()
 
+  /** Read a finished stream's sink dir back. An empty replay (zero
+    * micro-batches, or batches that emitted no rows) leaves no data files,
+    * and schema *inference* over an empty dir throws — so the read is
+    * pinned to the stream's own schema, under which zero matched files is
+    * simply an empty frame. */
+  private def readSink(spark: SparkSession, out: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(out)
+
   /** Run a complete/update-mode streaming frame (bounded results:
     * aggregations, stateful outputs) to completion and return the final
     * snapshot. Each micro-batch overwrites a parquet snapshot via
@@ -135,7 +144,7 @@ object StreamRunner {
         .start()
       awaitAndUnload(q, tag)
     }
-    spark.read.parquet(out)
+    readSink(spark, out, sdf.schema)
   }
 
   /** Run an append-mode streaming frame to a parquet sink (row-level
@@ -152,6 +161,6 @@ object StreamRunner {
         .start()
       awaitAndUnload(q, tag)
     }
-    spark.read.parquet(out)
+    readSink(spark, out, sdf.schema)
   }
 }
