@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All declared queries, in registry form. */
   val all: Seq[QueryDef] =
-    IngestParity.defs ++ Analytics.defs ++ Joins.defs ++ Windows.defs ++
+    IngestParity.defs ++ Analytics.defs ++ ReshapeQueries.defs ++
+      BehaviorQueries.defs ++ Joins.defs ++ Windows.defs ++
       SetsAndScalars.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       TextAnalysisQueries.defs ++ CurationQueries.defs ++
       MultimodalQueries.defs ++ StreamingQueries.defs ++ ScaleQueries.defs

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Q08c / Q30 / Q30b / Q31 — relational reshaping operators: GROUPING SETS,
+  * PIVOT (long→wide), UNPIVOT (wide→long), and a fixed-bin histogram.
+  *
+  * Scale notes: pivot with an explicit value list is ONE hash aggregation
+  * (no shuffle per output column, and no driver-side distinct-value scan —
+  * always pass the list at 100 TB); unpivot is a narrow Expand (rows × k,
+  * no shuffle); grouping sets is one Expand + one hash aggregate, same as
+  * rollup/cube; the histogram computes its global extent as a 1-row
+  * aggregate broadcast back onto the scan, so binning rides the scan and
+  * the only shuffle carries (event_type, bin) partial counts.
+  */
+object ReshapeQueries {
+
+  /** The pivot value list, fixed in both engines: an explicit list keeps
+    * the plan static (Spark would otherwise run a distinct-value job on the
+    * driver) and keeps the output schema identical across engines. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val defs: Seq[QueryDef] = Seq(
+    // A6+/Q08c — explicit GROUPING SETS ((date), (event_type), ()): the
+    // general form of rollup/cube (q08/q08b) — exactly the requested
+    // combinations, one Expand + one hash aggregate, no second scan.
+    QueryDef(
+      "q08c_grouping_sets",
+      s"""SELECT CAST(ts AS DATE) AS date, event_type,
+         |CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_date,
+         |CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+         |COUNT(*) AS cnt, ${Det.sqlSum("value")} AS val_sum
+         |FROM events GROUP BY GROUPING SETS ((date), (event_type), ())
+         |ORDER BY g_date, g_type, date NULLS FIRST, event_type NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("date", to_date(col("ts")))
+          .groupingSets(
+            Seq(Seq(col("date")), Seq(col("event_type")), Seq()),
+            col("date"), col("event_type"))
+          .agg(
+            grouping(col("date")).cast("int").as("g_date"),
+            grouping(col("event_type")).cast("int").as("g_type"),
+            count(lit(1)).as("cnt"),
+            Det.dsum(col("value")).as("val_sum"))
+          .select(col("date"), col("event_type"), col("g_date"), col("g_type"),
+            col("cnt"), col("val_sum"))
+          .orderBy(col("g_date"), col("g_type"),
+            col("date").asc_nulls_first, col("event_type").asc_nulls_first)
+    },
+
+    // Q30 — PIVOT: daily event-type matrix, one row per day with one count
+    // column per event type. Missing (day, type) cells are zero-filled so
+    // the wide frame is total (and so q30b's round trip is well-defined).
+    QueryDef(
+      "q30_pivot_event_matrix",
+      s"""SELECT CAST(ts AS DATE) AS date,
+         |${EventTypes.map(t => s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(", ")}
+         |FROM events GROUP BY date ORDER BY date""".stripMargin) { (s, dir) =>
+      val wide = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+      wide.select(
+        col("date") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("date")
+    },
+
+    // Q30b — UNPIVOT (melt): the q30 wide matrix back to long
+    // (date, event_type, cnt). Distinct from a plain groupBy count: the
+    // zero cells pivot materialized survive the round trip, so the long
+    // form is a dense day × type grid.
+    QueryDef(
+      "q30b_unpivot_event_matrix",
+      s"""WITH c AS (SELECT CAST(ts AS DATE) AS date, event_type, COUNT(*) AS cnt
+         |           FROM events GROUP BY 1, 2),
+         |d AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
+         |t AS (SELECT unnest([${EventTypes.map(t => s"'$t'").mkString(", ")}]) AS event_type)
+         |SELECT d.date, t.event_type, COALESCE(c.cnt, 0) AS cnt
+         |FROM d CROSS JOIN t
+         |LEFT JOIN c ON c.date = d.date AND c.event_type = t.event_type
+         |ORDER BY d.date, t.event_type""".stripMargin) { (s, dir) =>
+      val wide = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .select(
+          col("date") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      wide.unpivot(
+          Array(col("date")),
+          EventTypes.map(t => col(s"n_$t")).toArray,
+          "event_type", "cnt")
+        // unpivot's variable column carries the source column NAMES — strip
+        // the n_ prefix back to the event-type value
+        .withColumn("event_type", expr("substring(event_type, 3)"))
+        .orderBy("date", "event_type")
+    },
+
+    // Q31 — fixed-bin histogram: 20 equal-width bins of `value` per event
+    // type over the GLOBAL [min, max]. The extent is a 1-row aggregate
+    // broadcast-joined back onto the scan (no second pass over sorted data,
+    // no driver round trip in the plan); bin arithmetic is identical double
+    // IEEE ops in both engines, so bounds hash-match without tolerance.
+    QueryDef(
+      "q31_value_histogram",
+      """WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+        |b AS (SELECT event_type,
+        |  CAST(least(floor((value - lo) * 20.0 / (hi - lo)), 19.0) AS BIGINT) AS bin,
+        |  lo, hi FROM events CROSS JOIN mm)
+        |SELECT event_type, bin,
+        |round(lo + CAST(bin AS DOUBLE) * (hi - lo) / 20.0, 6) AS bin_lo,
+        |round(lo + (CAST(bin AS DOUBLE) + 1.0) * (hi - lo) / 20.0, 6) AS bin_hi,
+        |COUNT(*) AS cnt
+        |FROM b GROUP BY event_type, bin, lo, hi
+        |ORDER BY event_type, bin""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val mm = events.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      events.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("value") - col("lo")) * 20.0 / (col("hi") - col("lo"))),
+            lit(19.0)).cast("long"))
+        .groupBy(col("event_type"), col("bin"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("event_type"), col("bin"),
+          round(col("lo") + col("bin").cast("double") * (col("hi") - col("lo")) / 20.0, 6)
+            .as("bin_lo"),
+          round(col("lo") + (col("bin").cast("double") + 1.0) * (col("hi") - col("lo")) / 20.0, 6)
+            .as("bin_hi"),
+          col("cnt"))
+        .orderBy("event_type", "bin")
+    }
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.queries.{BehaviorQueries, ReshapeQueries}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Properties of the reshape (q08c/q30/q30b/q31) and behavior
+  * (q32–q35) operators beyond the row-level oracle: totals are conserved
+  * across reshaping, session assignments respect the gap contract, and the
+  * compaction plan is aggregate-shaped (no per-row window shuffle).
+  */
+class ReshapeBehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byName(name: String) =
+    (ReshapeQueries.defs ++ BehaviorQueries.defs).find(_.name == name).get.df
+
+  private lazy val nEvents = Tables.events(spark, sf).count()
+
+  test("q08c grouping sets: each grouping set partitions the event count") {
+    val rows = byName("q08c_grouping_sets")(spark, sf)
+      .select("g_date", "g_type", "cnt").as[(Int, Int, Long)].collect()
+    // (date) set: g_date=0,g_type=1; (event_type) set: 1,0; (): 1,1
+    assert(rows.filter(r => r._1 == 0 && r._2 == 1).map(_._3).sum === nEvents)
+    assert(rows.filter(r => r._1 == 1 && r._2 == 0).map(_._3).sum === nEvents)
+    assert(rows.filter(r => r._1 == 1 && r._2 == 1).map(_._3).toSeq === Seq(nEvents))
+  }
+
+  test("q30 pivot: wide counts sum to the event count; plan is one aggregate") {
+    val wide = byName("q30_pivot_event_matrix")(spark, sf)
+    val typeCols = wide.columns.filter(_.startsWith("n_"))
+    val total = wide.select(typeCols.map(c => sum(col(c))).reduce(_ + _)).as[Long].head()
+    assert(total === nEvents)
+    // explicit value list → a single hash-aggregate pipeline, not the
+    // two-job distinct-values-then-pivot shape
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit"), "pivot ran a driver-side values scan")
+  }
+
+  test("q30b unpivot round-trips the pivot into a dense day×type grid") {
+    val long = byName("q30b_unpivot_event_matrix")(spark, sf)
+    val nDays = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(long.count() === nDays * 5)
+    assert(long.agg(sum("cnt")).as[Long].head() === nEvents)
+  }
+
+  test("q31 histogram: bins are in range, cover every event, edges ordered") {
+    val rows = byName("q31_value_histogram")(spark, sf)
+      .select("bin", "bin_lo", "bin_hi", "cnt").as[(Long, Double, Double, Long)].collect()
+    assert(rows.map(_._4).sum === nEvents)
+    rows.foreach { case (bin, lo, hi, _) =>
+      assert(bin >= 0 && bin <= 19)
+      assert(lo < hi)
+    }
+  }
+
+  test("q32 co-purchase pairs: canonical ordering and support floor hold") {
+    val rows = byName("q32_copurchase_pairs")(spark, sf)
+      .select("pa", "pb", "n_orders").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (pa, pb, n) =>
+      assert(pa < pb, s"pair ($pa,$pb) not canonical")
+      assert(n >= 3, s"pair ($pa,$pb) support $n below floor")
+    }
+  }
+
+  test("q33 sessionize: sessions conserve events; ids dense per user") {
+    val sess = byName("q33_sessionize")(spark, sf)
+      .select("user_id", "sid", "n_events").as[(Long, Long, Long)].collect()
+    assert(sess.map(_._3).sum === nEvents)
+    sess.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq, s"user $u sids not dense")
+    }
+  }
+
+  test("q34 latest-state compaction matches the window formulation, without a Window") {
+    val compact = byName("q34_latest_state")(spark, sf)
+    // independent formulation: explicit row_number over the history
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+    assert(compact.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(compact).isEmpty)
+    // the engine path must be the aggregate (map-side compaction), not the
+    // full-history window sort
+    assert(!compact.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("q35 user growth: cumulative matches running total and ends at user count") {
+    val rows = byName("q35_user_growth")(spark, sf)
+      .select("new_users", "cum_users").as[(Long, Long)].collect()
+    val running = rows.map(_._1).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_._2).toSeq === running.toSeq)
+    val nUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.last._2 === nUsers)
+  }
+}
