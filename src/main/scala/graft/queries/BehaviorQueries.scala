@@ -1,14 +1,16 @@
 package graft.queries
 
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Q32–Q35 — user/behavior analytics shapes the reference's warehouse layer
+/** Q32–Q36 — user/behavior analytics shapes the reference's warehouse layer
   * serves (conversion-style session and lifecycle questions over the event
   * stream, basket affinity over the order lines): batch sessionization
-  * (gaps-and-islands), co-purchase pair mining, CDC-style latest-state
-  * compaction, and user-growth accumulation.
+  * (gaps-and-islands) + session path mining, co-purchase pair mining,
+  * CDC-style latest-state compaction + its incremental MERGE twin, SCD
+  * type-2 validity intervals, and user-growth accumulation.
   *
   * Scale notes: sessionization windows partition by user — no global sort,
   * every user's stream sessionizes independently (the streaming twin is
@@ -26,10 +28,49 @@ object BehaviorQueries {
     * the testdata's event density; the operator is gap-parametric). */
   private val GapMicros: Long = 24L * 3600 * 1000000
 
+  /** Shared sessionization CTEs (gap flag → running-sum session id), ending
+    * in `s(user_id, ts, event_id, event_type, value, sid)`. */
+  private val sqlSessionCtes =
+    s"""g AS (
+       |  SELECT user_id, ts, event_id, event_type, value,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > $GapMicros
+       |           OR lag(epoch_us(ts))
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, ts, event_id, event_type, value,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM g)""".stripMargin
+
+  /** Spark twin of [[sqlSessionCtes]]: events with a per-user session id.
+    * Both windows share one (user_id)-partitioned sort — a single shuffle
+    * and a single per-partition sort at any scale. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("brk",
+        when(unix_micros(col("ts")) - prev > GapMicros || prev.isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Q32 — market-basket co-purchase pairs: parts appearing in the same
-    // order, support ≥ 3 orders. Distinct (order, part) first so multi-line
-    // items don't inflate support; the self-join key is the order key.
+    // order, support ≥ 3 orders. Distinct (order, part) so multi-line items
+    // don't inflate support. NOT a self-join: the basket is collected per
+    // order (collect_set dedups in the same shuffle) and pairs are generated
+    // by a narrow double-generator expansion — one shuffle on the order key
+    // + one on the (pa, pb) counts, where the equi-self-join form shuffles
+    // the order–part set twice more. Per-order expansion is bounded by
+    // basket size (squared), so output stays linear in orders at fixed
+    // basket width; a pathological mega-basket is an AQE-skew case, and the
+    // standard cap (drop baskets over k items) composes as one filter.
     QueryDef(
       "q32_copurchase_pairs",
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -38,13 +79,14 @@ object BehaviorQueries {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY pa, pb HAVING COUNT(*) >= 3
         |ORDER BY n_orders DESC, pa, pb""".stripMargin) { (s, dir) =>
-      val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      op.alias("a")
-        .join(op.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      val baskets = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+      baskets
+        .select(posexplode(col("parts")).as(Seq("i", "pa")), col("parts"))
+        .select(col("i"), col("pa"), posexplode(col("parts")).as(Seq("j", "pb")))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 3)
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
@@ -57,32 +99,12 @@ object BehaviorQueries {
     // so the session assignment is total.
     QueryDef(
       "q33_sessionize",
-      s"""WITH g AS (
-         |  SELECT user_id, ts, event_id, value,
-         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > $GapMicros
-         |           OR lag(epoch_us(ts))
-         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM events),
-         |s AS (
-         |  SELECT user_id, ts, event_id, value,
-         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                   ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM g)
+      s"""WITH $sqlSessionCtes
          |SELECT user_id, sid, COUNT(*) AS n_events,
          |  MIN(ts) AS t_start, MAX(ts) AS t_end, ${Det.sqlSum("value")} AS val_sum
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val prev = lag(unix_micros(col("ts")), 1).over(w)
-      val g = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .withColumn("brk",
-          when(unix_micros(col("ts")) - prev > GapMicros || prev.isNull, 1L)
-            .otherwise(0L))
-      g.withColumn("sid",
-          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessionized(s, dir)
         .groupBy(col("user_id"), col("sid"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -90,6 +112,32 @@ object BehaviorQueries {
           max(col("ts")).as("t_end"),
           Det.dsum(col("value")).as("val_sum"))
         .orderBy("user_id", "sid")
+    },
+
+    // Q33b — top session paths: the '>'-joined event-type sequence of each
+    // session, counted across sessions, top 20. The sequence is assembled
+    // by sorting the per-session collect_list — session length is bounded
+    // by the gap parameter, so the array stays small at any corpus size;
+    // the transform over it runs on a bound attribute (one sort, no
+    // re-evaluation). Path frequency is an ordinary hash aggregate and the
+    // top-k is TakeOrderedAndProject.
+    QueryDef(
+      "q33b_session_paths",
+      s"""WITH $sqlSessionCtes,
+         |p AS (SELECT user_id, sid,
+         |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |      FROM s GROUP BY user_id, sid)
+         |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+      sessionized(s, dir)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(array_sort(
+          collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(array_join(transform(col("evs"), _.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
     },
 
     // Q34 — latest-state compaction (the CDC/upsert-view pattern: one
@@ -116,6 +164,92 @@ object BehaviorQueries {
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"))
         .orderBy("user_id")
+    },
+
+    // Q34b — incremental state maintenance (the MERGE/upsert pattern): the
+    // q34 current-state view rebuilt INCREMENTALLY — compact the history
+    // before a cutoff into a base snapshot, compact the post-cutoff delta,
+    // and merge via full-outer join + greatest (both sides keyed and
+    // already shuffled on user_id, so the merge join reuses the aggregation
+    // partitioning). The oracle is q34's direct SQL over the full history:
+    // the contract IS merge(snapshot(t<T), delta(t≥T)) ≡ snapshot(all) —
+    // at 100 TB this replaces recompacting the whole history every batch
+    // with a join against yesterday's (much smaller) snapshot.
+    QueryDef(
+      "q34b_incremental_state",
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      def compact(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+            .as("last"))
+      val events = Tables.events(s, dir)
+      val base = compact(events.filter(col("ts") < cutoff))
+        .select(col("user_id"), col("last").as("base"))
+      val delta = compact(events.filter(col("ts") >= cutoff))
+        .select(col("user_id"), col("last").as("delta"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        // greatest() skips nulls, so a user present on only one side keeps
+        // that side's state — exactly MERGE semantics for last-writer-wins
+        .select(col("user_id"), greatest(col("base"), col("delta")).as("last"))
+        .select(
+          col("user_id"),
+          col("last.ts").as("last_ts"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // Q36 — SCD type-2 state history: collapse each user's consecutive
+    // runs of the same event_type into validity intervals
+    // [valid_from, valid_to), open-ended (and flagged current) on the last
+    // run. Gaps-and-islands again, but keyed on value CHANGE rather than
+    // time gap; all three windows share the one (user_id)-partitioned sort,
+    // and the run compaction is a hash aggregate on (user_id, run) — the
+    // history never moves through more than the single user_id shuffle.
+    QueryDef(
+      "q36_scd2_history",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM g),
+        |runs AS (
+        |  SELECT user_id, run, event_type, MIN(ts) AS valid_from,
+        |    COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run, event_type)
+        |SELECT user_id, run, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+        |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
+        |  n_events
+        |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(w)
+      val runs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        // null-safe inequality: the first row's NULL lag starts run 1
+        .withColumn("brk", when(!(prev <=> col("event_type")), 1L).otherwise(0L))
+        .withColumn("run",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("run"))
+      runs.select(
+          col("user_id"), col("run"), col("event_type"), col("valid_from"),
+          lead(col("valid_from"), 1).over(wr).as("valid_to"),
+          lead(col("valid_from"), 1).over(wr).isNull.as("is_current"),
+          col("n_events"))
+        .orderBy("user_id", "run")
     },
 
     // Q35 — user growth: first-seen day per user, daily new-user counts,

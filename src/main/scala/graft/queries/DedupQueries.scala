@@ -97,6 +97,43 @@ object DedupQueries {
        |        list_distinct(${sqlHashArray(sqlShingles("toks"))}) AS shash FROM src),
        |sig AS (SELECT *, ${sqlMinhashSig("shash")} AS sig FROM shd)""".stripMargin
 
+  /** Confirmed near-dup pair CTEs (band-bucket candidates → exact-Jaccard
+    * confirm) — the pair set q23e canonicalizes one hop over and q23g
+    * closes into full components. Appended after [[sqlSigCtes]]. */
+  private val sqlPairCtes =
+    s"""bands AS (
+       |  SELECT doc_id, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
+       |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk
+       |    AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT da, db FROM cand
+       |  JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
+       |  WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2)""".stripMargin
+
+  /** Spark twin of [[sqlPairCtes]]: confirmed (da < db) near-dup pairs off
+    * the shared materialized signature table. */
+  private def confirmedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = sigTable(s, dir)
+    val bands = sigs.select(
+      col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val x = sigs.select(col("doc_id").as("xid"), col("shash").as("xsh"))
+    val y = sigs.select(col("doc_id").as("yid"), col("shash").as("ysh"))
+    cand
+      .join(x, col("da") === col("xid"))
+      .join(y, col("db") === col("yid"))
+      .filter(jaccard(col("xsh"), col("ysh")) >= 0.2)
+      .select(col("da"), col("db"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // X1/Q22 — exact dedup by normalized text hash: rank within each hash
     // group (kept = rank 1). One shuffle on the 256-bit hash; at 100 TB this
@@ -191,17 +228,7 @@ object DedupQueries {
     QueryDef(
       "q23e_dup_canon",
       s"""WITH $sqlSigCtes,
-         |bands AS (
-         |  SELECT doc_id, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
-         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk
-         |    AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT da, db FROM cand
-         |  JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
-         |  WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2),
+         |$sqlPairCtes,
          |nbrs AS (SELECT da AS doc_id, db AS nbr FROM pairs
          |         UNION ALL SELECT db, da FROM pairs),
          |m AS (SELECT doc_id, MIN(nbr) AS mn FROM nbrs GROUP BY doc_id)
@@ -210,22 +237,7 @@ object DedupQueries {
          |  (m.mn IS NOT NULL AND m.mn < d.doc_id) AS is_dup
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val sigs = sigTable(s, dir)
-      val bands = sigs.select(
-        col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk")))
-      val cand = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val x = sigs.select(col("doc_id").as("xid"), col("shash").as("xsh"))
-      val y = sigs.select(col("doc_id").as("yid"), col("shash").as("ysh"))
-      val pairs = cand
-        .join(x, col("da") === col("xid"))
-        .join(y, col("db") === col("yid"))
-        .filter(jaccard(col("xsh"), col("ysh")) >= 0.2)
-        .select(col("da"), col("db"))
+      val pairs = confirmedPairs(s, dir)
       val nbrs = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
         .union(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
       val m = nbrs.groupBy(col("doc_id")).agg(min(col("nbr")).as("mn"))
@@ -236,6 +248,64 @@ object DedupQueries {
           col("doc_id"),
           coalesce(least(col("doc_id"), col("mn")), col("doc_id")).as("canon"),
           (col("mn").isNotNull && col("mn") < col("doc_id")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
+    // X2+/Q23g — FULL connected components over the confirmed near-dup
+    // graph: q23e's one-hop canonicalization iterated to a fixpoint, so
+    // chains (A~B~C with A≁C) collapse to one representative. Min-label
+    // propagation: labels start at doc_id, each round takes the min over
+    // self ∪ neighbors, materialized per round (lineage truncation — the
+    // iterative-plan lesson from q24f), stopping when a round changes no
+    // label. Convergence needs O(graph diameter) rounds of one join + one
+    // aggregation each, both shuffling on doc_id so the partitioning is
+    // reused round to round; near-dup components are overwhelmingly tiny
+    // (pairs/stars), so real corpora converge in 2–3 rounds. (The
+    // O(log n)-round large-star/small-star variant is the same shuffle
+    // pattern with a different neighbor rule — diameter is the honest
+    // bound here.) The driver-side convergence check reads ONE count per
+    // round, not data. Oracle: DuckDB recursive CTE computing min
+    // reachable doc_id — a genuinely different algorithm, same fixpoint.
+    QueryDef(
+      "q23g_connected_components",
+      s"""WITH RECURSIVE $sqlSigCtes,
+         |$sqlPairCtes,
+         |nbrs AS (SELECT da AS doc_id, db AS nbr FROM pairs
+         |         UNION ALL SELECT db, da FROM pairs),
+         |walk(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT n.doc_id, w.lbl FROM walk w JOIN nbrs n ON w.doc_id = n.nbr),
+         |comp AS (SELECT doc_id, MIN(lbl) AS comp FROM walk GROUP BY doc_id),
+         |sizes AS (SELECT comp AS c, COUNT(*) AS n_members FROM comp GROUP BY comp)
+         |SELECT doc_id, comp, n_members
+         |FROM comp JOIN sizes ON comp = c
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = confirmedPairs(s, dir)
+      val edges = Materialize(s, dir, "cc_edges")(
+        pairs.select(col("da").as("src"), col("db").as("dst"))
+          .union(pairs.select(col("db").as("src"), col("da").as("dst"))))
+      var labels = Materialize(s, dir, "cc_it0")(
+        Tables.documents(s, dir).select(col("doc_id"), col("doc_id").as("comp")))
+      var round = 0
+      var changed = true
+      while (changed && round < 20) {
+        round += 1
+        val viaNbr = edges
+          .join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("comp"))
+        val next = Materialize(s, dir, s"cc_it$round")(
+          labels.unionByName(viaNbr)
+            .groupBy(col("doc_id")).agg(min(col("comp")).as("comp")))
+        changed = next
+          .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
+          .filter(col("comp") =!= col("prev"))
+          .limit(1).count() > 0
+        labels = next
+      }
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "comp")
+        .select(col("doc_id"), col("comp"), col("n_members"))
         .orderBy("doc_id")
     },
 

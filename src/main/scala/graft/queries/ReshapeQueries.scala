@@ -1,10 +1,12 @@
 package graft.queries
 
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Q08c / Q30 / Q30b / Q31 — relational reshaping operators: GROUPING SETS,
-  * PIVOT (long→wide), UNPIVOT (wide→long), and a fixed-bin histogram.
+/** Q08c / Q30–Q31b / Q37 — relational reshaping + profiling operators:
+  * GROUPING SETS, PIVOT (long→wide), UNPIVOT (wide→long), fixed-bin and
+  * equi-depth histograms, and single-pass column profiling.
   *
   * Scale notes: pivot with an explicit value list is ONE hash aggregation
   * (no shuffle per output column, and no driver-side distinct-value scan —
@@ -130,6 +132,95 @@ object ReshapeQueries {
             .as("bin_hi"),
           col("cnt"))
         .orderBy("event_type", "bin")
+    },
+
+    // Q31b — equi-DEPTH histogram (decile buckets): cutoffs are the 9 exact
+    // inner percentiles — a 1-row aggregate broadcast onto the scan, like
+    // q31's extent — and each value's bucket is 1 + #cutoffs strictly
+    // below it, computed as a sum of comparisons that rides the scan.
+    // Exact `percentile` ≡ DuckDB `quantile_cont` (the q27 parity result);
+    // cutoffs land strictly between adjacent data values (or exactly on a
+    // shared one), so bucket assignment is stable cross-engine. At 100 TB
+    // the cutoff source swaps to `approx_percentile` (q27b) — same plan,
+    // sketch-bounded memory.
+    QueryDef(
+      "q31b_equidepth_histogram",
+      s"""WITH c AS (SELECT ${(1 to 9).map(i => s"quantile_cont(value, 0.${i}) AS c$i").mkString(", ")}
+         |           FROM events)
+         |SELECT 1 + ${(1 to 9).map(i => s"(CASE WHEN value > c$i THEN 1 ELSE 0 END)").mkString(" + ")} AS bucket,
+         |  COUNT(*) AS n, round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+         |FROM events CROSS JOIN c
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val cuts = events.agg(
+        expr("percentile(value, 0.1)").as("c1"),
+        (2 to 9).map(i => expr(s"percentile(value, 0.$i)").as(s"c$i")): _*)
+      events.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          (1 to 9).map(i => when(col("value") > col(s"c$i"), 1).otherwise(0))
+            .reduce(_ + _) + 1)
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))
+        .orderBy("bucket")
+    },
+
+    // Q37 — column profiling (the data-quality pass a pipeline runs before
+    // training ingest): per column — row count, null count, distinct
+    // count, formatted min/max. ONE aggregation pass over the table
+    // produces a single row that is then exploded into the long per-column
+    // form (the explode is driver-cheap: 6 rows from 1). Multi-column
+    // exact DISTINCT expands the scan ×(k+1) — acceptable for a profile
+    // job; the 100 TB variant swaps `approx_count_distinct` (q06b's HLL
+    // path) into the same plan and the Expand disappears. Formatting is
+    // printf-style on both engines (C-style %.6f is correctly rounded from
+    // the same IEEE double in both), timestamps through an explicit
+    // second-precision pattern, so min/max hash-match as strings.
+    QueryDef(
+      "q37_column_profile",
+      {
+        val profSql = Seq(
+          ("event_id", "CAST(MIN(event_id) AS VARCHAR)", "CAST(MAX(event_id) AS VARCHAR)"),
+          ("event_type", "MIN(event_type)", "MAX(event_type)"),
+          ("props", "MIN(props)", "MAX(props)"),
+          ("ts", "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')", "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')"),
+          ("user_id", "CAST(MIN(user_id) AS VARCHAR)", "CAST(MAX(user_id) AS VARCHAR)"),
+          ("value", "printf('%.6f', MIN(value))", "printf('%.6f', MAX(value))"))
+        profSql.map { case (c, mn, mx) =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+             |  $mn AS min_s, $mx AS max_s FROM events""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }) { (s, dir) =>
+      val prof = Seq[(String, Column => Column)](
+        ("event_id", _.cast("string")),
+        ("event_type", identity),
+        ("props", identity),
+        ("ts", date_format(_, "yyyy-MM-dd HH:mm:ss")),
+        ("user_id", _.cast("string")),
+        ("value", v => format_string("%.6f", v)))
+      val aggs = prof.flatMap { case (c, fmt) =>
+        Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          fmt(min(col(c))).as(s"mn_$c"),
+          fmt(max(col(c))).as(s"mx_$c"))
+      }
+      Tables.events(s, dir)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(prof.map { case (c, _) =>
+          struct(
+            lit(c).as("col_name"),
+            col("n_rows"),
+            (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+            col(s"nd_$c").as("n_distinct"),
+            col(s"mn_$c").as("min_s"),
+            col(s"mx_$c").as("max_s"))
+        }: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
     }
   )
 }

@@ -58,4 +58,29 @@ class DedupEdgeSpec extends SparkSpec {
       rows(4L).getAs[scala.collection.Seq[Long]]("sig"))
     assert(rows(3L).getAs[Long]("simhash") === rows(4L).getAs[Long]("simhash"))
   }
+
+  private def byName(name: String) =
+    DedupQueries.defs.find(_.name == name).get.df
+
+  test("q23g components are a fixpoint refining q23e's one-hop canon") {
+    val comp = byName("q23g_connected_components")(spark, sf)
+      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+    // every confirmed near-dup pair is in one component (edge consistency —
+    // the fixpoint property one-hop canonicalization lacks)
+    val pairs = byName("q23b_minhash_lsh_pairs")(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"pair ($a,$b) split across components")
+    }
+    // the component label is the minimum member id
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"component $c not labeled by its min member")
+    }
+    // components only coarsen the one-hop canon: comp(d) <= canon(d) <= doc_id
+    val canon = byName("q23e_dup_canon")(spark, sf)
+      .select("doc_id", "canon").as[(Long, Long)].collect().toMap
+    canon.foreach { case (d, cn) =>
+      assert(comp(d) <= cn, s"doc $d: component ${comp(d)} above canon $cn")
+    }
+  }
 }

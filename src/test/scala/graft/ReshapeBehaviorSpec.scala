@@ -89,6 +89,69 @@ class ReshapeBehaviorSpec extends SparkSpec {
     assert(!compact.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("q31b equi-depth histogram: ten buckets of near-equal depth covering all rows") {
+    val rows = byName("q31b_equidepth_histogram")(spark, sf)
+      .select("bucket", "n").as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    assert(rows.map(_._2).sum === nEvents)
+    val ideal = nEvents / 10.0
+    rows.foreach { case (b, n) =>
+      assert(n > ideal * 0.5 && n < ideal * 1.5, s"bucket $b depth $n vs ideal $ideal")
+    }
+  }
+
+  test("q37 column profile: one row per column with consistent counting algebra") {
+    val rows = byName("q37_column_profile")(spark, sf)
+      .select("col_name", "n_rows", "n_nulls", "n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq("event_id", "event_type", "props", "ts", "user_id", "value"))
+    rows.foreach { case (c, nr, nn, nd) =>
+      assert(nr === nEvents, s"$c n_rows")
+      assert(nn >= 0 && nd <= nr - nn, s"$c counting algebra violated")
+    }
+    // event_id is the table key: all distinct, no nulls
+    val eid = rows.find(_._1 == "event_id").get
+    assert(eid._3 === 0 && eid._4 === nEvents)
+  }
+
+  test("q33b session paths: well-formed paths, frequencies bounded by session count") {
+    val rows = byName("q33b_session_paths")(spark, sf)
+      .select("path", "n_sessions").as[(String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val token = "(view|click|purchase|signup|error)"
+    rows.foreach { case (p, n) =>
+      assert(p.matches(s"$token(>$token)*"), s"malformed path $p")
+      assert(n >= 1)
+    }
+    val nSessions = byName("q33_sessionize")(spark, sf).count()
+    assert(rows.map(_._2).sum <= nSessions)
+  }
+
+  test("q34b incremental merge reproduces the direct compaction exactly") {
+    val direct = byName("q34_latest_state")(spark, sf)
+    val merged = byName("q34b_incremental_state")(spark, sf)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("q36 SCD2: runs conserve events, intervals chain, one current row per user") {
+    val rows = byName("q36_scd2_history")(spark, sf)
+      .select("user_id", "run", "event_type", "is_current", "n_events")
+      .as[(Long, Long, String, Boolean, Long)].collect()
+    assert(rows.map(_._5).sum === nEvents)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, s"user $u runs not dense")
+      assert(rs.count(_._4) === 1, s"user $u current-row count != 1")
+      assert(sorted.last._4, s"user $u: current row is not the last run")
+      // consecutive runs must differ in type (else they'd be one run)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3, s"user $u: adjacent runs share type")
+        case _ =>
+      }
+    }
+  }
+
   test("q35 user growth: cumulative matches running total and ends at user count") {
     val rows = byName("q35_user_growth")(spark, sf)
       .select("new_users", "cum_users").as[(Long, Long)].collect()
