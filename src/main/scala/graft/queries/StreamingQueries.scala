@@ -3,7 +3,7 @@ package graft.queries
 import graft.sources.Tables
 import graft.streaming.StreamRunner
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode}
 
 /** Q19–Q21 — streaming operators (SURVEY.md §2.9 T1–T7), run to completion
   * over a deterministic file-replay of the `events` table and compared
@@ -220,6 +220,40 @@ object StreamingQueries {
         }
         .toDF("doc_id", "dup_of", "is_dup")
       StreamRunner.toParquet(s, stream, "q29").orderBy("doc_id")
+    },
+
+    // X1+/Q29b — the same dedup-attribution semantics on the Spark 4.x
+    // `transformWithState` API (typed ValueState per content hash, RocksDB
+    // state store — the API requires it, and it is the 100 TB state
+    // backend). Same batch oracle as q29: the legacy and modern stateful
+    // APIs must agree exactly.
+    QueryDef(
+      "q29b_stream_dedup_tws",
+      """WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS sha FROM documents),
+        |c AS (SELECT sha, MIN(doc_id) AS canon FROM h GROUP BY sha)
+        |SELECT h.doc_id, c.canon AS dup_of, (h.doc_id <> c.canon) AS is_dup
+        |FROM h JOIN c ON h.sha = c.sha ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("sha"))
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = StreamRunner.replay(s, docs, "q29b", singleFile = true)
+          .as[(Long, String)]
+          .groupByKey(_._2)
+          .transformWithState(
+            new graft.streaming.DedupAttributionProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("doc_id", "dup_of", "is_dup")
+        StreamRunner.toParquet(s, stream, "q29b").orderBy("doc_id")
+      } finally {
+        prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+        // unload the RocksDB providers so later queries get default state
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      }
     },
 
     // T7/Q21b — per-user funnel state machine via flatMapGroupsWithState:
