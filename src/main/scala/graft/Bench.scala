@@ -5,8 +5,14 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and reports the warm (second-run) time per query —
   * the number that tracks per-query throughput once JIT/codegen is
   * amortized, which is the regime a long-running cluster lives in. The cold
-  * (first-run) total is reported alongside for transparency. Prints exactly
-  * one JSON line. */
+  * (first-run) total is reported alongside for transparency.
+  *
+  * Prints exactly ONE JSON line, LAST (after spark.stop()), kept compact:
+  * the harness json-parses the tail of the captured output, so the line
+  * must be the final stdout content and must stay well under the capture
+  * window. Query keys are the short `qNN[x]` prefixes (the same keys
+  * BASELINE.md's per-query table uses); values are seconds to 3 decimals.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,18 +40,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Short report key: the qNN[x] prefix, falling back to the full name if
+    // two queries ever share a prefix (keys must stay unique in the JSON).
+    val prefix = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val collided = prefix.values.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
+    def key(n: String): String = if (collided(prefix(n))) n else prefix(n)
     val cold = names.map(n => n -> once(n)).toMap
     val warm = names.map(n => n -> once(n)).toMap
-    val qs = names.map(n => s"\"$n\":${warm(n)}").mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = names.map(n => s""""${key(n)}":${fmt(warm(n))}""").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val failed = names.filter(n => cold(n) < 0 || warm(n) < 0)
-    val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
+    val failedJson = failed.map(n => s""""${key(n)}"""").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""cold_total":${fmt(coldTotal)},"failed":$failedJson,"sf":"$sfDir"}"""
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
+    // stop() BEFORE the println so no executor/log line can land after the
+    // JSON and push it out of the harness's tail window
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
   }
 }
