@@ -17,7 +17,7 @@ object SparkEntry {
     IngestParity.defs ++ Analytics.defs ++ ReshapeQueries.defs ++
       BehaviorQueries.defs ++ Joins.defs ++ Windows.defs ++
       SetsAndScalars.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      TextAnalysisQueries.defs ++ CurationQueries.defs ++
+      TextAnalysisQueries.defs ++ CurationQueries.defs ++ QualityQueries.defs ++
       MultimodalQueries.defs ++ StreamingQueries.defs ++ ScaleQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

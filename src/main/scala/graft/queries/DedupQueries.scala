@@ -421,6 +421,40 @@ object DedupQueries {
           col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           round(jaccard(col("a.grams"), col("b.grams")), 6).as("gram_jaccard"))
         .orderBy("da", "db")
+    },
+
+    // X1+/Q22c — sub-document duplication: per document, the fraction of its
+    // distinct 3-token shingles that also occur in at least one OTHER
+    // document — the span-level dedup signal (boilerplate detection) that
+    // doc-level hashing misses. Shape: explode the (already materialized)
+    // distinct shingle-hash sets, aggregate document frequency per hash,
+    // join back, re-aggregate per doc — two shuffles, both on keys with
+    // bounded cardinality growth, the standard corpus-scale recipe. At
+    // 100 TB the df table is the corpus-wide shingle index; heavy-hitter
+    // shingle hashes (boilerplate) are exactly the skewed keys AQE splits.
+    QueryDef(
+      "q22c_dup_ngram_frac",
+      s"""WITH $sqlSigCtes,
+         |ex AS (SELECT doc_id, unnest(shash) AS h FROM shd),
+         |df AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h)
+         |SELECT ex.doc_id, COUNT(*) AS n_shingles,
+         |  SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS n_shared,
+         |  round(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         |    AS shared_frac
+         |FROM ex JOIN df ON ex.h = df.h
+         |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin) { (s, dir) =>
+      // shash is distinct per doc, so COUNT per hash = document frequency
+      val ex = sigTable(s, dir).select(col("doc_id"), explode(col("shash")).as("h"))
+      val df = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      ex.join(df, "h")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(
+          col("doc_id"), col("n_shingles"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_shingles"), 6).as("shared_frac"))
+        .orderBy("doc_id")
     }
   )
 }
