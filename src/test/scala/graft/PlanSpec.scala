@@ -67,4 +67,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q25i/q25j: redaction and split assignment ride the scan (no shuffle but the sort)") {
+    for (name <- Seq("q25i_pattern_redaction", "q25j_split_assign")) {
+      val p = plan(name)
+      // exactly one exchange: the final orderBy's range partitioning
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$name:\n$p")
+    }
+  }
+
+  test("q25h: exploded union compresses map-side before each shuffle") {
+    val p = plan("q25h_quality_rules")
+    // partial+final for both aggregations = ≥4 HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // (doc_id,kind,v) agg + doc_id agg + final sort — nothing else shuffles
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q24g: both top-k sides reuse the bounded aggregator over broadcast candidates") {
+    val p = plan("q24g_recall_eval")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("vec_dot"))
+    assert(p.contains("topkbyscore"), "top-k must stay the bounded aggregator")
+    // (the final brute⟕ivf eval join is NQueries×K rows — its join strategy
+    // is irrelevant at any scale, so it is deliberately not constrained)
+  }
 }
