@@ -187,6 +187,41 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // A7+/Q06c — MERGEABLE sketch rollup: per-(day, type) HLL sketches of
+    // user_id, unioned per type with hll_union_agg, then estimated. The
+    // point vs q06b is re-aggregation WITHOUT re-scan: at 100 TB the daily
+    // sketch table is the materialized rollup input, and any coarser
+    // grouping (weekly, global) is a union of kilobyte sketches instead of
+    // another pass over the events — the pre-aggregation contract exact
+    // COUNT(DISTINCT) can never offer (distinct counts don't add).
+    // Cross-engine contract mirrors q06b: exact count + a tolerance flag
+    // (sketch bytes are engine-specific), plus the number of daily partials
+    // merged, which DuckDB recomputes as COUNT(DISTINCT day).
+    QueryDef(
+      "q06c_sketch_rollup",
+      """SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_partials,
+        |COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val daily = events
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = daily
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_partials"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = events
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, Seq("event_type"))
+        .select(
+          col("event_type"), col("n_partials"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.15).as("approx_ok"))
+        .orderBy("event_type")
+    },
+
     // A5/Q07 — purchase conversion rate per day: distinct purchasers over
     // distinct viewers (conditional distinct aggregation, one shuffle).
     QueryDef(

@@ -252,6 +252,60 @@ object BehaviorQueries {
         .orderBy("user_id", "run")
     },
 
+    // Q36b — snapshot reconciliation (the replica-audit / data-quality
+    // operator): diff the per-user latest-state snapshot computed from the
+    // source of truth against the same snapshot computed from a replica
+    // that lost writes (simulated: every event_id % 97 == 0 dropped), and
+    // classify each user as ok / behind (history incomplete but current row
+    // intact) / stale (current row wrong) / missing (user absent from the
+    // replica). Both snapshots are max-of-struct compactions (map-side
+    // partials, one shuffle each on user_id) and the diff is a full-outer
+    // join that reuses that same user_id partitioning — reconciling two
+    // 100 TB histories moves one compacted row per user per side, never the
+    // raw histories.
+    QueryDef(
+      "q36b_snapshot_diff",
+      """WITH src AS (
+        |  SELECT user_id, MAX(struct_pack(ts := ts, event_id := event_id)) AS last,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY user_id),
+        |rep AS (
+        |  SELECT user_id, MAX(struct_pack(ts := ts, event_id := event_id)) AS last,
+        |    COUNT(*) AS n
+        |  FROM events WHERE event_id % 97 <> 0 GROUP BY user_id)
+        |SELECT COALESCE(src.user_id, rep.user_id) AS user_id,
+        |  CASE WHEN rep.user_id IS NULL THEN 'missing'
+        |       WHEN src.last <> rep.last THEN 'stale'
+        |       WHEN src.n <> rep.n THEN 'behind'
+        |       ELSE 'ok' END AS status,
+        |  src.last.event_id AS src_event_id, rep.last.event_id AS rep_event_id,
+        |  src.n AS src_n, rep.n AS rep_n
+        |FROM src LEFT JOIN rep ON src.user_id = rep.user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      def snap(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"))).as("last"),
+            count(lit(1)).as("n"))
+      val events = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val src = snap(events)
+        .select(col("user_id"), col("last").as("s_last"), col("n").as("src_n"))
+      val rep = snap(events.filter(col("event_id") % 97 =!= 0))
+        .select(col("user_id").as("r_user"), col("last").as("r_last"), col("n").as("rep_n"))
+      // full_outer for generality (a replica-only key is a 'phantom' at a
+      // real reconciliation); with this replica ⊆ source it reduces to left
+      src.join(rep, col("user_id") === col("r_user"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("r_user")).as("user_id"),
+          when(col("r_user").isNull, "missing")
+            .when(col("s_last") =!= col("r_last"), "stale")
+            .when(col("src_n") =!= col("rep_n"), "behind")
+            .otherwise("ok").as("status"),
+          col("s_last.event_id").as("src_event_id"),
+          col("r_last.event_id").as("rep_event_id"),
+          col("src_n"), col("rep_n"))
+        .orderBy("user_id")
+    },
+
     // Q35 — user growth: first-seen day per user, daily new-user counts,
     // and the cumulative user base. The cumulative window is a global
     // ordered sum — but over at most one row per DAY (the daily aggregate),
