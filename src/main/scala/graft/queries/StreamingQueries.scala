@@ -88,6 +88,69 @@ object StreamingQueries {
       StreamRunner.toParquet(s, joined, "q19c").orderBy("view_id", "purchase_id")
     },
 
+    // T5+/Q19d — stream-stream LEFT OUTER interval join: every view, with
+    // its purchases in the following hour, or a null-extended row once the
+    // watermark proves no purchase can still arrive. The outer side is the
+    // part q19c can't express — null rows are emitted by state EVICTION, so
+    // the bounded replay needs flush punctuation: two far-future sentinel
+    // slices (maxFilesPerTrigger=1 → own micro-batches) advance the global
+    // watermark past the data's tail, then execute under it, evicting and
+    // null-emitting every unmatched real view. In production a live stream's
+    // own traffic advances the watermark; the sentinels are the bounded
+    // stand-in (same role as Flink's end-of-input watermark). Sentinel rows
+    // use user_id = -1 and are dropped from the BATCH read-back of the sink,
+    // NOT by an in-stream filter: Catalyst pushes a post-join `user_id >= 0`
+    // through the outer join and the watermark node into the parquet scan,
+    // which silently drops the watermark-driving sentinel rows at the source
+    // (observed: per-source offsets advanced, numInputRows 0, watermark
+    // pinned at maxTs - 1h, tail null rows never emitted).
+    // State is bounded: both sides evict at watermark + 1 h interval.
+    QueryDef(
+      "q19d_stream_outer_join",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_s
+        |FROM events v LEFT JOIN events p
+        |  ON v.user_id = p.user_id AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view'
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+      val src = Tables.events(s, dir)
+      val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+      // one 'view' + one 'purchase' sentinel per slice, so BOTH streams'
+      // watermarks (the global watermark is their min) move past the data
+      def flush(days: Int): org.apache.spark.sql.DataFrame =
+        s.range(1)
+          .select(explode(array(lit("view"), lit("purchase"))).as("event_type"))
+          .select(
+            lit(-days.toLong).as("event_id"),
+            (lit(maxTs) + expr(s"INTERVAL $days DAYS")).as("ts"),
+            lit(-1L).as("user_id"), col("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val sliceDir =
+        StreamRunner.writeSlices(Seq(src, flush(1), flush(2), flush(3)), "q19d")
+      val views = StreamRunner.openSlices(s, sliceDir, src.schema)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+        .withWatermark("vts", "1 hour")
+      val purchases = StreamRunner.openSlices(s, sliceDir, src.schema)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(
+          col("view_id"), col("purchase_id"), col("user_id"),
+          floor((unix_micros(col("pts")) - unix_micros(col("vts"))) / 1000000)
+            .as("gap_s"))
+      StreamRunner.toParquet(s, joined, "q19d")
+        .filter(col("user_id") >= 0)
+        .orderBy("view_id", "purchase_id")
+    },
+
     // T5/Q20 — watermark + tumbling event-time window counts. Complete mode
     // so every window is emitted for the bounded replay (append would hold
     // back windows past the final watermark).

@@ -81,6 +81,26 @@ object StreamRunner {
       .parquet(dir)
   }
 
+  /** Ordered multi-batch replay: write each slice as its own file-source
+    * commit (modification-time order = slice order) so that, opened with
+    * `maxFilesPerTrigger=1` via `openSlices`, slice k is exactly micro-batch
+    * k. Callers append far-future sentinel slices as EOF/flush punctuation:
+    * watermark-gated emissions (outer-join null rows, final append-mode
+    * windows) need one batch that ADVANCES the watermark past the data's
+    * tail and a later batch that EXECUTES under it — a live stream gets both
+    * for free from continuing traffic, a bounded replay must punctuate.
+    * Returns the dir; call `openSlices` once per required source instance
+    * (twice for a self-join's two sides). */
+  def writeSlices(slices: Seq[DataFrame], tag: String): String = {
+    val dir = tempDir(s"slices_$tag")
+    slices.foreach(_.coalesce(1).write.mode("append").parquet(dir))
+    dir
+  }
+
+  def openSlices(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+
   /** State partitions for harness-scale streaming queries. Stateful
     * streaming fixes its shuffle-partition count into the checkpoint at the
     * first batch, and per-batch state-store overhead scales with it — 32
