@@ -126,8 +126,11 @@ object StreamingQueries {
             (lit(maxTs) + expr(s"INTERVAL $days DAYS")).as("ts"),
             lit(-1L).as("user_id"), col("event_type"),
             lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      // exactly two sentinel slices: the first ADVANCES the watermark past
+      // the data's tail, the second EXECUTES under it (eviction uses the
+      // watermark committed at the end of the previous batch)
       val sliceDir =
-        StreamRunner.writeSlices(Seq(src, flush(1), flush(2), flush(3)), "q19d")
+        StreamRunner.writeSlices(Seq(src, flush(1), flush(2)), "q19d")
       val views = StreamRunner.openSlices(s, sliceDir, src.schema)
         .filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))

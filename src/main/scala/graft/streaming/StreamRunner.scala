@@ -92,9 +92,14 @@ object StreamRunner {
     * Returns the dir; call `openSlices` once per required source instance
     * (twice for a self-join's two sides). */
   def writeSlices(slices: Seq[DataFrame], tag: String): String = {
-    val dir = tempDir(s"slices_$tag")
-    slices.foreach(_.coalesce(1).write.mode("append").parquet(dir))
-    dir
+    val key = slices.map(s => s"${graft.SessionToken(s.sparkSession)}|" +
+      s"${s.schema.catalogString}|" +
+      s"${s.queryExecution.logical.canonicalized.semanticHash()}").mkString("+")
+    replayCache.computeIfAbsent(key, { _ =>
+      val dir = tempDir(s"slices_$tag")
+      slices.foreach(_.coalesce(1).write.mode("append").parquet(dir))
+      dir
+    })
   }
 
   def openSlices(spark: SparkSession, dir: String,
