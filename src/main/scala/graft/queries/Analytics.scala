@@ -118,6 +118,35 @@ object Analytics {
         .orderBy("event_type", "hr")
     },
 
+    // A1+++/Q03d — gap-fill by last observation carried forward (LOCF):
+    // the other standard resample policy besides q03b's zero-fill. Gaps in
+    // the dense grid (cnt = 0 ⟺ no events that hour, since the counts agg
+    // only emits observed slots) become NULL and are filled with the most
+    // recent observed hourly count via `last(_, ignoreNulls)` over an
+    // ordered per-type window; hours before the first observation stay
+    // NULL. The window runs over the tiny hourly AGGREGATE (24·days rows
+    // per type), never the raw events — same scale posture as q03c; the
+    // per-type partition is the window's shuffle key.
+    QueryDef(
+      "q03d_gap_fill_locf",
+      s"""WITH $sqlGridCtes
+         |SELECT hr, event_type,
+         |  last_value(NULLIF(cnt, 0) IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY hr
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_locf,
+         |  cnt > 0 AS observed
+         |FROM grid ORDER BY event_type, hr""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      denseHourlyGrid(s, dir)
+        .select(col("hr"), col("event_type"),
+          last(nullif(col("cnt"), lit(0L)), ignoreNulls = true).over(w)
+            .as("cnt_locf"),
+          (col("cnt") > 0).as("observed"))
+        .orderBy("event_type", "hr")
+    },
+
     // A2/Q04 — most visited keys, top-10 (reference
     // images/most_visited_subcategories.png); TakeOrderedAndProject, no
     // global sort. Ties broken on the key for cross-engine determinism.

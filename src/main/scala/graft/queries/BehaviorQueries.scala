@@ -205,6 +205,45 @@ object BehaviorQueries {
         .orderBy("user_id")
     },
 
+    // Q34c — incremental AGGREGATE maintenance: the algebraic-aggregate
+    // twin of q06c's sketch rollup and q34b's last-writer-wins merge. A
+    // per-user aggregate state table (count, exact-decimal value sum,
+    // min/max ts) maintained incrementally: base state (events before the
+    // cutoff — in production a stored agg table, NOT re-scanned) unioned
+    // with the delta partition's state and re-aggregated with the merge
+    // combinators (counts add, sums add, min-of-mins, max-of-maxes; avg is
+    // NOT maintained — it recomposes as merged_sum / merged_count). The
+    // merge shuffles one state row per user per side, never raw history.
+    // Oracle = the direct full-scan aggregate (merge ≡ direct is the
+    // algebraic law being asserted).
+    QueryDef(
+      "q34c_incremental_agg",
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS value_avg,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      def state(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 6))).as("sv"),
+            min(col("ts")).as("fts"), max(col("ts")).as("lts"))
+      val events = Tables.events(s, dir)
+      val base = state(events.filter(col("ts") < cutoff))
+      val delta = state(events.filter(col("ts") >= cutoff))
+      base.unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"), sum(col("sv")).as("msv"),
+          min(col("fts")).as("first_ts"), max(col("lts")).as("last_ts"))
+        .select(col("user_id"), col("n_events"),
+          col("msv").cast("double").as("value_sum"),
+          (col("msv").cast("double") / col("n_events")).as("value_avg"),
+          col("first_ts"), col("last_ts"))
+        .orderBy("user_id")
+    },
+
     // Q36 — SCD type-2 state history: collapse each user's consecutive
     // runs of the same event_type into validity intervals
     // [valid_from, valid_to), open-ended (and flagged current) on the last

@@ -108,6 +108,34 @@ object Windows {
         .withColumn("quartile", ntile(4).over(wOrd))
         .select("event_id", "user_id", "hour_value", "first_type", "last_type", "quartile")
         .orderBy("user_id", "event_id")
+    },
+
+    // W1+/Q16c — the remaining rank family: dense_rank, percent_rank,
+    // cume_dist over each user's events by value. percent_rank and
+    // cume_dist are exact rationals of integer rank/count — (r-1)/(n-1)
+    // and r'/n evaluate to the identical double in any engine, so they
+    // hash-match without a decimal detour. All four share one
+    // (user_id)-partitioned sort; ties broken on event_id for
+    // cross-engine determinism.
+    QueryDef(
+      "q16c_rank_battery",
+      """SELECT event_id, user_id,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

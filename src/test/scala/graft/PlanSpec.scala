@@ -84,6 +84,27 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q06c: sketch rollup re-aggregates partials, never re-scans for the union") {
+    val p = plan("q06c_sketch_rollup")
+    // the HLL path must be partial (map-side) sketch agg → union agg of the
+    // daily partials; plus the exact-count branch = exactly 2 event scans
+    assert(p.contains("hll_sketch_agg"), p)
+    assert(p.contains("hll_union_agg"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "union rollup must consume daily sketches, not re-scan events")
+  }
+
+  test("q36b: both snapshots shuffle once on user_id; the diff join reuses it") {
+    val p = plan("q36b_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    // two agg exchanges (one per snapshot) + the final orderBy range
+    // exchange — the full-outer join itself must NOT add a shuffle
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    // max-of-struct compaction aggregates partially before the shuffle
+    // (struct max is not hash-aggregable — it lowers to SortAggregate)
+    assert("partial_max".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q24g: both top-k sides reuse the bounded aggregator over broadcast candidates") {
     val p = plan("q24g_recall_eval")
     assert(p.contains("BroadcastNestedLoopJoin"))
