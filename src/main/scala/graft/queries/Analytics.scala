@@ -147,6 +147,42 @@ object Analytics {
         .orderBy("event_type", "hr")
     },
 
+    // A1++++/Q03e — EWMA smoothing over the dense hourly grid: the
+    // time-series denoising pass a monitoring/forecasting consumer runs on
+    // resampled counts. True EWMA is an order-dependent recurrence over
+    // doubles (not cross-engine reproducible, and a running fold at that);
+    // this is the standard truncated form — 8 lags with half-life-1
+    // weights 2^-k — which windows over the TINY hourly aggregate and
+    // stays in integer arithmetic until one final division: weights are
+    // scaled to integers (128, 64, …, 1), the numerator and the
+    // availability-normalized denominator are BIGINT sums, so both engines
+    // divide the same two integers. Leading rows (fewer than 8 lags
+    // available) normalize by the weights actually present.
+    QueryDef(
+      "q03e_ewma_hourly",
+      s"""WITH $sqlGridCtes
+         |SELECT hr, event_type, cnt,
+         |  (${(0 to 7).map(k => s"COALESCE(lag(cnt, $k) OVER w * ${1L << (7 - k)}, 0)")
+               .mkString(" + ")}) /
+         |  (${(0 to 7).map(k =>
+                s"CASE WHEN lag(cnt, $k) OVER w IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END")
+               .mkString(" + ")}) AS ewma
+         |FROM grid
+         |WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+         |ORDER BY event_type, hr""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val num = (0 to 7).map(k =>
+        coalesce(lag(col("cnt"), k).over(w) * lit(1L << (7 - k)), lit(0L)))
+        .reduce(_ + _)
+      val den = (0 to 7).map(k =>
+        when(lag(col("cnt"), k).over(w).isNotNull, lit(1L << (7 - k))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      denseHourlyGrid(s, dir)
+        .select(col("hr"), col("event_type"), col("cnt"), (num / den).as("ewma"))
+        .orderBy("event_type", "hr")
+    },
+
     // A2/Q04 — most visited keys, top-10 (reference
     // images/most_visited_subcategories.png); TakeOrderedAndProject, no
     // global sort. Ties broken on the key for cross-engine determinism.

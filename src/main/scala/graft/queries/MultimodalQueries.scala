@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextHash
 import graft.operators.Multimodal
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -70,6 +71,59 @@ object MultimodalQueries {
           col("n_frames").cast("long").as("n_frames"),
           col("checksum"))
         .orderBy("media_id")
+    },
+
+    // X5+/Q26c — media near-dup by frame fingerprints: chunk each payload
+    // body into fixed 64-byte "frames", fingerprint each frame, and pair
+    // media sharing frames — the chunk-hash dedup a video/image pipeline
+    // runs where text dedup runs MinHash. Shape at 100 TB: fingerprints
+    // ride the scan (per-row expression), the pair producer is a blocked
+    // EQUI-join on the frame hash (never all-pairs), shared-frame counts
+    // are one hash agg, and set sizes join back on media_id — all linear;
+    // a heavy-hitter frame (e.g. an all-black frame) is AQE's skew-join
+    // case, same as a hot LSH bucket. Fixed-size chunking is
+    // shift-sensitive (an insertion re-aligns every later frame) — the
+    // production upgrade is content-defined boundaries via the rolling
+    // hash in `TextHash.fingerprint`, same plan shape. The synthetic
+    // payload body is the UTF-8 text (ASCII corpus: chars == bytes), so
+    // the oracle chunks the same string the engine's payload carries.
+    QueryDef(
+      "q26c_frame_neardup",
+      s"""WITH f AS (SELECT doc_id AS media_id,
+         |  list_distinct(list_transform(generate_series(1, length(text), 64),
+         |    p -> ${TextHash.sqlHash32("substring(text, p, 64)")})) AS fps
+         |  FROM documents),
+         |s AS (SELECT media_id, len(fps) AS nf FROM f),
+         |e AS (SELECT media_id, unnest(fps) AS fp FROM f),
+         |p AS (SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS shared
+         |      FROM e a JOIN e b ON a.fp = b.fp AND a.media_id < b.media_id
+         |      GROUP BY 1, 2)
+         |SELECT media_a, media_b, shared, sa.nf AS nf_a, sb.nf AS nf_b,
+         |  shared / (sa.nf + sb.nf - shared) AS frame_jaccard
+         |FROM p JOIN s sa ON sa.media_id = media_a
+         |       JOIN s sb ON sb.media_id = media_b
+         |WHERE shared / (sa.nf + sb.nf - shared) >= 0.5
+         |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
+      val f = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          array_distinct(transform(
+            sequence(lit(1), length(col("text")), lit(64)),
+            p => TextHash.hash32(col("text").substr(p, lit(64))))).as("fps"))
+      val sizes = f.select(col("media_id"), size(col("fps")).cast("long").as("nf"))
+      val e = f.select(col("media_id"), explode(col("fps")).as("fp"))
+      val pairs = e.as("a")
+        .join(e.as("b"),
+          col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+        .agg(count(lit(1)).as("shared"))
+      val jacc = col("shared") / (col("nf_a") + col("nf_b") - col("shared"))
+      pairs
+        .join(sizes.select(col("media_id").as("media_a"), col("nf").as("nf_a")), "media_a")
+        .join(sizes.select(col("media_id").as("media_b"), col("nf").as("nf_b")), "media_b")
+        .filter(jacc >= 0.5)
+        .select(col("media_a"), col("media_b"), col("shared"),
+          col("nf_a"), col("nf_b"), jacc.as("frame_jaccard"))
+        .orderBy("media_a", "media_b")
     }
   )
 }

@@ -42,6 +42,68 @@ object ScaleQueries {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("n_name")
+    },
+
+    // Q38 — z-order layout stats: the multi-dimensional clustering key
+    // behind data-skipping file layouts (Delta/Iceberg OPTIMIZE ZORDER).
+    // Interleaving the bits of (user bucket, hour-of-day) gives a 1-D sort
+    // key whose consecutive blocks cover small RECTANGLES of the 2-D key
+    // space, so per-file min/max stats prune scans filtered on EITHER
+    // dimension; insertion order ("rowid" blocks of the same cardinality)
+    // covers the full domain per block and prunes nothing. The query emits
+    // both layouts' per-block (count, min/max per dim, bounding-box area)
+    // so the skipping win is directly visible in the output — at 100 TB
+    // "block" is the file produced by repartitionByRange(zkey) +
+    // sortWithinPartitions(zkey), and these stats are the footer stats the
+    // scan planner prunes on. Pure integer bit arithmetic on both engines.
+    QueryDef(
+      "q38_zorder_stats",
+      s"""WITH pts AS (SELECT event_id, user_id % 64 AS x,
+         |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y FROM events),
+         |z AS (SELECT x, y, ${sqlZInterleave("x", "y", 6)} AS zval FROM pts),
+         |zb AS (SELECT 'zorder' AS layout, zval >> 6 AS block, COUNT(*) AS cnt,
+         |       MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+         |       FROM z GROUP BY block),
+         |rb AS (SELECT 'rowid' AS layout, event_id >> 8 AS block, COUNT(*) AS cnt,
+         |       MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+         |       FROM pts GROUP BY block)
+         |SELECT layout, block, cnt, x_min, x_max, y_min, y_max,
+         |  (x_max - x_min + 1) * (y_max - y_min + 1) AS bbox_area
+         |FROM (SELECT * FROM zb UNION ALL SELECT * FROM rb)
+         |ORDER BY layout, block""".stripMargin) { (s, dir) =>
+      val pts = Tables.events(s, dir)
+        .select(col("event_id"), (col("user_id") % 64).as("x"),
+          hour(col("ts")).cast("long").as("y"))
+      def stats(df: org.apache.spark.sql.DataFrame, layout: String,
+                block: org.apache.spark.sql.Column) =
+        df.groupBy(block.as("block"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+          .select(lit(layout).as("layout"), col("block"), col("cnt"),
+            col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      val zb = stats(pts.withColumn("zval", zInterleave(col("x"), col("y"), 6)),
+        "zorder", shiftright(col("zval"), 6))
+      val rb = stats(pts, "rowid", shiftright(col("event_id"), 8))
+      zb.unionByName(rb)
+        .withColumn("bbox_area",
+          (col("x_max") - col("x_min") + 1) * (col("y_max") - col("y_min") + 1))
+        .orderBy("layout", "block")
     }
   )
+
+  /** Bit-interleaved z-value of two non-negative ints: bit i of `x` lands
+    * at position 2i, bit i of `y` at 2i+1 — generated identically as a
+    * Column tree and as the DuckDB SQL fragment. */
+  private def zInterleave(x: org.apache.spark.sql.Column,
+                          y: org.apache.spark.sql.Column, bits: Int) =
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def sqlZInterleave(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
 }

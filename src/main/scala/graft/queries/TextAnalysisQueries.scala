@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.functions.TextHash.{sqlTokens, tokens}
+import graft.functions.TextHash.{hash32, sqlHash32, sqlTokens, tokens}
+import graft.functions.TopKByScore
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -59,6 +60,20 @@ object TextAnalysisQueries {
     }
     s"CASE ${cases.mkString(" ")} ELSE '${scores.last._1}' END"
   }
+
+  /** BM25 query set, shared between the DataFrame form and the VALUES CTE.
+    * Terms come from the corpus vocabulary (TESTDATA.md). */
+  private val QueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "stream", 2L -> "window", 2L -> "group",
+    3L -> "slow", 3L -> "scan", 3L -> "filter")
+
+  private val SqlQueryTerms: String =
+    QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Count-min sketch geometry: d hash rows × w buckets. */
+  private val CmsD = 4
+  private val CmsW = 512
 
   val defs: Seq[QueryDef] = Seq(
     // X4/Q25 — per-doc stats + quality score: whitespace and BPE-ish token
@@ -216,6 +231,137 @@ object TextAnalysisQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)
+    },
+
+    // X4++/Q25k — BM25 keyword search: rank documents against a small
+    // keyword query set (the retrieval half of a data-curation /
+    // RAG-indexing pipeline; tf-idf's saturated, length-normalized
+    // successor). Shape at 100 TB: the corpus is scanned ONCE into a
+    // materialized (doc_id, term, tf, dl) postings table — the inverted
+    // index you keep anyway — and everything else derives from it: df and
+    // the corpus stats are small re-reads of the postings parquet (Spark
+    // does not CSE across DataFrame branches, so without materializing,
+    // each derived frame would re-scan and re-tokenize the raw corpus);
+    // both are kilobyte frames broadcast back onto it. The per-query top-5
+    // goes through the bounded `TopKByScore` aggregator, so each map task
+    // ships at most 5 rows per query — a handful of query partitions never
+    // funnels the corpus through one reducer the way a row_number window
+    // would.
+    //
+    // Cross-engine determinism: k1=1.5, b=0.75 (binary-exact constants),
+    // log-free idf (n-df+0.5)/(df+0.5) — every per-term score is the same
+    // chain of IEEE ops on the same integers in both engines, hence
+    // bit-identical; the order-dependent SUM over matched terms runs on
+    // floor(score·1e6) BIGINTs, which add associatively.
+    QueryDef(
+      "q25k_bm25_search",
+      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf, MIN(dl) AS dl
+         |       FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM src)
+         |       GROUP BY doc_id, t),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_tok FROM src),
+         |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $SqlQueryTerms) v(query_id, term)),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    SUM(CAST(floor(
+         |      ((n_docs - df + 0.5) / (df + 0.5)) *
+         |      ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (dl / (total_tok / n_docs))))) *
+         |      1000000.0) AS BIGINT)) AS score_fp
+         |  FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY q.query_id, tf.doc_id),
+         |r AS (SELECT query_id, doc_id, score_fp,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score_fp DESC, doc_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, rank, doc_id, score_fp / 1000000.0 AS score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tf = Materialize(s, dir, "bm25_tf")(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl")))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // n_docs / total_tok off the postings table: every doc has ≥1 token
+      // (empty text tokenizes to [""]), and Σ tf = Σ dl = total tokens
+      val stats = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dtoks"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dtoks")).as("total_tok"))
+      val qterms = QueryTerms.toDF("query_id", "term")
+      val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val norm = (col("tf") * lit(2.5)) /
+        (col("tf") + lit(1.5) * (lit(0.25) +
+          lit(0.75) * (col("dl") / (col("total_tok") / col("n_docs")))))
+      val topk = udaf(new TopKByScore(5))
+      tf
+        .join(broadcast(qterms), "term")
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"),
+          floor(idf * norm * lit(1000000.0)).cast("long").as("fp"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("fp")).as("score_fp"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score_fp").cast("double"), col("doc_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("r", "s")))
+        .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
+          col("s").getField("_2").as("doc_id"),
+          (col("s").getField("_1") / lit(1000000.0)).as("score"))
+        .orderBy("query_id", "rank")
+    },
+
+    // X4++/Q25l — count-min-sketch heavy hitters: the fixed-size mergeable
+    // sketch for frequency estimation on unbounded token streams. The
+    // sketch is d=4 hash rows × w=512 buckets of integer counts — built
+    // with ONE explode + hash agg (map-side partials merge sketches
+    // exactly, the CMS property), bounded at 2048 cells no matter the
+    // corpus size. Estimates (min over the 4 rows' cells) are checked
+    // against the exact top-20 counts; CMS never underestimates, so the
+    // `sound` flag is provably TRUE and both engines agree exactly —
+    // every count is integer arithmetic over the shared md5 hash.
+    QueryDef(
+      "q25l_cms_heavy_hitters",
+      s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS t FROM documents),
+         |rs AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r),
+         |cms AS (SELECT r, ${sqlHash32(s"concat(r, ':', t)")} % $CmsW AS b,
+         |        COUNT(*) AS cnt
+         |        FROM tok CROSS JOIN rs GROUP BY r, b),
+         |top AS (SELECT t, COUNT(*) AS exact_cnt FROM tok
+         |        GROUP BY t ORDER BY exact_cnt DESC, t LIMIT 20),
+         |cand AS (SELECT t, exact_cnt, r,
+         |         ${sqlHash32(s"concat(r, ':', t)")} % $CmsW AS b
+         |         FROM top CROSS JOIN rs)
+         |SELECT t AS token, exact_cnt, MIN(cnt) AS cms_est,
+         |       MIN(cnt) >= exact_cnt AS sound
+         |FROM cand JOIN cms USING (r, b)
+         |GROUP BY t, exact_cnt ORDER BY exact_cnt DESC, token""".stripMargin) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("t"))
+      def bucket(r: Column, t: Column): Column =
+        hash32(concat(r.cast("string"), lit(":"), t)) % CmsW
+      val rows = tok.select(col("t"),
+        explode(array((0 until CmsD).map(r => lit(r.toLong)): _*)).as("r"))
+      val cms = rows
+        .select(col("r"), bucket(col("r"), col("t")).as("b"))
+        .groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = tok.groupBy(col("t"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("t"))
+        .limit(20)
+      top
+        .select(col("t"), col("exact_cnt"),
+          explode(array((0 until CmsD).map(r => lit(r.toLong)): _*)).as("r"))
+        .withColumn("b", bucket(col("r"), col("t")))
+        .join(broadcast(cms), Seq("r", "b"))
+        .groupBy(col("t"), col("exact_cnt"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("t").as("token"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") >= col("exact_cnt")).as("sound"))
+        .orderBy(col("exact_cnt").desc, col("token"))
     }
   )
 }

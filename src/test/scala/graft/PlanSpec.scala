@@ -105,6 +105,30 @@ class PlanSpec extends SparkSpec {
     assert("partial_max".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q25k: BM25 scans the raw corpus zero times (postings reused), joins broadcast") {
+    val p = plan("q25k_bm25_search")
+    // tf/df/stats all read the materialized postings parquet — the raw
+    // documents table was tokenized exactly once, at materialization
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // per-query top-5 via the bounded aggregator, not a rank window
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("RunningWindowFunction"), p)
+  }
+
+  test("q25l: CMS sketch joins broadcast; corpus tokenized at most twice") {
+    val p = plan("q25l_cms_heavy_hitters")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q38: both layouts aggregate straight off pruned scans, no join") {
+    val p = plan("q38_zorder_stats")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:"), p)
+  }
+
   test("q24g: both top-k sides reuse the bounded aggregator over broadcast candidates") {
     val p = plan("q24g_recall_eval")
     assert(p.contains("BroadcastNestedLoopJoin"))
