@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
 object Joins {
   import Det._
 
+  /** One statement, both engines (ANSI subset both parse) — see Q39. */
+  private val Q39Sql =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_finished
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // J1/Q09 — broadcast hash equi-join: fact ⋈ small dim.
     QueryDef(
@@ -148,6 +161,23 @@ object Joins {
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "prior_view_ts")
         .orderBy("user_id", "event_id")
+    },
+
+    // Q39 — the SQL surface + subquery decorrelation: correlated EXISTS /
+    // NOT EXISTS and two correlated scalar COUNT subqueries, submitted as
+    // SQL TEXT through `spark.sql` over registered views (the engine's
+    // second API). A naive engine executes a per-row subquery loop
+    // (quadratic, driver-bound); Catalyst decorrelates every form into
+    // joins — EXISTS → left-semi, NOT EXISTS → left-anti, scalar COUNT →
+    // aggregate + left-outer with the empty-group 0 fixup — so the plan is
+    // four shuffled/broadcast joins that scale like q10-q12. The identical
+    // statement runs on DuckDB, which does its own unnesting: one SQL
+    // string, two optimizers, same rows. PlanSpec pins the decorrelated
+    // shape (no per-row subquery nodes in the physical plan).
+    QueryDef("q39_sql_subqueries", Q39Sql) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(Q39Sql)
     }
   )
 }

@@ -315,22 +315,26 @@ object TextAnalysisQueries {
 
     // X4++/Q25l — count-min-sketch heavy hitters: the fixed-size mergeable
     // sketch for frequency estimation on unbounded token streams. The
-    // sketch is d=4 hash rows × w=512 buckets of integer counts — built
-    // with ONE explode + hash agg (map-side partials merge sketches
-    // exactly, the CMS property), bounded at 2048 cells no matter the
-    // corpus size. Estimates (min over the 4 rows' cells) are checked
-    // against the exact top-20 counts; CMS never underestimates, so the
-    // `sound` flag is provably TRUE and both engines agree exactly —
-    // every count is integer arithmetic over the shared md5 hash.
+    // sketch is d=4 hash rows × w=512 buckets of integer counts, bounded
+    // at 2048 cells no matter the corpus size. The corpus is tokenized and
+    // counted ONCE (explode + hash agg with map-side partials); the d×
+    // fan-out, hashing, and cell sums then run over the tiny per-token
+    // count frame — summing counts into cells is exactly the occurrence-
+    // level sketch, 4× cheaper to build. Estimates (min over the 4 rows'
+    // cells) are checked against the exact top-20 counts; CMS never
+    // underestimates, so the `sound` flag is provably TRUE and both
+    // engines agree exactly — every count is integer arithmetic over the
+    // shared md5 hash.
     QueryDef(
       "q25l_cms_heavy_hitters",
       s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS t FROM documents),
+         |tc AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
          |rs AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r),
          |cms AS (SELECT r, ${sqlHash32(s"concat(r, ':', t)")} % $CmsW AS b,
-         |        COUNT(*) AS cnt
-         |        FROM tok CROSS JOIN rs GROUP BY r, b),
-         |top AS (SELECT t, COUNT(*) AS exact_cnt FROM tok
-         |        GROUP BY t ORDER BY exact_cnt DESC, t LIMIT 20),
+         |        CAST(SUM(cnt) AS BIGINT) AS cnt
+         |        FROM tc CROSS JOIN rs GROUP BY r, b),
+         |top AS (SELECT t, cnt AS exact_cnt FROM tc
+         |        ORDER BY exact_cnt DESC, t LIMIT 20),
          |cand AS (SELECT t, exact_cnt, r,
          |         ${sqlHash32(s"concat(r, ':', t)")} % $CmsW AS b
          |         FROM top CROSS JOIN rs)
@@ -338,18 +342,20 @@ object TextAnalysisQueries {
          |       MIN(cnt) >= exact_cnt AS sound
          |FROM cand JOIN cms USING (r, b)
          |GROUP BY t, exact_cnt ORDER BY exact_cnt DESC, token""".stripMargin) { (s, dir) =>
-      val tok = Tables.documents(s, dir)
-        .select(explode(tokens(col("text"))).as("t"))
       def bucket(r: Column, t: Column): Column =
         hash32(concat(r.cast("string"), lit(":"), t)) % CmsW
-      val rows = tok.select(col("t"),
+      val tc = Materialize(s, dir, "q25l_tc")(
+        Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("t"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("cnt")))
+      val fan = tc.select(col("t"), col("cnt"),
         explode(array((0 until CmsD).map(r => lit(r.toLong)): _*)).as("r"))
-      val cms = rows
-        .select(col("r"), bucket(col("r"), col("t")).as("b"))
+      val cms = fan
+        .select(col("r"), bucket(col("r"), col("t")).as("b"), col("cnt"))
         .groupBy(col("r"), col("b"))
-        .agg(count(lit(1)).as("cnt"))
-      val top = tok.groupBy(col("t"))
-        .agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val top = tc.select(col("t"), col("cnt").as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("t"))
         .limit(20)
       top

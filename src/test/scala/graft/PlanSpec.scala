@@ -129,6 +129,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<event_id:bigint,ts:"), p)
   }
 
+  test("q39: every correlated subquery decorrelates to a join — no per-row loops") {
+    val p = plan("q39_sql_subqueries")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the two scalar COUNT subqueries become aggregate + outer join
+    assert("Join".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("InSubqueryExec"), p)
+  }
+
   test("q24g: both top-k sides reuse the bounded aggregator over broadcast candidates") {
     val p = plan("q24g_recall_eval")
     assert(p.contains("BroadcastNestedLoopJoin"))
