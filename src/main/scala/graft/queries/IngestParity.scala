@@ -127,6 +127,46 @@ object IngestParity {
           EcommerceOps.decodeField(col("m"), 2).as("d_event_type"),
           EcommerceOps.decodeField(col("m"), 3).cast("long").as("d_user_id"))
         .orderBy("event_id")
+    },
+
+    // S1+/Q40 — source/sink format breadth: round-trip the documents table
+    // through JSON-lines (the interchange format LLM corpora actually ship
+    // in) and ORC (the other columnar warehouse format), re-read each with
+    // an EXPLICIT schema (schema inference over a 100 TB JSONL lake is a
+    // full extra scan — always declare), and verify row counts and
+    // per-column equality against the original scan. The engine computes
+    // the verification itself (join on doc_id, null-safe column compares);
+    // the oracle pins the expectation: all rows back, zero mismatches.
+    QueryDef(
+      "q40_format_roundtrip",
+      """SELECT * FROM (
+        |  SELECT 'jsonl' AS fmt, (SELECT COUNT(*) FROM documents) AS n_rows,
+        |         CAST(0 AS BIGINT) AS n_mismatch
+        |  UNION ALL
+        |  SELECT 'orc', (SELECT COUNT(*) FROM documents), CAST(0 AS BIGINT)
+        |) ORDER BY fmt""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      def roundTrip(fmt: String): org.apache.spark.sql.DataFrame = {
+        val d = graft.TempDirs.create(s"graft_q40_${fmt}_")
+        fmt match {
+          case "jsonl" => docs.write.mode("overwrite").json(d)
+          case "orc"   => docs.write.mode("overwrite").orc(d)
+        }
+        val back = fmt match {
+          case "jsonl" => s.read.schema(docs.schema).json(d)
+          case "orc"   => s.read.schema(docs.schema).orc(d)
+        }
+        val o = docs.select(col("doc_id"), col("lang").as("o_lang"),
+          col("n_chars").as("o_n_chars"), col("text").as("o_text"))
+        back.join(o, "doc_id")
+          .select(when(col("lang") <=> col("o_lang") &&
+              col("n_chars") <=> col("o_n_chars") &&
+              col("text") <=> col("o_text"), 0L).otherwise(1L).as("bad"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("bad")).as("n_mismatch"))
+          .select(lit(fmt).as("fmt"), col("n_rows"), col("n_mismatch"))
+      }
+      roundTrip("jsonl").unionByName(roundTrip("orc")).orderBy("fmt")
     }
   )
 }

@@ -154,6 +154,29 @@ object StreamingQueries {
         .orderBy("view_id", "purchase_id")
     },
 
+    // T3+/Q19e — update-mode aggregation into an UPSERT (MERGE) sink: the
+    // keyed serving table a streaming warehouse maintains. Each micro-batch
+    // emits only the groups whose running aggregate changed; foreachBatch
+    // merges them by key into a versioned parquet state
+    // (`StreamRunner.toUpsert`) — replace-by-key, carry the rest — so the
+    // final table equals the batch aggregate however the input was sliced.
+    // Replayed as 3 deterministic slices so several distinct upsert rounds
+    // actually execute (AvailableNow over one file would be a single
+    // trivial merge). Exact-decimal sums keep the totals engine-identical.
+    QueryDef(
+      "q19e_stream_upsert",
+      s"""SELECT event_type, COUNT(*) AS cnt, ${Det.sqlSum("value")} AS value_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val src = Tables.events(s, dir)
+      val sliceDir = StreamRunner.writeSlices(
+        (0 until 3).map(k => src.filter(col("event_id") % 3 === k)), "q19e")
+      val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("value_sum"))
+      StreamRunner.toUpsert(s, stream, Seq("event_type"), "q19e")
+        .orderBy("event_type")
+    },
+
     // T5/Q20 — watermark + tumbling event-time window counts. Complete mode
     // so every window is emitted for the bounded replay (append would hold
     // back windows past the final watermark).

@@ -172,6 +172,48 @@ object StreamRunner {
     readSink(spark, out, sdf.schema)
   }
 
+  /** Run an update-mode streaming frame into a KEYED parquet state table:
+    * each micro-batch carries only the groups whose aggregate changed, and
+    * `foreachBatch` merges them in by key — old rows for the batch's keys
+    * are replaced (anti-join), everything else is carried forward — i.e.
+    * MERGE INTO of a warehouse sink, the standard way Structured Streaming
+    * maintains a keyed serving table. Each batch writes a NEW versioned dir
+    * (never in-place over the dir it is reading), so a retried batch id
+    * simply overwrites its own version — idempotent, preserving
+    * exactly-once from the checkpointed source offsets. */
+  def toUpsert(spark: SparkSession, sdf: DataFrame, keys: Seq[String],
+               tag: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = tempDir(s"upsert_$tag")
+    @volatile var current: Option[String] = None
+    withStateParts(spark) {
+      val q = sdf.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val ss = batch.sparkSession
+          val merged = current match {
+            case None => batch
+            case Some(dir) =>
+              ss.read.schema(sdf.schema).parquet(dir)
+                .join(batch.select(keys.map(col): _*), keys, "left_anti")
+                .unionByName(batch)
+          }
+          val v = s"$base/v$id"
+          merged.write.mode("overwrite").parquet(v)
+          current = Some(v)
+        }
+        .option("checkpointLocation", tempDir(s"chk_$tag"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitAndUnload(q, tag)
+    }
+    current match {
+      case Some(dir) => spark.read.schema(sdf.schema).parquet(dir)
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sdf.schema)
+    }
+  }
+
   /** Run an append-mode streaming frame to a parquet sink (row-level
     * results too big for the driver) and read the sink back. */
   def toParquet(spark: SparkSession, sdf: DataFrame, tag: String): DataFrame = {

@@ -133,4 +133,16 @@ class StreamingSpec extends SparkSpec {
       assert(ks === Seq("x", "y", "z"))
     } finally q.stop()
   }
+
+  test("toUpsert on an empty replay returns an empty frame with the stream's schema") {
+    import graft.sources.Tables
+    import graft.streaming.StreamRunner
+    val src = Tables.events(spark, sf).filter(col("event_id") < 0) // empty
+    val stream = StreamRunner.replay(spark, src, "upsert_empty")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = StreamRunner.toUpsert(spark, stream, Seq("event_type"), "upsert_empty")
+    assert(out.columns.toSeq === Seq("event_type", "cnt"))
+    assert(out.count() === 0L)
+  }
 }
