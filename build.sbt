@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time ..." trailer: the bench driver json-parses the
+// LAST line of captured stdout, and sbt's success line would land after
+// graft.Bench's JSON (BENCH_r02 recorded parsed:null for exactly this).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Forked run output must reach stdout RAW (no sbt "[info] " prefix): the
 // bench driver json-parses graft.Bench's final line, and a log prefix (or
 // stdout/stderr interleaving through sbt's logger) breaks that parse.

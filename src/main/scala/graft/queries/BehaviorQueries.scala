@@ -28,6 +28,18 @@ object BehaviorQueries {
     * the testdata's event density; the operator is gap-parametric). */
   private val GapMicros: Long = 24L * 3600 * 1000000
 
+  /** q42 fixed-point configuration, shared by the loop and the SQL. */
+  private val PrScale = 1000000000000L
+  private val PrIters = 3
+
+  private val sqlPrIterCtes: String = (1 to PrIters).map { k =>
+    s"""i$k AS (SELECT s.dst AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS inflow
+       |  FROM sym s JOIN p${k - 1} p ON s.src = p.node GROUP BY s.dst),
+       |p$k AS (SELECT d.node, d.deg, d.base,
+       |  d.base + (COALESCE(i.inflow, 0) * 85) // 100 AS pr
+       |  FROM p${k - 1} d LEFT JOIN i$k i USING (node))""".stripMargin
+  }.mkString(",\n")
+
   /** Shared sessionization CTEs (gap flag → running-sum session id), ending
     * in `s(user_id, ts, event_id, event_type, value, sid)`. */
   private val sqlSessionCtes =
@@ -370,6 +382,82 @@ object BehaviorQueries {
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("cum_users"))
         .orderBy("date")
+    },
+
+    // Q42 — PageRank over the co-purchase graph (part↔part edges from
+    // q32's pair mining, threshold 2), PrIters unrolled iterations as
+    // declarative plans: each round is ONE equi-join (edges ⋈ ranks on src)
+    // + ONE hash aggregation (inflow per dst) + a left join back onto the
+    // node set — the exact shape GraphX's Pregel lowers to, with no driver
+    // loop state beyond plan construction. All arithmetic is fixed-point
+    // BIGINT (rank mass scaled by 1e12; damping 0.85 as *85 DIV 100;
+    // per-edge contribution pr DIV deg), so both engines walk identical
+    // integer sequences — no float accumulation order to diverge. Edges +
+    // degrees materialize once and every round re-reads that parquet
+    // (lineage stays flat; at 100 TB the edge table is the thing you'd
+    // have on disk anyway, and each round is one shuffle on dst).
+    QueryDef(
+      "q42_pagerank",
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |      FROM op a JOIN op b
+         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |      GROUP BY pa, pb HAVING COUNT(*) >= 2),
+         |sym AS (SELECT pa AS src, pb AS dst FROM e
+         |        UNION ALL SELECT pb, pa FROM e),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+         |c AS (SELECT $PrScale // COUNT(*) AS pr0,
+         |             (($PrScale // COUNT(*)) * 15) // 100 AS base FROM deg),
+         |p0 AS (SELECT node, deg, base, pr0 AS pr FROM deg, c),
+         |${sqlPrIterCtes}
+         |SELECT node, deg, pr AS pr_int FROM p$PrIters
+         |ORDER BY pr_int DESC, node""".stripMargin) { (s, dir) =>
+      def graph(): (DataFrame, DataFrame) = {
+        // fresh parquet reads per call: every iteration joins the same node
+        // set, and reusing one DataFrame instance across its own lineage
+        // would make each round a self-join on shared attribute ids
+        val sym = Materialize(s, dir, "q42_sym") {
+          val e = Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey")).distinct()
+            .groupBy(col("l_orderkey"))
+            .agg(collect_set(col("l_partkey")).as("parts"))
+            .select(posexplode(col("parts")).as(Seq("i", "pa")), col("parts"))
+            .select(col("pa"), posexplode(col("parts")).as(Seq("j", "pb")))
+            .filter(col("pa") < col("pb"))
+            .groupBy(col("pa"), col("pb"))
+            .agg(count(lit(1)).as("n"))
+            .filter(col("n") >= 2)
+          e.select(col("pa").as("src"), col("pb").as("dst"))
+            .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+        }
+        val nodes = Materialize(s, dir, "q42_nodes") {
+          val deg = sym
+            .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .select(col("src").as("node"), col("deg"))
+          val consts = deg.agg(count(lit(1)).as("n"))
+            .select(expr(s"${PrScale}L DIV n").as("pr0"))
+            .select(col("pr0"), expr("pr0 * 15 DIV 100").as("base"))
+          deg.crossJoin(broadcast(consts))
+        }
+        (sym, nodes)
+      }
+      var pr = graph()._2
+        .select(col("node"), col("deg"), col("base"), col("pr0").as("pr"))
+      for (_ <- 1 to PrIters) {
+        val (sym, nodes) = graph()
+        val inflow = sym
+          .join(pr.select(col("node"), expr("pr DIV deg").as("c")),
+            col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("inflow"))
+        pr = nodes
+          .join(inflow, col("node") === col("dst"), "left")
+          .select(col("node"), col("deg"), col("base"),
+            (col("base") +
+              expr("coalesce(inflow, 0L) * 85 DIV 100")).as("pr"))
+      }
+      pr.select(col("node"), col("deg"), col("pr").as("pr_int"))
+        .orderBy(col("pr_int").desc, col("node"))
     }
   )
 }

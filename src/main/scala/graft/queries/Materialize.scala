@@ -33,8 +33,22 @@ object Materialize {
 
   private val cache = new ConcurrentHashMap[String, String]()
 
-  def apply(s: SparkSession, srcDir: String, tag: String)(df: => DataFrame): DataFrame = {
-    val key = s"${graft.SessionToken(s)}|$tag|$srcDir"
+  def apply(s: SparkSession, srcDir: String, tag: String)(df: => DataFrame): DataFrame =
+    write(s, srcDir, tag, Nil)(df)
+
+  /** Hive-partitioned materialization: one directory per value of
+    * `partCols` (`.../d=2024-01-08/part-*.parquet`). Reading back with a
+    * filter on a partition column never lists, opens, or scans the other
+    * directories — partition pruning, the first-line data-skipping
+    * mechanism for a 100 TB date-partitioned lake. At warehouse scale this
+    * IS the table layout; here it is rebuilt per session on scratch. */
+  def partitioned(s: SparkSession, srcDir: String, tag: String,
+                  partCols: Seq[String])(df: => DataFrame): DataFrame =
+    write(s, srcDir, tag, partCols)(df)
+
+  private def write(s: SparkSession, srcDir: String, tag: String,
+                    partCols: Seq[String])(df: => DataFrame): DataFrame = {
+    val key = s"${graft.SessionToken(s)}|$tag|${partCols.mkString(",")}|$srcDir"
     // check-then-putIfAbsent, NOT computeIfAbsent: building `df` may itself
     // call Materialize for a dependency (q24d/q24e materialize on top of
     // the materialized base corpus), and a recursive computeIfAbsent on one
@@ -45,7 +59,8 @@ object Materialize {
     var dir = cache.get(key)
     if (dir == null) {
       val d = graft.TempDirs.create(s"graft_${tag}_")
-      df.write.mode("overwrite").parquet(d)
+      val w = df.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(d)
       val prev = cache.putIfAbsent(key, d)
       dir = if (prev == null) d else prev
     }

@@ -89,8 +89,40 @@ object ScaleQueries {
         .withColumn("bbox_area",
           (col("x_max") - col("x_min") + 1) * (col("y_max") - col("y_min") + 1))
         .orderBy("layout", "block")
+    },
+
+    // Q41 — Hive-partitioned layout + partition-pruned scan: events laid
+    // out one directory per day (`d=2024-01-XX/`), then read back with a
+    // one-week partition-column filter. The filter resolves against
+    // DIRECTORY NAMES at planning time — the other ~23 days are never
+    // listed, opened, or scanned (PlanSpec pins partitionFilters + the
+    // pruned partition count). This is the first-line skipping mechanism
+    // of every date-partitioned 100 TB lake: a day's query touches a day's
+    // files, independent of total table size. The oracle filters the flat
+    // table — pruning changes I/O, never results.
+    QueryDef(
+      "q41_partition_pruned_scan",
+      s"""SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt,
+         |  ${Det.sqlSum("value")} AS val_sum
+         |FROM events
+         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+         |GROUP BY d, event_type ORDER BY d, event_type""".stripMargin) { (s, dir) =>
+      prunedWeek(s, dir)
+        .groupBy(col("d"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("val_sum"))
+        .orderBy("d", "event_type")
     }
   )
+
+  /** The date-partitioned events table (one dir per day, written once per
+    * session) filtered to one week on the partition column — the frame
+    * whose scan PlanSpec asserts is partition-pruned. */
+  private[graft] def prunedWeek(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    Materialize.partitioned(s, dir, "events_by_day", Seq("d"))(
+      Tables.events(s, dir).withColumn("d", to_date(col("ts"))))
+      .filter(col("d").between(
+        lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
 
   /** Bit-interleaved z-value of two non-negative ints: bit i of `x` lands
     * at position 2i, bit i of `y` at 2i+1 — generated identically as a

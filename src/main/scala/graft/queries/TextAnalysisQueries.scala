@@ -368,6 +368,52 @@ object TextAnalysisQueries {
         .select(col("t").as("token"), col("exact_cnt"), col("cms_est"),
           (col("cms_est") >= col("exact_cnt")).as("sound"))
         .orderBy(col("exact_cnt").desc, col("token"))
+    },
+
+    // X4/Q25m — bigram language-model estimation: the count-based n-gram
+    // LM a data pipeline fits over a corpus (KenLM-style, order 2). Bigram
+    // extraction is a narrow zip of each token array with its own tail (no
+    // window, no self-join — the pairing rides the scan), then ONE hash
+    // aggregation with map-side partials to (w1, w2) counts; the context
+    // total and the successor rank share one w1-partitioned sort. Output =
+    // top-3 successors per context token with conditional probability
+    // P(w2|w1) — a single division of identical integers on both engines,
+    // so the doubles are bit-identical. The c_ctx floor keeps the output
+    // bounded; at 100 TB the rank funnel would swap to the bounded
+    // TopKByScore aggregator, and counts shard exactly like q25g.
+    QueryDef(
+      "q25m_bigram_lm",
+      s"""WITH src AS (SELECT ${sqlTokens("text")} AS toks FROM documents),
+         |bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         |              unnest(toks[2:len(toks)]) AS w2 FROM src),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c_bigram FROM bg GROUP BY w1, w2),
+         |ranked AS (SELECT w1, w2, c_bigram,
+         |  CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS BIGINT) AS c_ctx,
+         |  ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c_bigram DESC, w2) AS rk
+         |  FROM c2)
+         |SELECT w1, w2, c_bigram, c_ctx, rk,
+         |  CAST(c_bigram AS DOUBLE) / c_ctx AS p_next
+         |FROM ranked WHERE rk <= 3 AND c_ctx >= 100
+         |ORDER BY w1, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // tokens bound to an attribute first (sigTokFrame note: one split per
+      // row, not one per consuming expression)
+      val t = col("toks")
+      val bg = Tables.documents(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .select(explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1))).as("z"))
+        .select(col("z.0").as("w1"), col("z.1").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_bigram"))
+      val byW1 = Window.partitionBy(col("w1"))
+      c2.select(col("w1"), col("w2"), col("c_bigram"),
+          sum(col("c_bigram")).over(byW1).as("c_ctx"),
+          row_number().over(byW1.orderBy(col("c_bigram").desc, col("w2"))).as("rk"))
+        .filter(col("rk") <= 3 && col("c_ctx") >= 100)
+        .withColumn("p_next", col("c_bigram").cast("double") / col("c_ctx"))
+        .orderBy("w1", "rk")
     }
   )
 }

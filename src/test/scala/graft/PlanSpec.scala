@@ -138,6 +138,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InSubqueryExec"), p)
   }
 
+  test("q41: the scan prunes to the 7 filtered date partitions at plan time") {
+    val scan = graft.queries.ScaleQueries.prunedWeek(spark, sf)
+      .queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("expected a FileSourceScanExec over the partitioned layout"))
+    // the d-filter is a partition filter (resolved against directory names,
+    // never evaluated per row) and only the 7 matching day-directories of
+    // the ~30 written survive planning
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.selectedPartitions.partitionCount == 7,
+      s"expected 7 pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(scan.dataFilters.isEmpty,
+      "date filter must prune directories, not re-filter rows")
+  }
+
+  test("q42: each PageRank round is one edge join + one inflow aggregation") {
+    val p = plan("q42_pagerank")
+    // ranks and edges co-shuffle per round; the node-set left joins
+    // broadcast (nodes ≪ edges at any scale where PageRank is worth running)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // 3 unrolled rounds re-read the materialized graph, never re-mine pairs
+    assert(!p.contains("lineitem.parquet"), p)
+  }
+
   test("q24g: both top-k sides reuse the bounded aggregator over broadcast candidates") {
     val p = plan("q24g_recall_eval")
     assert(p.contains("BroadcastNestedLoopJoin"))
