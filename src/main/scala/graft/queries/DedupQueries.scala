@@ -455,6 +455,54 @@ object DedupQueries {
           col("doc_id"), col("n_shingles"), col("n_shared"),
           round(col("n_shared").cast("double") / col("n_shingles"), 6).as("shared_frac"))
         .orderBy("doc_id")
+    },
+
+    // X2+++/Q23h — fuzzy entity matching via SymSpell deletion-neighborhood
+    // blocking, over customer names (the document vocabulary is 31 tokens
+    // with no near-misses; names differing in one digit are the classic
+    // entity-resolution case): every name emits itself plus its 1-deletion
+    // variants as join keys; two strings at edit distance 1 (sub/ins/del)
+    // ALWAYS share a key (substitution: both delete the differing position;
+    // ins/del: the longer one's delete IS the shorter), so the candidate
+    // equi-join is provably complete — no all-pairs levenshtein scan, which
+    // is the naive quadratic formulation. Candidates are confirmed with one
+    // levenshtein call per pair, then aggregated to a per-name fuzzy-dup
+    // degree. Keys per name = len+1 (linear in table size); the join key is
+    // the shuffle key — the same blocked-pair shape as q23b/q23d, which is
+    // what survives a 100 TB entity table.
+    QueryDef(
+      "q23h_symspell_fuzzy",
+      """WITH v AS (SELECT DISTINCT c_name AS t FROM customer),
+        |keys AS (SELECT t, unnest(list_append(
+        |    list_transform(generate_series(1, len(t)),
+        |                   i -> substr(t, 1, i-1) || substr(t, i+1, len(t))), t)) AS k
+        |  FROM v),
+        |cand AS (SELECT DISTINCT a.t AS wa, b.t AS wb
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.t < b.t),
+        |conf AS (SELECT wa, wb FROM cand WHERE levenshtein(wa, wb) = 1),
+        |sym AS (SELECT wa AS t, wb AS nbr FROM conf
+        |        UNION ALL SELECT wb, wa FROM conf)
+        |SELECT t AS name, COUNT(*) AS n_nbrs FROM sym
+        |GROUP BY t ORDER BY name""".stripMargin) { (s, dir) =>
+      val v = Tables.customer(s, dir).select(col("c_name").as("t")).distinct()
+      val keys = v.select(col("t"), explode(expr(
+        """array_append(
+          |  transform(sequence(1, length(t)),
+          |            i -> concat(substring(t, 1, i-1),
+          |                        substring(t, i+1, length(t)))), t)""".stripMargin))
+        .as("k"))
+      val conf = keys.alias("a")
+        .join(keys.alias("b"),
+          col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+        .select(col("a.t").as("wa"), col("b.t").as("wb"))
+        .distinct()
+        .filter(levenshtein(col("wa"), col("wb")) === 1)
+      conf.select(col("wa").as("t"))
+        .unionByName(conf.select(col("wb").as("t")))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_nbrs"))
+        .select(col("t").as("name"), col("n_nbrs"))
+        .orderBy("name")
     }
   )
 }

@@ -193,6 +193,44 @@ object StreamingQueries {
         .orderBy("ws", "event_type")
     },
 
+    // T5+++/Q20d — CHAINED stateful aggregations in one streaming query
+    // (Spark 4 multiple-stateful-operator support): a 15-minute tumbling
+    // pre-aggregate re-aggregated to hourly via window(window_time(...)).
+    // This is the streaming rollup pattern — the fine windows are the
+    // serving table, the coarse ones derive from their EMISSIONS without
+    // a second pipeline or a re-scan. Chained aggs require append mode
+    // (complete would have let the bounded replay skip the flush problem),
+    // so the replay appends two far-future sentinel slices — one advances
+    // the watermark past the data's tail, the next executes under it,
+    // cascading the 15-min flush through the hourly state in that batch.
+    // Sentinels are dropped from the BATCH read-back, not in-stream (the
+    // q19d pushdown hazard: a source-pushed filter would drop the
+    // watermark-driving rows).
+    QueryDef(
+      "q20d_chained_windows",
+      """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+      val src = Tables.events(s, dir)
+      val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+      def flush(days: Int): org.apache.spark.sql.DataFrame =
+        s.range(1).select(
+          lit(-days.toLong).as("event_id"),
+          (lit(maxTs) + expr(s"INTERVAL $days DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val sliceDir = StreamRunner.writeSlices(Seq(src, flush(1), flush(2)), "q20d")
+      val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("c15"))
+        .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+        .agg(sum(col("c15")).as("cnt"))
+      StreamRunner.toParquet(s, stream, "q20d")
+        .filter(col("event_type") =!= "__flush")
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    },
+
     // T6/Q20b — session windows (30-minute gap) per user: the streaming
     // native form of the reference's `user_session` concept
     // (write_session_batch.py:159). Oracle = gaps-and-islands in SQL.
