@@ -46,6 +46,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(oneDay.count() < Tables.events(spark, sf).count())
   }
 
+  test("small-files compaction: repartition + maxRecordsPerFile bound file count and size") {
+    // the 100 TB write-side hygiene pass: a shuffle-partitioned or
+    // per-trigger streaming write leaves thousands of tiny files whose
+    // open/footer overhead dominates later scans; compaction rewrites to
+    // few bounded files with zero row/content change
+    def files(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val events = Tables.events(spark, sf)
+    val fragmented = TempDirs.create("graft_frag_")
+    events.repartition(64).write.mode("overwrite").parquet(fragmented)
+    assert(files(fragmented) == 64)
+    val compacted = TempDirs.create("graft_compact_")
+    spark.read.parquet(fragmented)
+      .repartition(2)
+      .write.option("maxRecordsPerFile", events.count() / 3 + 1)
+      .mode("overwrite").parquet(compacted)
+    // 2 tasks, each splitting at the record cap → at most 4, far below 64
+    val n = files(compacted)
+    assert(n >= 2 && n <= 4, s"got $n files")
+    // content unchanged: same rows, same values (checksum over all columns)
+    def sig(dir: String): Long =
+      spark.read.parquet(dir)
+        .select(xxhash64(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")).as("h"))
+        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    assert(spark.read.parquet(compacted).count() == events.count())
+    assert(sig(compacted) == sig(fragmented))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // the 100-TB join hygiene AQE gives for free: a selective dimension
     // filter is turned into a bloom filter evaluated on the fact side's
