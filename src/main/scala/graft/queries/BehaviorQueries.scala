@@ -53,8 +53,8 @@ object BehaviorQueries {
        |  FROM events),
        |s AS (
        |  SELECT user_id, ts, event_id, event_type, value,
-       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
        |  FROM g)""".stripMargin
 
   /** Spark twin of [[sqlSessionCtes]]: events with a per-user session id.
@@ -272,8 +272,8 @@ object BehaviorQueries {
         |  FROM events),
         |r AS (
         |  SELECT user_id, ts, event_type,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS run
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
         |  FROM g),
         |runs AS (
         |  SELECT user_id, run, event_type, MIN(ts) AS valid_from,
@@ -369,7 +369,8 @@ object BehaviorQueries {
         |d AS (SELECT first_day AS date, COUNT(*) AS new_users
         |      FROM f GROUP BY first_day)
         |SELECT date, new_users,
-        |  SUM(new_users) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING) AS cum_users
+        |  CAST(SUM(new_users) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS cum_users
         |FROM d ORDER BY date""".stripMargin) { (s, dir) =>
       val d = Tables.events(s, dir)
         .groupBy(col("user_id"))

@@ -438,7 +438,7 @@ object DedupQueries {
          |ex AS (SELECT doc_id, unnest(shash) AS h FROM shd),
          |df AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h)
          |SELECT ex.doc_id, COUNT(*) AS n_shingles,
-         |  SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS n_shared,
+         |  CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
          |  round(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
          |    AS shared_frac
          |FROM ex JOIN df ON ex.h = df.h

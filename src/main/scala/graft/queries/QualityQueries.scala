@@ -50,7 +50,7 @@ object QualityQueries {
          |      FROM (SELECT * FROM tok UNION ALL SELECT * FROM bg)
          |      GROUP BY doc_id, kind, v),
          |m AS (SELECT doc_id,
-         |  SUM(CASE WHEN kind = 0 THEN cnt ELSE 0 END) AS n_tok,
+         |  CAST(SUM(CASE WHEN kind = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_tok,
          |  SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS n_types,
          |  SUM(CASE WHEN kind = 0 THEN cnt * length(v) ELSE 0 END) AS wlen_sum,
          |  MAX(CASE WHEN kind = 1 THEN cnt END) AS top_bg,
