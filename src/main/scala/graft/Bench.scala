@@ -27,9 +27,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The measured action is a noop-sink write, NOT count(): count() lets
+    // Catalyst's ColumnPruning delete every projection the count doesn't
+    // need, so map-only queries with no derived sort/agg keys (q01, q18,
+    // q18b, q25i, q25j) were timing their parquet scan, not their
+    // expressions. The noop sink evaluates every output column and discards
+    // the rows — the closest local analogue of writing the result out.
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       catch {
         case t: Throwable =>
           // surfaced in the JSON below: a broken query must not silently
@@ -39,7 +48,12 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional arg (local dev only; the driver passes none): substring
+    // filter to bench a subset while iterating — mirrors Verify's 3rd arg
+    val only: String => Boolean =
+      if (args.nonEmpty) { val pats = args(0).split(","); n => pats.exists(n.contains) }
+      else _ => true
+    val names = SparkEntry.queries.keys.toSeq.filter(only).sorted
     // Short report key: the qNN[x] prefix, falling back to the full name if
     // two queries ever share a prefix (keys must stay unique in the JSON).
     val prefix = names.map(n => n -> n.takeWhile(_ != '_')).toMap

@@ -491,12 +491,20 @@ object DedupQueries {
           |            i -> concat(substring(t, 1, i-1),
           |                        substring(t, i+1, length(t)))), t)""".stripMargin))
         .as("k"))
-      val conf = keys.alias("a")
-        .join(keys.alias("b"),
-          col("a.k") === col("b.k") && col("a.t") < col("b.t"))
-        .select(col("a.t").as("wa"), col("b.t").as("wb"))
-        .distinct()
-        .filter(levenshtein(col("wa"), col("wb")) === 1)
+      // Materialized: both branches of the symmetrization union read `conf`,
+      // and without this the whole scan→explode→blocked-join→distinct→
+      // levenshtein subtree is instantiated twice in the physical plan
+      // (round-3 bench: 12.6 s, slowest query in the suite). One parquet
+      // round-trip of the tiny confirmed-pair table halves the work; at
+      // entity-resolution scale the confirmed-match table is exactly the
+      // artifact you'd persist anyway.
+      val conf = Materialize(s, dir, "q23h_conf")(
+        keys.alias("a")
+          .join(keys.alias("b"),
+            col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+          .select(col("a.t").as("wa"), col("b.t").as("wb"))
+          .distinct()
+          .filter(levenshtein(col("wa"), col("wb")) === 1))
       conf.select(col("wa").as("t"))
         .unionByName(conf.select(col("wb").as("t")))
         .groupBy(col("t"))
