@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{EcommerceOps, EcommercePipelines}
+import graft.sources.Ecommerce
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Thin CLI drivers for the two reference pipelines — the user-facing entry
+  * points the reference exposes as argparse mains. Argument names mirror the
+  * reference scripts 1:1 where the concept survives the platform change;
+  * GCP-service coordinates (Spanner instance/database, Pub/Sub topic/
+  * subscription) become their Spark-native analogues (a JDBC url/table, a
+  * replay slice directory).
+  *
+  * Args are `--key value` pairs; unknown keys fail fast with usage text.
+  */
+private[graft] object CliArgs {
+  def parse(args: Array[String], known: Set[String], usage: String): Map[String, String] = {
+    val kv = args.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") && known(k.drop(2)) => k.drop(2) -> v
+      case other => sys.error(s"bad argument ${other.mkString(" ")}\n$usage")
+    }.toMap
+    kv
+  }
+
+  def require(kv: Map[String, String], key: String, usage: String): String =
+    kv.getOrElse(key, sys.error(s"missing required --$key\n$usage"))
+}
+
+/** ≙ `batch_pipeline/write_session_batch.py:106-130`: CSV in, transformed
+  * sessions out. `--input` is the CSV path (the reference's GCS path);
+  * `--output` writes the sink-shaped frame as parquet, and/or
+  * `--jdbcUrl`/`--table` writes the OLTP analogue of the reference's
+  * `--instance_id`/`--database_id` Spanner target.
+  */
+object BatchPipelineCli {
+  private val usage =
+    "usage: graft.BatchPipelineCli --input <csv> [--output <parquetDir>] " +
+      "[--jdbcUrl <url> --table <name>]"
+
+  def main(args: Array[String]): Unit = {
+    val kv = CliArgs.parse(args, Set("input", "output", "jdbcUrl", "table"), usage)
+    val input = CliArgs.require(kv, "input", usage)
+    val spark = GraftSession.get()
+    val out = EcommercePipelines.runBatch(spark, input, kv.get("output"))
+    for (url <- kv.get("jdbcUrl"))
+      EcommercePipelines.writeOltp(out, url, kv.getOrElse("table", "user_sessions"))
+    // one aggregate to the driver — the run receipt, never the rows
+    println(s"[batch] wrote ${out.count()} rows" +
+      kv.get("output").fold("")(d => s" to $d") +
+      kv.get("jdbcUrl").fold("")(u => s" and table ${kv.getOrElse("table", "user_sessions")} at $u"))
+  }
+}
+
+/** ≙ `streaming_pipeline/send_session_stream.py:114-118` +
+  * `write_session_stream.py`: encode each CSV row onto the wire format,
+  * replay it paced by event time, decode + transform per event, append to
+  * the sink. `--speedFactor` keeps the reference's meaning — hours of data
+  * published per (simulated) minute, 1–5 — mapped deterministically: one
+  * micro-batch per simulated publishing minute, i.e.
+  * `slices = ceil(span_hours / speedFactor)`, instead of wall-clock sleeps
+  * (slice mechanics in [[StreamRunner.replayPaced]]).
+  */
+object ReplayPipelineCli {
+  private val usage =
+    "usage: graft.ReplayPipelineCli --input <csv> --output <parquetDir> " +
+      "[--speedFactor 1..5]"
+
+  /** Slice count for a data span and speedFactor, bounded to [1, 96] so a
+    * months-long file cannot demand thousands of micro-batches. */
+  def sliceCount(spanHours: Double, speedFactor: Int): Int =
+    math.min(96, math.max(1, math.ceil(spanHours / speedFactor).toInt))
+
+  def main(args: Array[String]): Unit = {
+    val kv = CliArgs.parse(args, Set("input", "output", "speedFactor"), usage)
+    val input = CliArgs.require(kv, "input", usage)
+    val output = CliArgs.require(kv, "output", usage)
+    val speed = kv.getOrElse("speedFactor", "5").toInt
+    require(speed >= 1 && speed <= 5, s"--speedFactor must be 1..5, got $speed\n$usage")
+    val spark = GraftSession.get()
+
+    val cols = Ecommerce.schema.fieldNames
+    val events = Ecommerce.readCsv(spark, input)
+    // parsed ts carried alongside the encoded message purely as the pacing
+    // key; dropped before decode so the wire schema stays value-only
+    val messages = events.select(
+      to_timestamp(col("event_time"), "yyyy-MM-dd HH:mm:ss zzz").as("__pace_ts"),
+      EcommerceOps.encodeMessage(cols.map(col).toIndexedSeq).as("value"))
+    val Array(span) = messages
+      .select((unix_timestamp(max(col("__pace_ts"))) -
+        unix_timestamp(min(col("__pace_ts")))).cast("double").as("s"))
+      .collect().map(_.getDouble(0))
+    val slices = sliceCount(span / 3600.0, speed)
+    val stream = StreamRunner
+      .replayPaced(spark, messages, "__pace_ts", slices, "cli_replay")
+      .drop("__pace_ts")
+    val transformed =
+      EcommerceOps.streamTransform(EcommercePipelines.decodeWire(stream))
+    val sink = StreamRunner.toParquet(spark, transformed, "cli_sink")
+    sink.write.mode("overwrite").parquet(output)
+    println(s"[replay] $slices micro-batches (span ${f"${span / 3600.0}%.1f"} h, " +
+      s"speedFactor $speed); wrote ${spark.read.parquet(output).count()} rows to $output")
+  }
+}

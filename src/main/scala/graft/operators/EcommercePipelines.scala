@@ -57,11 +57,18 @@ object EcommercePipelines {
     val messages = Ecommerce.readCsv(spark, csvPath)
       .select(EcommerceOps.encodeMessage(cols.map(col).toIndexedSeq).as("value"))
     val stream = StreamRunner.replay(spark, messages, "ecom_wire")
-    // S5 — decode the wire fields. The whitespace-collapse split event_time
-    // into 3 fields (date, time, "UTC"); rejoin them like the reference's
-    // DoFn (write_session_stream.py:25-28), then the 8 remaining columns.
-    val rest = cols.drop(1)
-    val decoded = rest.zipWithIndex.foldLeft(
+    // T2 — the Beam DoFn's per-event transform, stateless
+    val transformed = EcommerceOps.streamTransform(decodeWire(stream))
+    StreamRunner.toParquet(spark, transformed, "ecom_sink")
+  }
+
+  /** S5 — decode the wire `value` column back into the 9 event fields. The
+    * whitespace-collapse split event_time into 3 fields (date, time, "UTC");
+    * rejoin them like the reference's DoFn (write_session_stream.py:25-28),
+    * then the 8 remaining columns. Works on batch and streaming frames. */
+  def decodeWire(stream: DataFrame): DataFrame = {
+    val rest = Ecommerce.schema.fieldNames.drop(1)
+    rest.zipWithIndex.foldLeft(
       stream.withColumn("event_time_string",
         concat_ws(" ",
           EcommerceOps.decodeField(col("value"), 1),
@@ -70,8 +77,5 @@ object EcommercePipelines {
       case (df, (name, i)) =>
         df.withColumn(name, EcommerceOps.decodeField(col("value"), i + 4))
     }.drop("value")
-    // T2 — the Beam DoFn's per-event transform, stateless
-    val transformed = EcommerceOps.streamTransform(decoded)
-    StreamRunner.toParquet(spark, transformed, "ecom_sink")
   }
 }
