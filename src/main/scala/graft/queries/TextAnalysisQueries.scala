@@ -401,9 +401,13 @@ object TextAnalysisQueries {
       val t = col("toks")
       val bg = Tables.documents(s, dir)
         .select(tokens(col("text")).as("toks"))
+        // slice length floored at 0: a negative length throws at runtime.
+        // tokens() can never return an empty array today (empty text splits
+        // to [""]), but that invariant lives in the helper, not here —
+        // mirror shingles()'s greatest() guard rather than lean on it.
         .select(explode(arrays_zip(
-          slice(t, lit(1), size(t) - 1),
-          slice(t, lit(2), size(t) - 1))).as("z"))
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))))).as("z"))
         .select(col("z.0").as("w1"), col("z.1").as("w2"))
       val c2 = bg.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c_bigram"))

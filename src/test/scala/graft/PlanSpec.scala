@@ -1,5 +1,8 @@
 package graft
 
+import graft.sources.Tables
+import org.apache.spark.sql.functions.{col, lit, to_date}
+
 /** Physical-plan regression guards: the properties that make these queries
   * scale — predicate pushdown into the parquet scan, column pruning,
   * broadcast joins for dims, top-k without a global sort — asserted on the
@@ -138,17 +141,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InSubqueryExec"), p)
   }
 
-  test("q41: the scan prunes to the 7 filtered date partitions at plan time") {
+  test("q41: the scan prunes to exactly the filtered date partitions at plan time") {
     val scan = graft.queries.ScaleQueries.prunedWeek(spark, sf)
       .queryExecution.executedPlan.collectLeaves()
       .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
       .getOrElse(fail("expected a FileSourceScanExec over the partitioned layout"))
     // the d-filter is a partition filter (resolved against directory names,
-    // never evaluated per row) and only the 7 matching day-directories of
-    // the ~30 written survive planning
+    // never evaluated per row) and only the matching day-directories of the
+    // full written set survive planning. Both counts are derived from the
+    // data (not hardcoded) so regenerated testdata with a different day
+    // span or a gap day cannot fail the suite without a real plan defect.
+    val days = Tables.events(spark, sf).select(to_date(col("ts")).as("d")).distinct()
+    val expected = days
+      .filter(col("d").between(
+        lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .count()
+    val written = days.count()
     assert(scan.partitionFilters.nonEmpty, scan.toString)
-    assert(scan.selectedPartitions.partitionCount == 7,
-      s"expected 7 pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(expected > 0 && expected < written,
+      s"fixture no longer spans the filter range ($expected of $written days)")
+    assert(scan.selectedPartitions.partitionCount == expected,
+      s"expected $expected pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
     assert(scan.dataFilters.isEmpty,
       "date filter must prune directories, not re-filter rows")
   }

@@ -65,14 +65,19 @@ class ScaleOpsSpec extends SparkSpec {
     // 2 tasks, each splitting at the record cap → at most 4, far below 64
     val n = files(compacted)
     assert(n >= 2 && n <= 4, s"got $n files")
-    // content unchanged: same rows, same values (checksum over all columns)
-    def sig(dir: String): Long =
+    // content unchanged as a MULTISET: per-row-hash occurrence counts must
+    // agree in both directions. (An xor-of-hashes signature is multiset-weak
+    // — any row occurring an even number of times cancels out, so a rewrite
+    // swapping one duplicated row pair for another would slip through.)
+    def hashCounts(dir: String) =
       spark.read.parquet(dir)
         .select(xxhash64(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props")).as("h"))
-        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
-    assert(spark.read.parquet(compacted).count() == events.count())
-    assert(sig(compacted) == sig(fragmented))
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val frag = hashCounts(fragmented)
+    val comp = hashCounts(compacted)
+    assert(comp.exceptAll(frag).isEmpty && frag.exceptAll(comp).isEmpty,
+      "compaction changed row content")
   }
 
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
