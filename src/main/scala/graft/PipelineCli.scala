@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.{EcommerceOps, EcommercePipelines}
 import graft.sources.Ecommerce
-import graft.streaming.StreamRunner
+import graft.streaming.{Channels, StreamRunner}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -65,7 +65,8 @@ object BatchPipelineCli {
 object ReplayPipelineCli {
   private val usage =
     "usage: graft.ReplayPipelineCli --input <csv> --output <parquetDir> " +
-      "[--speedFactor 1..5]"
+      "[--speedFactor 1..5] [--topic <name> --subscription <name> " +
+      "[--channelRoot <dir>]]"
 
   /** Slice count for a data span and speedFactor, bounded to [1, 96] so a
     * months-long file cannot demand thousands of micro-batches. */
@@ -73,7 +74,9 @@ object ReplayPipelineCli {
     math.min(96, math.max(1, math.ceil(spanHours / speedFactor).toInt))
 
   def main(args: Array[String]): Unit = {
-    val kv = CliArgs.parse(args, Set("input", "output", "speedFactor"), usage)
+    val kv = CliArgs.parse(args,
+      Set("input", "output", "speedFactor", "topic", "subscription", "channelRoot"),
+      usage)
     val input = CliArgs.require(kv, "input", usage)
     val output = CliArgs.require(kv, "output", usage)
     val speed = kv.getOrElse("speedFactor", "5").toInt
@@ -92,9 +95,26 @@ object ReplayPipelineCli {
         unix_timestamp(min(col("__pace_ts")))).cast("double").as("s"))
       .collect().map(_.getDouble(0))
     val slices = sliceCount(span / 3600.0, speed)
-    val stream = StreamRunner
-      .replayPaced(spark, messages, "__pace_ts", slices, "cli_replay")
-      .drop("__pace_ts")
+    // with --topic the wire goes through the managed channel lifecycle
+    // (create topic + bound subscription, paced publish, subscribe), the
+    // analogue of simulate_session_stream.py:141-156; otherwise straight
+    // through the anonymous paced-replay scratch dir
+    val stream = kv.get("topic") match {
+      case Some(topic) =>
+        val sub = kv.getOrElse("subscription", s"$topic-sub")
+        val ch = Channels(
+          kv.getOrElse("channelRoot", TempDirs.create("graft_channels_")))
+        ch.createTopic(topic)
+        ch.createSubscription(sub, topic)
+        ch.publishPaced(messages.select(col("value"), col("__pace_ts")),
+          "__pace_ts", slices, topic)
+        println(s"[replay] created topic $topic, subscription $sub")
+        ch.open(spark, sub)._1
+      case None =>
+        StreamRunner
+          .replayPaced(spark, messages, "__pace_ts", slices, "cli_replay")
+          .drop("__pace_ts")
+    }
     val transformed =
       EcommerceOps.streamTransform(EcommercePipelines.decodeWire(stream))
     val sink = StreamRunner.toParquet(spark, transformed, "cli_sink")

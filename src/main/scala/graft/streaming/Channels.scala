@@ -1,0 +1,158 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+/** Message-channel admin lifecycle — the Spark-native analogue of the
+  * reference's Pub/Sub topic/subscription management
+  * (`simulate_session_stream.py:141-156`: `create_topic`,
+  * `create_subscription` bound to the topic; consumers read via the
+  * subscription, each with independent progress).
+  *
+  * Mapping, concept for concept:
+  *   - **topic** → an append-only directory of message files. Publishing is
+  *     a file commit; file modification-time order is publish order (the
+  *     same contract [[StreamRunner.writePacedSlices]] relies on).
+  *   - **subscription** → a named, topic-bound streaming checkpoint. Every
+  *     subscription reads the whole topic independently (Pub/Sub fan-out)
+  *     and its checkpoint carries its own delivery cursor: a drain delivers
+  *     only messages committed since that subscription's last drain —
+  *     exactly Structured Streaming's file-source offset tracking, which is
+  *     why no bespoke cursor code exists here.
+  *   - **delete** → recursive removal of the directory (and, for a topic,
+  *     nothing else: like Pub/Sub, deleting a topic does not delete its
+  *     subscriptions — they just stop receiving).
+  *
+  * Create-on-existing fails (Pub/Sub `AlreadyExists` parity); operations on
+  * a missing channel fail fast (`NotFound` parity).
+  *
+  * Scale stance: a channel is a directory contract, so at warehouse scale
+  * the root lives on the object store and publishers/consumers are separate
+  * jobs; nothing here holds driver-side state beyond path strings.
+  */
+final case class Channels(root: String) {
+
+  /** Messages are wire-format rows: a single binary `value` column, the
+    * same shape `EcommerceOps.encodeMessage` produces (S4). */
+  val messageSchema: StructType = StructType(Seq(StructField("value", BinaryType)))
+
+  private def topicDir(name: String): Path = Paths.get(root, "topics", name)
+  private def subDir(name: String): Path = Paths.get(root, "subscriptions", name)
+
+  // --- admin -----------------------------------------------------------
+
+  def createTopic(name: String): String = {
+    val d = topicDir(name)
+    require(!Files.exists(d), s"topic $name already exists") // AlreadyExists
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  def createSubscription(name: String, topic: String): String = {
+    require(Files.exists(topicDir(topic)), s"topic $topic not found") // NotFound
+    val d = subDir(name)
+    require(!Files.exists(d), s"subscription $name already exists")
+    Files.createDirectories(d)
+    // binding marker: the subscription remembers its topic, as in Pub/Sub
+    Files.writeString(d.resolve("TOPIC"), topic)
+    d.toString
+  }
+
+  def listTopics(): Seq[String] = list(Paths.get(root, "topics"))
+  def listSubscriptions(): Seq[String] = list(Paths.get(root, "subscriptions"))
+
+  def deleteTopic(name: String): Unit = remove(topicDir(name), s"topic $name")
+  def deleteSubscription(name: String): Unit =
+    remove(subDir(name), s"subscription $name")
+
+  private def list(p: Path): Seq[String] =
+    if (!Files.exists(p)) Nil
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+
+  private def remove(d: Path, what: String): Unit = {
+    require(Files.exists(d), s"$what not found")
+    val s = Files.walk(d)
+    try s.sorted(Comparator.reverseOrder[Path]()).iterator().asScala
+      .foreach(p => Files.delete(p))
+    finally s.close()
+  }
+
+  // --- data path -------------------------------------------------------
+
+  private def requireWire(messages: DataFrame): Unit =
+    require(
+      messages.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        Seq(("value", BinaryType)),
+      s"messages must be (value: binary), got ${messages.schema.catalogString}")
+
+  /** Publish a frame of wire messages (single binary `value` column) as one
+    * ordered file commit — the bulk analogue of the reference's per-event
+    * `publisher.publish` loop. */
+  def publish(messages: DataFrame, topic: String): Unit = {
+    val d = topicDir(topic)
+    require(Files.exists(d), s"topic $topic not found")
+    requireWire(messages)
+    messages.coalesce(1).write.mode("append").parquet(d.toString)
+  }
+
+  /** Paced publish: split `messages` into `slices` event-time-ordered
+    * commits keyed by `paceTs` (pacing metadata, NOT written to the wire)
+    * — the deterministic analogue of the reference's wall-clock-paced
+    * publishing loop. */
+  def publishPaced(messages: DataFrame, paceTs: String, slices: Int,
+                   topic: String): Unit = {
+    val d = topicDir(topic)
+    require(Files.exists(d), s"topic $topic not found")
+    require(messages.columns.toSet == Set("value", paceTs),
+      s"expected (value, $paceTs), got ${messages.columns.mkString(",")}")
+    StreamRunner.writePacedSlices(messages, paceTs, slices, d.toString,
+      dropCols = Seq(paceTs))
+  }
+
+  /** Open a subscription as a streaming frame (one publish commit = one
+    * micro-batch under `maxFilesPerTrigger=1`) plus the checkpoint path
+    * that is its durable delivery cursor. */
+  def open(spark: SparkSession, subscription: String): (DataFrame, String) = {
+    val d = subDir(subscription)
+    require(Files.exists(d), s"subscription $subscription not found")
+    val topic = Files.readString(d.resolve("TOPIC"))
+    val td = topicDir(topic)
+    require(Files.exists(td), s"topic $topic (bound by $subscription) not found")
+    val stream = spark.readStream
+      .schema(messageSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(td.toString)
+    (stream, d.resolve("checkpoint").toString)
+  }
+
+  /** Drain every message published since this subscription's last drain
+    * into `outDir` (appending) and return the sink's full contents. Two
+    * subscriptions on one topic each receive every message; draining again
+    * without new publishes delivers nothing new — the Pub/Sub delivery
+    * contract, implemented entirely by the file source's checkpointed
+    * offsets. */
+  def drain(spark: SparkSession, subscription: String, outDir: String): DataFrame = {
+    val (stream, checkpoint) = open(spark, subscription)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (Files.exists(Paths.get(outDir)))
+      spark.read.schema(messageSchema).parquet(outDir)
+    else // nothing ever delivered: the sink dir was never created
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], messageSchema)
+  }
+}

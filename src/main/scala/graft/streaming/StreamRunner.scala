@@ -60,12 +60,24 @@ object StreamRunner {
     * slice count / trigger rate, not to sleeps. */
   def replayPaced(spark: SparkSession, df: DataFrame, tsCol: String,
                   slices: Int, tag: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val dir = tempDir(s"paced_$tag")
-    // slices must be written in event-time order as separate commits: the
-    // file source replays files in modification-time order, and a single
-    // multi-part write commits parts in task-completion (arbitrary) order —
-    // which would turn earlier-range slices into droppable late data
+    writePacedSlices(df, tsCol, slices, dir)
+    spark.readStream
+      .schema(df.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
+  /** Write `df` into `dir` as `slices` event-time-ordered file commits
+    * (quantile-split on `tsCol`). Slices must be written in event-time order
+    * as separate commits: the file source replays files in
+    * modification-time order, and a single multi-part write commits parts
+    * in task-completion (arbitrary) order — which would turn earlier-range
+    * slices into droppable late data. Shared by [[replayPaced]] and the
+    * channel publisher ([[Channels]]). */
+  def writePacedSlices(df: DataFrame, tsCol: String, slices: Int,
+                       dir: String, dropCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
     val withD = df.withColumn("__ts_d", col(tsCol).cast("double"))
     val qs = withD.stat.approxQuantile(
       "__ts_d", (1 until slices).map(_.toDouble / slices).toArray, 0.0)
@@ -73,12 +85,9 @@ object StreamRunner {
       var part = withD
       if (j > 0) part = part.filter(col("__ts_d") >= qs(j - 1))
       if (j < slices - 1) part = part.filter(col("__ts_d") < qs(j))
-      part.drop("__ts_d").coalesce(1).write.mode("append").parquet(dir)
+      part.drop("__ts_d").drop(dropCols: _*)
+        .coalesce(1).write.mode("append").parquet(dir)
     }
-    spark.readStream
-      .schema(df.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
   }
 
   /** Ordered multi-batch replay: write each slice as its own file-source

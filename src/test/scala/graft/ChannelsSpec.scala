@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.Channels
+import org.apache.spark.sql.functions._
+
+/** The channel admin lifecycle (S-stream analogue of Pub/Sub topic/
+  * subscription management, simulate_session_stream.py:141-156): create /
+  * list / delete parity, fan-out to independent subscriptions, and the
+  * checkpointed delivery cursor (a drain delivers only messages published
+  * since that subscription's last drain). */
+class ChannelsSpec extends SparkSpec {
+
+  private def msgs(xs: String*) =
+    xs.foldLeft(spark.range(0).select(lit(Array.emptyByteArray).as("value")))(
+      (df, x) => df.unionByName(
+        spark.range(1).select(lit(x.getBytes("UTF-8")).as("value"))))
+
+  private def strings(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select(col("value").cast("string")).collect().map(_.getString(0)).toSet
+
+  test("create/list/delete lifecycle with AlreadyExists/NotFound parity") {
+    val ch = Channels(TempDirs.create("graft_ch_admin_"))
+    assert(ch.listTopics() === Nil)
+    ch.createTopic("sessions")
+    ch.createSubscription("etl", "sessions")
+    assert(ch.listTopics() === Seq("sessions"))
+    assert(ch.listSubscriptions() === Seq("etl"))
+    // AlreadyExists parity
+    assertThrows[IllegalArgumentException](ch.createTopic("sessions"))
+    assertThrows[IllegalArgumentException](ch.createSubscription("etl", "sessions"))
+    // NotFound parity: a subscription needs its topic at create time
+    assertThrows[IllegalArgumentException](ch.createSubscription("x", "missing"))
+    ch.deleteSubscription("etl")
+    ch.deleteTopic("sessions")
+    assert(ch.listTopics() === Nil && ch.listSubscriptions() === Nil)
+    assertThrows[IllegalArgumentException](ch.deleteTopic("sessions"))
+  }
+
+  test("subscriptions fan out and track independent delivery cursors") {
+    val ch = Channels(TempDirs.create("graft_ch_data_"))
+    ch.createTopic("t")
+    ch.createSubscription("early", "t")
+    ch.publish(msgs("a", "b"), "t")
+    val earlyOut = TempDirs.create("graft_ch_early_")
+    assert(strings(ch.drain(spark, "early", earlyOut)) === Set("a", "b"))
+    // second drain with no new publishes: nothing new delivered
+    assert(strings(ch.drain(spark, "early", earlyOut)) === Set("a", "b"))
+    // new publish: the cursor resumes from the last drained commit
+    ch.publish(msgs("c"), "t")
+    assert(strings(ch.drain(spark, "early", earlyOut)) === Set("a", "b", "c"))
+    // a late subscription still receives the full topic (fan-out)
+    ch.createSubscription("late", "t")
+    val lateOut = TempDirs.create("graft_ch_late_")
+    assert(strings(ch.drain(spark, "late", lateOut)) === Set("a", "b", "c"))
+  }
+
+  test("draining a never-published topic yields an empty, well-typed frame") {
+    val ch = Channels(TempDirs.create("graft_ch_empty_"))
+    ch.createTopic("quiet")
+    ch.createSubscription("s", "quiet")
+    val out = TempDirs.create("graft_ch_empty_out_")
+    val drained = ch.drain(spark, "s", out)
+    assert(drained.count() === 0)
+    assert(drained.schema === ch.messageSchema)
+  }
+
+  test("wire-schema guard rejects non-message frames") {
+    val ch = Channels(TempDirs.create("graft_ch_guard_"))
+    ch.createTopic("t")
+    assertThrows[IllegalArgumentException](
+      ch.publish(spark.range(1).select(col("id")), "t"))
+  }
+}

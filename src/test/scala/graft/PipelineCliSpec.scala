@@ -45,6 +45,19 @@ class PipelineCliSpec extends SparkSpec {
       .forall(_.getString(0).endsWith("UTC")))
   }
 
+  test("replay CLI with --topic/--subscription uses the channel lifecycle") {
+    val out = TempDirs.create("graft_cli_replay_ch_out_")
+    val root = TempDirs.create("graft_cli_chroot_")
+    ReplayPipelineCli.main(Array(
+      "--input", csvPath, "--output", out, "--speedFactor", "5",
+      "--topic", "sessions", "--subscription", "etl", "--channelRoot", root))
+    assert(spark.read.parquet(out).count() === 5)
+    // the managed channel was created, published to, and left queryable
+    val ch = graft.streaming.Channels(root)
+    assert(ch.listTopics() === Seq("sessions"))
+    assert(ch.listSubscriptions() === Seq("etl"))
+  }
+
   test("slice count maps speedFactor like the reference's publishing rate") {
     // 14.5h of fixture data at 5 h/min → 3 simulated minutes
     assert(ReplayPipelineCli.sliceCount(14.5, 5) === 3)
