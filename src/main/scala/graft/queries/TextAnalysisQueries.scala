@@ -75,6 +75,11 @@ object TextAnalysisQueries {
   private val CmsD = 4
   private val CmsW = 512
 
+  /** q25n keep bar, fixed-point millionths: a doc is kept iff its mean
+    * per-bigram corpus probability ≥ MinFamFp/1e6. The decision compares
+    * integers (fam_fp ≥ MinFamFp·n_bigrams), never floats. */
+  private val MinFamFp = 34000L
+
   val defs: Seq[QueryDef] = Seq(
     // X4/Q25 — per-doc stats + quality score: whitespace and BPE-ish token
     // counts, stopword/punctuation ratios, composite quality in [0,1].
@@ -418,6 +423,68 @@ object TextAnalysisQueries {
         .filter(col("rk") <= 3 && col("c_ctx") >= 100)
         .withColumn("p_next", col("c_bigram").cast("double") / col("c_ctx"))
         .orderBy("w1", "rk")
+    },
+
+    // X4+++++/Q25n — LM-familiarity filter (the CCNet/Wenzek-style corpus
+    // quality gate, with q25m's count LM standing in for KenLM): score each
+    // document by the mean corpus probability of its bigrams and keep docs
+    // above the bar — low scores mark gibberish/outlier text that an n-gram
+    // LM finds unfamiliar. Fixed-point parity recipe (the q25k pattern):
+    // per-bigram floor(1e6·c_bigram/c_ctx) summed as BIGINT, one double
+    // division at the end, and the keep decision compares INTEGERS
+    // (fam_fp ≥ threshold·n_bigrams), so no engine ever branches on a
+    // float. Shape at 100 TB: the bigram-count model is vocabulary-sized
+    // (broadcastable), the per-doc score is one (w1,w2)-keyed join of the
+    // doc's bigram stream against it plus one per-doc aggregation — rides
+    // the same shuffles as signature computation. The model here includes
+    // each doc's own counts; the leave-one-out refinement subtracts the
+    // doc's contribution at score time (one extra per-doc count column).
+    QueryDef(
+      "q25n_lm_familiarity",
+      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |              unnest(toks[2:len(toks)]) AS w2 FROM src),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c_bigram FROM bg GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_ctx
+         |        FROM c2 GROUP BY w1),
+         |sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(floor(1000000.0 * c.c_bigram / x.c_ctx) AS BIGINT))
+         |       AS BIGINT) AS fam_fp
+         |  FROM bg b JOIN c2 c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |            JOIN ctx x ON b.w1 = x.w1
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, sc.n_bigrams,
+         |  round(sc.fam_fp / (1000000.0 * sc.n_bigrams), 6) AS familiarity,
+         |  COALESCE(sc.fam_fp >= $MinFamFp * sc.n_bigrams, FALSE) AS keep
+         |FROM (SELECT DISTINCT doc_id FROM src) d
+         |LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val t = col("toks")
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))))).as("z"))
+        .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+      val ctx = c2.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_ctx"))
+      val sc = bg
+        .join(c2, Seq("w1", "w2"))
+        .join(broadcast(ctx), Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(floor(lit(1000000.0) * col("c_bigram") / col("c_ctx"))
+            .cast("long")).as("fam_fp"))
+      Tables.documents(s, dir).select(col("doc_id")).distinct()
+        .join(sc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_bigrams"),
+          round(col("fam_fp") / (lit(1000000.0) * col("n_bigrams")), 6)
+            .as("familiarity"),
+          coalesce(col("fam_fp") >= lit(MinFamFp) * col("n_bigrams"), lit(false))
+            .as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

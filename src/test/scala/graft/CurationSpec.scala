@@ -24,6 +24,23 @@ class CurationSpec extends SparkSpec {
     perLang.foreach { case (lang, n) => assert(n <= 200, s"stratum $lang: $n") }
   }
 
+  test("LM familiarity: bounded scores, keep tracks the bar, both classes occur") {
+    val rows = graft.queries.TextAnalysisQueries.defs
+      .find(_.name == "q25n_lm_familiarity").get.df(spark, sf)
+      .select("familiarity", "keep").as[(Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // probabilities averaged over bigrams: always a valid probability
+    rows.foreach { case (f, _) => assert(f >= 0.0 && f <= 1.0, s"score $f") }
+    // keep is the integer fixed-point compare at 0.034; allow the rounding
+    // width of the reported (6-dp) score around the bar itself
+    rows.foreach { case (f, k) =>
+      if (f > 0.034 + 1e-6) assert(k, s"familiar doc ($f) dropped")
+      if (f < 0.034 - 1e-6) assert(!k, s"unfamiliar doc ($f) kept")
+    }
+    assert(rows.exists(_._2) && rows.exists(!_._2),
+      "the bar must split the test corpus, not rubber-stamp it")
+  }
+
   test("curated corpus is a subset of rank-1 docs meeting the quality bar") {
     val curated = byName("q22b_corpus_curation")(spark, sf)
       .select("doc_id", "quality", "dup_rank")

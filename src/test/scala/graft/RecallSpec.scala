@@ -46,4 +46,22 @@ class RecallSpec extends SparkSpec {
     assert(ivf.values.forall(_.size === 5))
     assert(meanRecall(exact, ivf) >= 0.2)
   }
+
+  test("semantic dedup is sound vs the all-pairs ground truth and finds dups") {
+    // q24c is the exhaustive τ-neighbor list; every (dup, canonical) pair
+    // q24h reports must appear there (SOUNDNESS — clustering can only lose
+    // pairs whose members landed in different clusters, never invent one),
+    // and the canonical must be the older (lower-id) member.
+    val truth = SimilarityQueries.defs.find(_.name == "q24c_embed_neardup_pairs").get
+      .df(spark, sf).select("va", "vb").as[(Long, Long)].collect().toSet
+    val dups = SimilarityQueries.defs.find(_.name == "q24h_semantic_dedup").get
+      .df(spark, sf)
+      .filter("is_dup").select("dup_of", "vec_id").as[(Long, Long)].collect()
+    assert(dups.nonEmpty, "test corpus contains near-dups; none flagged")
+    dups.foreach { case (canon, dup) =>
+      assert(canon < dup, s"canonical $canon must be the lower id (dup $dup)")
+      assert(truth.contains((canon, dup)),
+        s"($canon,$dup) flagged but not a true τ-pair")
+    }
+  }
 }
