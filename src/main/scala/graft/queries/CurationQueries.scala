@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  /** q25o packed-sequence length (tokens per training example); matches
+    * q25g's shard budget so shard k ≙ sequence k at the same offsets. */
+  private val SeqLen = 2048
+
   /** Quality score in [0,1] (same formula as q25, shared constants):
     * 0.5·min(1, tokens/100) + 0.3·stopword_ratio + 0.2·(1-punct_ratio). */
   private def qualityCol(text: org.apache.spark.sql.Column,
@@ -145,6 +149,55 @@ object CurationQueries {
       t.select(col("lang"), col("doc_id"), col("n_tok"),
           floor(offset / 2048.0).cast("long").as("shard"))
         .orderBy("lang", "doc_id")
+    },
+
+    // X4++/Q25o — sequence packing: the layout step after q25g's shard
+    // assignment — every document becomes one row PER fixed-length training
+    // sequence it touches, with the segment's begin offset inside the doc,
+    // its length, and its offset inside the sequence (the attention-mask /
+    // position-id boundaries a packed pretraining batch needs). A doc
+    // straddling sequence boundaries splits; sequences fill to exactly
+    // SeqLen tokens except each partition's last. All integer arithmetic
+    // off the same per-partition prefix sums as q25g (one window over the
+    // lang-partitioned sort) plus a bounded range-explode (a doc of n
+    // tokens emits ceil(n/SeqLen)+1 rows at most) — packing 100 TB is one
+    // sort-shuffle per shard-group, and the explode rides it.
+    QueryDef(
+      "q25o_sequence_packing",
+      s"""WITH t AS (SELECT lang, doc_id, len(${sqlTokens("text")}) AS n_tok FROM documents),
+         |o AS (SELECT lang, doc_id, n_tok,
+         |  CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+         |  FROM t),
+         |seg AS (SELECT lang, doc_id, n_tok, off,
+         |  unnest(generate_series(off // $SeqLen, (off + n_tok - 1) // $SeqLen)) AS seq
+         |  FROM o WHERE n_tok > 0)
+         |SELECT lang, doc_id, seq,
+         |  greatest(seq * $SeqLen - off, 0) AS seg_begin,
+         |  least((seq + 1) * $SeqLen, off + n_tok) - greatest(seq * $SeqLen, off) AS seg_len,
+         |  greatest(off - seq * $SeqLen, 0) AS offset_in_seq
+         |FROM seg ORDER BY lang, seq, doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      val off = (sum(col("n_tok")).over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("n_tok")).as("off")
+      val L = lit(SeqLen.toLong)
+      t.select(col("lang"), col("doc_id"), col("n_tok"), off)
+        .filter(col("n_tok") > 0)
+        .select(col("lang"), col("doc_id"), col("n_tok"), col("off"),
+          explode(sequence(
+            expr(s"off div $SeqLen"),
+            expr(s"(off + n_tok - 1) div $SeqLen"))).as("seq"))
+        .select(
+          col("lang"), col("doc_id"), col("seq"),
+          greatest(col("seq") * L - col("off"), lit(0L)).as("seg_begin"),
+          (least((col("seq") + 1) * L, col("off") + col("n_tok"))
+            - greatest(col("seq") * L, col("off"))).as("seg_len"),
+          greatest(col("off") - col("seq") * L, lit(0L)).as("offset_in_seq"))
+        .orderBy("lang", "seq", "doc_id")
     },
 
     // X4+/Q25f — deterministic stratified sampling: cap each language

@@ -41,6 +41,36 @@ class CurationSpec extends SparkSpec {
       "the bar must split the test corpus, not rubber-stamp it")
   }
 
+  test("sequence packing tiles every doc exactly and fills every non-final sequence") {
+    val segs = byName("q25o_sequence_packing")(spark, sf)
+      .select("lang", "doc_id", "seq", "seg_begin", "seg_len", "offset_in_seq")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(segs.nonEmpty)
+    // a doc's segments tile it: begins chain 0, len1, len1+len2, ... and
+    // lengths sum to its recomputed token count
+    val nTok = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    segs.groupBy(_._2).foreach { case (doc, ss) =>
+      val ordered = ss.sortBy(_._3)
+      assert(ordered.map(_._5).sum === nTok(doc), s"doc $doc not tiled")
+      ordered.foldLeft(0L) { case (expect, (_, _, _, begin, len, _)) =>
+        assert(begin === expect, s"doc $doc segment gap at $begin")
+        begin + len
+      }
+    }
+    // every sequence except each lang's last holds exactly 2048 tokens
+    segs.groupBy(s => (s._1, s._3)).foreach { case ((lang, seq), ss) =>
+      val fill = ss.map(_._5).sum
+      val lastSeq = segs.filter(_._1 == lang).map(_._3).max
+      if (seq != lastSeq) assert(fill === 2048L, s"($lang,$seq) holds $fill")
+      else assert(fill <= 2048L, s"($lang,$seq) overfull: $fill")
+    }
+    // straddling docs exist in the fixture (the operator's reason to exist)
+    assert(segs.groupBy(_._2).exists(_._2.length > 1), "no straddles exercised")
+  }
+
   test("curated corpus is a subset of rank-1 docs meeting the quality bar") {
     val curated = byName("q22b_corpus_curation")(spark, sf)
       .select("doc_id", "quality", "dup_rank")
