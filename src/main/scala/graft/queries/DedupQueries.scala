@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextHash._
 import graft.sources.Tables
+import graft.streaming.StreamRunner
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -511,6 +512,58 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_nbrs"))
         .select(col("t").as("name"), col("n_nbrs"))
         .orderBy("name")
+    },
+
+    // X2+T7/Q29c — streaming near-dup gate: every incoming document is
+    // MinHash-banded PER EVENT and probed against the FROZEN corpus band
+    // index — the incremental-ingest shape of LSH dedup (new data vs an
+    // existing signature index), where q23b is the batch backfill over the
+    // whole corpus. Per-event signatures use the higher-order-function form
+    // (no aggregation state on the stream; the HOF-vs-explode trade
+    // documented on sigTokFrame flips for per-record gating), the index
+    // probe is a stream-static equi-join on the band key, and the only
+    // stateful operator is one complete-mode count — bounded by docs in
+    // flight. At 100 TB the index is the bucketed band table this join
+    // co-locates with; the gate's n_band_matches is collision multiplicity
+    // (each shared (band, index entry) counts once), deliberately BEFORE
+    // the exact-Jaccard confirm so the stream stays one narrow pass — the
+    // confirm is q23b's batch job over the flagged slice.
+    QueryDef(
+      "q29c_stream_neardup_gate",
+      s"""WITH $sqlSigCtes,
+         |bands AS (
+         |  SELECT doc_id, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
+         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)),
+         |m AS (
+         |  SELECT a.doc_id, COUNT(b.doc_id) AS n_band_matches
+         |  FROM bands a LEFT JOIN bands b
+         |    ON a.j = b.j AND a.bk = b.bk AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id)
+         |SELECT doc_id, n_band_matches, n_band_matches > 0 AS flagged
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idx = Materialize(s, dir, "q29c_band_index")(
+        sigTable(s, dir).select(
+          col("doc_id").as("idx_doc"),
+          posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk"))))
+      val ev = StreamRunner.replay(
+          s, Tables.documents(s, dir).select(col("doc_id"), col("text")), "q29c")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        // shingle hashes bound to an attribute before the k permutation
+        // lambdas iterate them (the one-split-per-row rule)
+        .select(col("doc_id"),
+          array_distinct(transform(shingles(col("toks")), v => hash32(v))).as("shash"))
+        .select(col("doc_id"), minhashSig(col("shash")).as("sig"))
+        .select(col("doc_id"), posexplode(lshBandKeys(col("sig"))).as(Seq("sj", "sbk")))
+      val gated = ev
+        .join(idx,
+          col("sj") === col("j") && col("sbk") === col("bk") &&
+            col("idx_doc") =!= col("doc_id"),
+          "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(col("idx_doc")).as("n_band_matches"))
+        .select(col("doc_id"), col("n_band_matches"),
+          (col("n_band_matches") > 0).as("flagged"))
+      StreamRunner.toSnapshot(s, gated, "q29c", "complete").orderBy("doc_id")
     }
   )
 }

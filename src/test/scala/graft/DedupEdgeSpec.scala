@@ -83,4 +83,20 @@ class DedupEdgeSpec extends SparkSpec {
       assert(comp(d) <= cn, s"doc $d: component ${comp(d)} above canon $cn")
     }
   }
+
+  test("streaming near-dup gate never misses a confirmed batch near-dup") {
+    // q29c flags on band collision BEFORE the Jaccard confirm, so its
+    // flagged set must cover every member of every q23b confirmed pair
+    // (banding can over-flag, never under-flag a confirmed neighbor) —
+    // the recall contract that makes the gate safe as an ingest filter.
+    val flagged = byName("q29c_stream_neardup_gate")(spark, sf)
+      .filter("flagged").select("doc_id").as[Long].collect().toSet
+    val pairs = byName("q23b_minhash_lsh_pairs")(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && flagged.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(flagged(a) && flagged(b),
+        s"confirmed pair ($a,$b) not fully flagged by the gate")
+    }
+  }
 }
