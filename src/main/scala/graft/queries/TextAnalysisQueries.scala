@@ -454,7 +454,7 @@ object TextAnalysisQueries {
          |            JOIN ctx x ON b.w1 = x.w1
          |  GROUP BY b.doc_id)
          |SELECT d.doc_id, sc.n_bigrams,
-         |  round(sc.fam_fp / (1000000.0 * sc.n_bigrams), 6) AS familiarity,
+         |  sc.fam_fp / (1000000.0 * sc.n_bigrams) AS familiarity,
          |  COALESCE(sc.fam_fp >= $MinFamFp * sc.n_bigrams, FALSE) AS keep
          |FROM (SELECT DISTINCT doc_id FROM src) d
          |LEFT JOIN sc ON d.doc_id = sc.doc_id
@@ -478,9 +478,12 @@ object TextAnalysisQueries {
             .cast("long")).as("fam_fp"))
       Tables.documents(s, dir).select(col("doc_id")).distinct()
         .join(sc, Seq("doc_id"), "left")
+        // familiarity is the RAW division of identical integers — never
+        // round(): a quotient landing on a 6-dp rounding tie (hit at sf0.1)
+        // rounds differently across engines from the same double
         .select(
           col("doc_id"), col("n_bigrams"),
-          round(col("fam_fp") / (lit(1000000.0) * col("n_bigrams")), 6)
+          (col("fam_fp") / (lit(1000000.0) * col("n_bigrams")))
             .as("familiarity"),
           coalesce(col("fam_fp") >= lit(MinFamFp) * col("n_bigrams"), lit(false))
             .as("keep"))
