@@ -3,7 +3,7 @@ package graft
 import graft.operators.{EcommerceOps, EcommercePipelines}
 import graft.sources.Ecommerce
 import graft.streaming.{Channels, StreamRunner}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Thin CLI drivers for the two reference pipelines — the user-facing entry
@@ -44,10 +44,16 @@ object BatchPipelineCli {
     val input = CliArgs.require(kv, "input", usage)
     val spark = GraftSession.get()
     val out = EcommercePipelines.runBatch(spark, input, kv.get("output"))
+    // the transform runs ONCE: downstream consumers (JDBC sink, count
+    // receipt) read the parquet sink back when one was written, else a
+    // cached frame — re-executing the lazy plan would re-mint record_ids
+    // (monotonically_increasing_id is layout-dependent) and re-scan the CSV
+    val result = kv.get("output").map(spark.read.parquet)
+      .getOrElse(if (kv.contains("jdbcUrl")) out.cache() else out)
     for (url <- kv.get("jdbcUrl"))
-      EcommercePipelines.writeOltp(out, url, kv.getOrElse("table", "user_sessions"))
+      EcommercePipelines.writeOltp(result, url, kv.getOrElse("table", "user_sessions"))
     // one aggregate to the driver — the run receipt, never the rows
-    println(s"[batch] wrote ${out.count()} rows" +
+    println(s"[batch] wrote ${result.count()} rows" +
       kv.get("output").fold("")(d => s" to $d") +
       kv.get("jdbcUrl").fold("")(u => s" and table ${kv.getOrElse("table", "user_sessions")} at $u"))
   }
@@ -87,19 +93,38 @@ object ReplayPipelineCli {
     val events = Ecommerce.readCsv(spark, input)
     // parsed ts carried alongside the encoded message purely as the pacing
     // key; dropped before decode so the wire schema stays value-only
+    // try_to_timestamp, not to_timestamp: ANSI mode aborts the whole job on
+    // the first malformed value with a mid-stage Spark error; the NULLs are
+    // counted and reported as one clean CLI error below instead
     val messages = events.select(
-      to_timestamp(col("event_time"), "yyyy-MM-dd HH:mm:ss zzz").as("__pace_ts"),
+      try_to_timestamp(col("event_time"), lit("yyyy-MM-dd HH:mm:ss zzz"))
+        .as("__pace_ts"),
       EcommerceOps.encodeMessage(cols.map(col).toIndexedSeq).as("value"))
-    val Array(span) = messages
-      .select((unix_timestamp(max(col("__pace_ts"))) -
-        unix_timestamp(min(col("__pace_ts")))).cast("double").as("s"))
-      .collect().map(_.getDouble(0))
+    // fail fast on rows the pacing key can't be derived from: a null
+    // __pace_ts would silently fall out of EVERY quantile slice filter in
+    // writePacedSlices (null comparisons), vanishing from the sink — and an
+    // all-null/empty input would NPE on the span aggregate below. The
+    // reference's strptime loop dies on the first bad row; one clear error
+    // listing the count beats both failure shapes.
+    val Row(total: Long, parsed: Long, spanOrNull) = messages
+      .select(count(lit(1)), count(col("__pace_ts")),
+        (unix_timestamp(max(col("__pace_ts"))) -
+          unix_timestamp(min(col("__pace_ts")))).cast("double"))
+      .collect()(0)
+    if (total == 0) sys.error(s"--input $input contains no data rows\n$usage")
+    if (parsed < total) sys.error(
+      s"--input $input: ${total - parsed} of $total rows have an event_time " +
+        s"not matching 'yyyy-MM-dd HH:mm:ss zzz'; refusing to silently drop them")
+    val span = spanOrNull.asInstanceOf[Double]
     val slices = sliceCount(span / 3600.0, speed)
     // with --topic the wire goes through the managed channel lifecycle
     // (create topic + bound subscription, paced publish, subscribe), the
     // analogue of simulate_session_stream.py:141-156; otherwise straight
     // through the anonymous paced-replay scratch dir
-    val stream = kv.get("topic") match {
+    // with a channel, consume THROUGH the subscription's checkpoint so the
+    // CLI's run advances the delivery cursor it created (a later drain of
+    // the same subscription delivers nothing already consumed here)
+    val (stream, cursor) = kv.get("topic") match {
       case Some(topic) =>
         val sub = kv.getOrElse("subscription", s"$topic-sub")
         val ch = Channels(
@@ -109,15 +134,16 @@ object ReplayPipelineCli {
         ch.publishPaced(messages.select(col("value"), col("__pace_ts")),
           "__pace_ts", slices, topic)
         println(s"[replay] created topic $topic, subscription $sub")
-        ch.open(spark, sub)._1
+        val (df, checkpoint) = ch.open(spark, sub)
+        (df, Some(checkpoint))
       case None =>
-        StreamRunner
+        (StreamRunner
           .replayPaced(spark, messages, "__pace_ts", slices, "cli_replay")
-          .drop("__pace_ts")
+          .drop("__pace_ts"), None)
     }
     val transformed =
       EcommerceOps.streamTransform(EcommercePipelines.decodeWire(stream))
-    val sink = StreamRunner.toParquet(spark, transformed, "cli_sink")
+    val sink = StreamRunner.toParquet(spark, transformed, "cli_sink", cursor)
     sink.write.mode("overwrite").parquet(output)
     println(s"[replay] $slices micro-batches (span ${f"${span / 3600.0}%.1f"} h, " +
       s"speedFactor $speed); wrote ${spark.read.parquet(output).count()} rows to $output")

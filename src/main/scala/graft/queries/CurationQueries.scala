@@ -164,7 +164,14 @@ object CurationQueries {
     // sort-shuffle per shard-group, and the explode rides it.
     QueryDef(
       "q25o_sequence_packing",
-      s"""WITH t AS (SELECT lang, doc_id, len(${sqlTokens("text")}) AS n_tok FROM documents),
+      // n_tok counts NON-EMPTY tokens: the repo-wide tokenizer maps empty/
+      // whitespace-only text to [""], which would otherwise occupy a
+      // phantom token slot in a packed sequence and shift every later
+      // doc's offsets — such docs pack zero tokens and emit no segment
+      // (the n_tok > 0 filter)
+      s"""WITH t AS (SELECT lang, doc_id,
+         |  len(list_filter(${sqlTokens("text")}, x -> x <> '')) AS n_tok
+         |  FROM documents),
          |o AS (SELECT lang, doc_id, n_tok,
          |  CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
@@ -179,7 +186,8 @@ object CurationQueries {
          |FROM seg ORDER BY lang, seq, doc_id""".stripMargin) { (s, dir) =>
       val t = Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n_tok"))
+          size(filter(tokens(col("text")), x => x =!= ""))
+            .cast("long").as("n_tok"))
       val off = (sum(col("n_tok")).over(
         Window.partitionBy(col("lang")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))

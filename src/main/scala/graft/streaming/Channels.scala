@@ -140,8 +140,15 @@ final case class Channels(root: String) {
     * subscriptions on one topic each receive every message; draining again
     * without new publishes delivers nothing new — the Pub/Sub delivery
     * contract, implemented entirely by the file source's checkpointed
-    * offsets. */
+    * offsets. Draining a subscription whose topic was deleted delivers
+    * nothing new and keeps what was already consumed (the detached-
+    * subscription contract: it "just stops receiving" — the deleted
+    * topic's UNDELIVERED backlog is gone with its directory). */
   def drain(spark: SparkSession, subscription: String, outDir: String): DataFrame = {
+    val d = subDir(subscription)
+    require(Files.exists(d), s"subscription $subscription not found")
+    if (!Files.exists(topicDir(Files.readString(d.resolve("TOPIC")))))
+      return sinkContents(spark, outDir)
     val (stream, checkpoint) = open(spark, subscription)
     val q = stream.writeStream
       .format("parquet")
@@ -150,9 +157,12 @@ final case class Channels(root: String) {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    sinkContents(spark, outDir)
+  }
+
+  private def sinkContents(spark: SparkSession, outDir: String): DataFrame =
     if (Files.exists(Paths.get(outDir)))
       spark.read.schema(messageSchema).parquet(outDir)
     else // nothing ever delivered: the sink dir was never created
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], messageSchema)
-  }
 }

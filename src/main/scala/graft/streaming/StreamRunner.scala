@@ -225,13 +225,17 @@ object StreamRunner {
 
   /** Run an append-mode streaming frame to a parquet sink (row-level
     * results too big for the driver) and read the sink back. */
-  def toParquet(spark: SparkSession, sdf: DataFrame, tag: String): DataFrame = {
+  /** `checkpoint`: pass a caller-owned location (e.g. a [[Channels]]
+    * subscription's delivery cursor) so consumption is durable across runs;
+    * defaults to a fresh scratch dir (one-shot replay semantics). */
+  def toParquet(spark: SparkSession, sdf: DataFrame, tag: String,
+                checkpoint: Option[String] = None): DataFrame = {
     val out = tempDir(s"sink_$tag")
     withStateParts(spark) {
       val q = sdf.writeStream
         .format("parquet")
         .option("path", out)
-        .option("checkpointLocation", tempDir(s"chk_$tag"))
+        .option("checkpointLocation", checkpoint.getOrElse(tempDir(s"chk_$tag")))
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()

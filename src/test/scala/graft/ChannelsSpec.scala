@@ -54,6 +54,19 @@ class ChannelsSpec extends SparkSpec {
     assert(strings(ch.drain(spark, "late", lateOut)) === Set("a", "b", "c"))
   }
 
+  test("a detached subscription keeps what it consumed and stops receiving") {
+    val ch = Channels(TempDirs.create("graft_ch_detach_"))
+    ch.createTopic("t")
+    ch.createSubscription("s", "t")
+    ch.publish(msgs("a", "b"), "t")
+    val out = TempDirs.create("graft_ch_detach_out_")
+    assert(strings(ch.drain(spark, "s", out)) === Set("a", "b"))
+    ch.deleteTopic("t")
+    // Pub/Sub detached-subscription parity: no error, nothing new, the
+    // already-consumed sink intact (the deleted topic's backlog is gone)
+    assert(strings(ch.drain(spark, "s", out)) === Set("a", "b"))
+  }
+
   test("draining a never-published topic yields an empty, well-typed frame") {
     val ch = Channels(TempDirs.create("graft_ch_empty_"))
     ch.createTopic("quiet")

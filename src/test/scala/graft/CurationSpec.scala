@@ -50,7 +50,8 @@ class CurationSpec extends SparkSpec {
     // lengths sum to its recomputed token count
     val nTok = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"),
-        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n"))
+        size(filter(graft.functions.TextHash.tokens(col("text")), x => x =!= ""))
+          .cast("long").as("n"))
       .as[(Long, Long)].collect().toMap
     segs.groupBy(_._2).foreach { case (doc, ss) =>
       val ordered = ss.sortBy(_._3)

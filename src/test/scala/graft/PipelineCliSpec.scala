@@ -65,6 +65,32 @@ class PipelineCliSpec extends SparkSpec {
     assert(ReplayPipelineCli.sliceCount(10000.0, 1) === 96) // bounded
   }
 
+  test("replay CLI refuses unparseable event_time instead of dropping rows") {
+    val dir = new java.io.File(TempDirs.create("graft_cli_badts_"))
+    val f = new java.io.File(dir, "bad.csv")
+    Files.write(f.toPath, String.join("\n",
+      "event_time,event_type,product_id,category_id,category_code,brand,price,user_id,user_session",
+      "2019-11-01 09:00:00 UTC,view,1,2,a.b,x,1.0,u1,s1",
+      "2019-11-01 09:05:00,view,1,2,a.b,x,1.0,u1,s1" // no zone suffix
+    ).getBytes("UTF-8"))
+    val out = TempDirs.create("graft_cli_badts_out_")
+    val e = intercept[RuntimeException](ReplayPipelineCli.main(
+      Array("--input", f.getAbsolutePath, "--output", out)))
+    assert(e.getMessage.contains("refusing to silently drop"))
+  }
+
+  test("replay CLI errors on a data-less input instead of an NPE") {
+    val dir = new java.io.File(TempDirs.create("graft_cli_hdr_"))
+    val f = new java.io.File(dir, "hdr.csv")
+    Files.write(f.toPath,
+      "event_time,event_type,product_id,category_id,category_code,brand,price,user_id,user_session"
+        .getBytes("UTF-8"))
+    val out = TempDirs.create("graft_cli_hdr_out_")
+    val e = intercept[RuntimeException](ReplayPipelineCli.main(
+      Array("--input", f.getAbsolutePath, "--output", out)))
+    assert(e.getMessage.contains("no data rows"))
+  }
+
   test("bad args fail fast with usage, not a stack of Spark errors") {
     val e = intercept[RuntimeException](
       BatchPipelineCli.main(Array("--bogus", "x")))
