@@ -45,6 +45,22 @@ class PipelineCliSpec extends SparkSpec {
       .forall(_.getString(0).endsWith("UTC")))
   }
 
+  test("batch CLI --jdbcUrl lands the OLTP table and agrees with the parquet sink") {
+    val out = TempDirs.create("graft_cli_jdbc_out_")
+    val db = TempDirs.create("graft_cli_derby_")
+    val url = s"jdbc:derby:$db/oltp;create=true"
+    BatchPipelineCli.main(Array(
+      "--input", csvPath, "--output", out, "--jdbcUrl", url, "--table", "cli_sessions"))
+    val parquet = spark.read.parquet(out)
+    val jdbc = graft.operators.EcommercePipelines.readOltp(spark, url, "cli_sessions")
+    assert(jdbc.count() === 5)
+    // both sinks came from ONE plan execution: identical record_id sets
+    // (re-execution would re-mint layout-dependent ids)
+    val pIds = parquet.select("record_id").collect().map(_.getLong(0)).toSet
+    val jIds = jdbc.select("record_id").collect().map(_.getLong(0)).toSet
+    assert(pIds === jIds)
+  }
+
   test("replay CLI with --topic/--subscription uses the channel lifecycle") {
     val out = TempDirs.create("graft_cli_replay_ch_out_")
     val root = TempDirs.create("graft_cli_chroot_")
