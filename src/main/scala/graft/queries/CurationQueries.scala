@@ -133,6 +133,9 @@ object CurationQueries {
     // globally: a global running sum would serialize on one reducer, while
     // per-partition prefix sums keep every packing stream parallel — at
     // 100 TB the partition key is the shard-group (source, date, ...).
+    // n_tok here deliberately counts raw tokens (every doc gets a shard,
+    // even a degenerate one); q25o's segment layout filters empty tokens
+    // instead, since there a phantom token would shift packed offsets.
     QueryDef(
       "q25g_token_shards",
       s"""WITH t AS (SELECT lang, doc_id, len(${sqlTokens("text")}) AS n_tok FROM documents)
