@@ -522,7 +522,7 @@ object DedupQueries {
     // (no aggregation state on the stream; the HOF-vs-explode trade
     // documented on sigTokFrame flips for per-record gating), the index
     // probe is a stream-static equi-join on the band key, and the only
-    // stateful operator is one complete-mode count — bounded by docs in
+    // stateful operator is one update-mode count — bounded by docs in
     // flight. At 100 TB the index is the bucketed band table this join
     // co-locates with; the gate's n_band_matches is collision multiplicity
     // (each shared (band, index entry) counts once), deliberately BEFORE
@@ -549,7 +549,12 @@ object DedupQueries {
           s, Tables.documents(s, dir).select(col("doc_id"), col("text")), "q29c")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         // shingle hashes bound to an attribute before the k permutation
-        // lambdas iterate them (the one-split-per-row rule)
+        // lambdas iterate them (the one-split-per-row rule). Emission is
+    // UPDATE mode into the keyed upsert sink (q19e's MERGE shape): a doc's
+    // band probes all land in its arrival micro-batch, so its count is
+    // final after that batch and update mode emits it exactly once —
+    // no complete-mode full-result rewrite, and the per-doc agg state is
+    // TTL-evictable in production (docs in flight, not the corpus).
         .select(col("doc_id"),
           array_distinct(transform(shingles(col("toks")), v => hash32(v))).as("shash"))
         .select(col("doc_id"), minhashSig(col("shash")).as("sig"))
@@ -563,7 +568,7 @@ object DedupQueries {
         .agg(count(col("idx_doc")).as("n_band_matches"))
         .select(col("doc_id"), col("n_band_matches"),
           (col("n_band_matches") > 0).as("flagged"))
-      StreamRunner.toSnapshot(s, gated, "q29c", "complete").orderBy("doc_id")
+      StreamRunner.toUpsert(s, gated, Seq("doc_id"), "q29c").orderBy("doc_id")
     }
   )
 }

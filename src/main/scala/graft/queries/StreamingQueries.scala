@@ -17,6 +17,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingQueries {
 
+  /** One far-future sentinel slice over the `events` schema: flush
+    * punctuation for watermark-gated append emission on a bounded replay
+    * (see q19d's comment for why read-back filtering, not in-stream
+    * filtering, must drop these). `days` staggers successive sentinels so
+    * the first ADVANCES the watermark and the next EXECUTES under it. */
+  private def eventsFlush(s: org.apache.spark.sql.SparkSession,
+                          maxTs: java.sql.Timestamp,
+                          days: Int): org.apache.spark.sql.DataFrame =
+    s.range(1).select(
+      lit(-days.toLong).as("event_id"),
+      (lit(maxTs) + expr(s"INTERVAL $days DAYS")).as("ts"),
+      lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+
   val defs: Seq[QueryDef] = Seq(
     // T1-T3/Q19 — unbounded ingest + stateless per-event transform + append
     // sink (the reference's Beam pipeline, write_session_stream.py:100-113,
@@ -177,18 +191,27 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
-    // T5/Q20 — watermark + tumbling event-time window counts. Complete mode
-    // so every window is emitted for the bounded replay (append would hold
-    // back windows past the final watermark).
+    // T5/Q20 — watermark + tumbling event-time window counts, APPEND mode:
+    // each window is emitted exactly once, when the watermark passes its
+    // end and its state is EVICTED — the bounded-state production shape (a
+    // complete-mode snapshot would keep every window's state forever and
+    // rewrite the full result each micro-batch). The bounded replay gets
+    // its end-of-input flush from two far-future sentinel slices (q19d's
+    // punctuation pattern), dropped in the batch read-back.
     QueryDef(
       "q20_tumbling_window",
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
-      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q20")
+      val src = Tables.events(s, dir)
+      val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+      val sliceDir = StreamRunner.writeSlices(
+        Seq(src, eventsFlush(s, maxTs, 1), eventsFlush(s, maxTs, 2)), "q20")
+      val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      StreamRunner.toSnapshot(s, stream, "q20", "complete")
+      StreamRunner.toParquet(s, stream, "q20")
+        .filter(col("event_type") =!= "__flush")
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
         .orderBy("ws", "event_type")
     },
@@ -212,13 +235,8 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
       val src = Tables.events(s, dir)
       val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
-      def flush(days: Int): org.apache.spark.sql.DataFrame =
-        s.range(1).select(
-          lit(-days.toLong).as("event_id"),
-          (lit(maxTs) + expr(s"INTERVAL $days DAYS")).as("ts"),
-          lit(-1L).as("user_id"), lit("__flush").as("event_type"),
-          lit(0.0).as("value"), lit(null).cast("string").as("props"))
-      val sliceDir = StreamRunner.writeSlices(Seq(src, flush(1), flush(2)), "q20d")
+      val sliceDir = StreamRunner.writeSlices(
+        Seq(src, eventsFlush(s, maxTs, 1), eventsFlush(s, maxTs, 2)), "q20d")
       val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
@@ -234,6 +252,11 @@ object StreamingQueries {
     // T6/Q20b — session windows (30-minute gap) per user: the streaming
     // native form of the reference's `user_session` concept
     // (write_session_batch.py:159). Oracle = gaps-and-islands in SQL.
+    // APPEND mode: a session is emitted once, when the watermark proves no
+    // event can still extend it, and its state is evicted — per-user open
+    // sessions are the only state (bounded), vs complete mode's
+    // all-sessions-forever snapshot. Sentinel slices flush the tail; the
+    // sentinel's own user_id = -1 session is dropped in the read-back.
     QueryDef(
       "q20b_session_window",
       """WITH o AS (
@@ -248,10 +271,16 @@ object StreamingQueries {
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
-      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q20b")
+      val src = Tables.events(s, dir)
+      val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+      val sliceDir = StreamRunner.writeSlices(
+        Seq(src, eventsFlush(s, maxTs, 1), eventsFlush(s, maxTs, 2)), "q20b")
+      val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
+        .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
-      StreamRunner.toSnapshot(s, stream, "q20b", "complete")
+      StreamRunner.toParquet(s, stream, "q20b")
+        .filter(col("user_id") >= 0)
         .select(
           col("user_id"),
           col("session_window.start").as("session_start"),
@@ -261,8 +290,9 @@ object StreamingQueries {
 
     // T6/Q20c — sliding event-time windows (1 hour every 15 minutes) with a
     // 10-minute watermark: each event lands in exactly 4 overlapping windows
-    // (60/15), the overlapping-rate-metric shape. Complete mode for the
-    // bounded replay (same reasoning as Q20). Oracle: a sliding window is
+    // (60/15), the overlapping-rate-metric shape. APPEND mode with
+    // watermark eviction + sentinel flush (same migration as Q20; state is
+    // only the open windows, ≤ 4 slides deep). Oracle: a sliding window is
     // SQL-expressible by fanning each event out to its 4 covering window
     // starts (floor-to-15-min minus k slides, k = 0..3) — every covering
     // start w satisfies w <= ts < w + 1h by construction.
@@ -276,11 +306,16 @@ object StreamingQueries {
         |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
         |SELECT ws, event_type, COUNT(*) AS cnt
         |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
-      val stream = StreamRunner.replay(s, Tables.events(s, dir), "q20c")
+      val src = Tables.events(s, dir)
+      val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+      val sliceDir = StreamRunner.writeSlices(
+        Seq(src, eventsFlush(s, maxTs, 1), eventsFlush(s, maxTs, 2)), "q20c")
+      val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      StreamRunner.toSnapshot(s, stream, "q20c", "complete")
+      StreamRunner.toParquet(s, stream, "q20c")
+        .filter(col("event_type") =!= "__flush")
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
         .orderBy("ws", "event_type")
     },

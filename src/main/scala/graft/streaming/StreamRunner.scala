@@ -155,32 +155,6 @@ object StreamRunner {
                        schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).parquet(out)
 
-  /** Run a complete/update-mode streaming frame (bounded results:
-    * aggregations, stateful outputs) to completion and return the final
-    * snapshot. Each micro-batch overwrites a parquet snapshot via
-    * `foreachBatch` — the result never passes through the driver, unlike a
-    * memory sink (which both collects to the driver and pins the result as
-    * a temp view for the life of the session). */
-  def toSnapshot(spark: SparkSession, sdf: DataFrame, tag: String,
-                 mode: String): DataFrame = {
-    // append emission is incremental (each batch carries only new rows), so
-    // an overwriting snapshot would keep just the last batch — use toParquet
-    require(mode != "append", s"append-mode stream $tag needs toParquet, not toSnapshot")
-    val out = tempDir(s"snap_$tag")
-    withStateParts(spark) {
-      val q = sdf.writeStream
-        .outputMode(mode)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(out)
-        }
-        .option("checkpointLocation", tempDir(s"chk_$tag"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      awaitAndUnload(q, tag)
-    }
-    readSink(spark, out, sdf.schema)
-  }
-
   /** Run an update-mode streaming frame into a KEYED parquet state table:
     * each micro-batch carries only the groups whose aggregate changed, and
     * `foreachBatch` merges them in by key — old rows for the batch's keys
