@@ -111,18 +111,132 @@ object ScaleQueries {
         .groupBy(col("d"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("val_sum"))
         .orderBy("d", "event_type")
+    },
+
+    // Q41b — DYNAMIC partition pruning: the second half of q41's skipping
+    // story. Here the day filter is not a literal on the fact table but a
+    // predicate on a JOINED dimension (a calendar dim filtered to "audit
+    // days"), so static pruning can't see it — Spark's PartitionPruning
+    // rule instead injects a runtime subquery filter
+    // (`dynamicpruningexpression` in the scan's partitionFilters, pinned in
+    // PlanSpec) that evaluates the dim's surviving join keys first (reusing
+    // the join's broadcast) and prunes the fact scan to those directories
+    // at execution time. At 100 TB this is how `fact JOIN dim WHERE
+    // dim.attr = X` touches only the qualifying day-directories without the
+    // user hand-copying the dim predicate onto the partition column.
+    QueryDef(
+      "q41b_dynamic_partition_pruning",
+      s"""WITH cal AS (
+         |  SELECT CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS DATE) AS d
+         |  FROM generate_series(0, 90) t(i)
+         |  WHERE i % 10 = 2)
+         |SELECT e.d, event_type, COUNT(*) AS cnt, ${Det.sqlSum("value")} AS val_sum
+         |FROM (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events) e
+         |JOIN cal ON e.d = cal.d
+         |GROUP BY e.d, event_type ORDER BY e.d, event_type""".stripMargin) { (s, dir) =>
+      dppJoinFrame(s, dir)
+        .groupBy(col("d"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("val_sum"))
+        .orderBy("d", "event_type")
+    },
+
+    // Q43 — runtime (Bloom) filter join: DPP's sibling for NON-partition
+    // join keys. A selectively filtered orders month joins lineitem on
+    // o_orderkey; Spark's InjectRuntimeFilter builds a Bloom filter over
+    // the filtered orders keys as a subquery and applies
+    // `might_contain(...)` to the lineitem side BEFORE its shuffle — at
+    // 100 TB the big side drops ~98.6% of its rows pre-exchange instead of
+    // shuffling the full table into the join. The harness-scale thresholds
+    // (the application-side floor targets multi-GB scans; broadcast is
+    // disabled because a 20 MB dim would broadcast here but a 100-TB
+    // run's dim side would not) are set ONLY while the plan is built and
+    // executed into the materialized result; PlanSpec pins the injected
+    // filter. Bench note: cold pass pays the build, warm reads the
+    // materialization (same pattern as q23h/q25k).
+    QueryDef(
+      "q43_runtime_bloom_join",
+      s"""SELECT o.o_orderpriority, COUNT(*) AS cnt,
+         |  ${Det.sqlSum("l.l_extendedprice")} AS price_sum
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderdate >= DATE '1996-03-01'
+         |  AND o.o_orderdate < DATE '1996-04-01'
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      withBloomConfs(s) {
+        Materialize(s, dir, "q43_bloom")(
+          bloomJoinFrame(s, dir)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("cnt"),
+              Det.dsum(col("l_extendedprice")).as("price_sum")))
+      }.orderBy("o_orderpriority")
     }
   )
 
   /** The date-partitioned events table (one dir per day, written once per
-    * session) filtered to one week on the partition column — the frame
-    * whose scan PlanSpec asserts is partition-pruned. */
-  private[graft] def prunedWeek(s: org.apache.spark.sql.SparkSession,
-                                dir: String): org.apache.spark.sql.DataFrame =
+    * session; partition-column type inference reads `d` back as DATE). */
+  private[graft] def eventsByDay(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
     Materialize.partitioned(s, dir, "events_by_day", Seq("d"))(
       Tables.events(s, dir).withColumn("d", to_date(col("ts"))))
+
+  /** [[eventsByDay]] filtered to one week on the partition column — the
+    * frame whose scan PlanSpec asserts is statically partition-pruned. */
+  private[graft] def prunedWeek(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    eventsByDay(s, dir)
       .filter(col("d").between(
         lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+
+  /** The q41b join before aggregation: partitioned fact ⋈ filtered calendar
+    * dim. The dim is a 91-day generated calendar (the kind of tiny attribute
+    * table that lives beside any date-partitioned lake) filtered on an
+    * attribute the fact side can't see statically; exposed so PlanSpec can
+    * assert the `dynamicpruningexpression` lands in the fact scan's
+    * partitionFilters. */
+  private[graft] def dppJoinFrame(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    // the dim predicate is on the dim's OWN attribute (`id`, the row's
+    // ordinal — think "audit-cycle slot"), not an expression of the join
+    // key: a filter phrased on `d` itself would be constraint-propagated
+    // through the equi-join and statically pruned, leaving DPP nothing to
+    // do. Filtering on `id` keeps the surviving day set invisible until
+    // the dim is evaluated — the case DPP exists for.
+    val cal = s.range(91)
+      .filter(col("id") % 10 === 2)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")).as("d"))
+    eventsByDay(s, dir).join(cal, Seq("d"))
+      .select(col("d"), col("event_type"), col("value"))
+  }
+
+  /** The q43 join before aggregation (filtered orders month ⋈ lineitem on
+    * the order key), exposed for PlanSpec's runtime-filter pin. */
+  private[graft] def bloomJoinFrame(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** Run `f` (plan construction AND execution — callers materialize inside)
+    * under the runtime-Bloom-filter confs, restoring the session's settings
+    * after. The defaults gate injection on a multi-GB application-side scan
+    * and prefer broadcast for a dim this small — both right for production,
+    * both masking the mechanism at harness scale. */
+  private[graft] def withBloomConfs[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    try f
+    finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
 
   /** Bit-interleaved z-value of two non-negative ints: bit i of `x` lands
     * at position 2i, bit i of `y` at 2i+1 — generated identically as a

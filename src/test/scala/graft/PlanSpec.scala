@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.Tables
-import org.apache.spark.sql.functions.{col, lit, to_date}
+import org.apache.spark.sql.functions.{col, concat, lit, to_date, when}
 
 /** Physical-plan regression guards: the properties that make these queries
   * scale — predicate pushdown into the parquet scan, column pruning,
@@ -164,6 +164,103 @@ class PlanSpec extends SparkSpec {
       s"expected $expected pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
     assert(scan.dataFilters.isEmpty,
       "date filter must prune directories, not re-filter rows")
+  }
+
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  /** The final (post-AQE) physical plan of an EXECUTED frame. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  /** Collect file scans through AQE query-stage boundaries (QueryStageExec
+    * holds its materialized subtree as a field, not a child, so a plain
+    * `collect` never reaches scans inside completed stages). */
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectScans(q.plan)
+    case other => other.children.flatMap(collectScans)
+  }
+
+  test("q41b: the day filter arrives ONLY via a dynamic-pruning subquery at runtime") {
+    val df = graft.queries.ScaleQueries.dppJoinFrame(spark, sf).groupBy("d").count()
+    df.collect()
+    val scan = collectScans(finalPlan(df)).headOption
+      .getOrElse(fail("expected a FileSourceScanExec over the partitioned layout"))
+    // the dim's attribute filter is NOT expressible on the partition column,
+    // so the scan's only pruning predicate must be the DPP subquery
+    assert(scan.partitionFilters.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]),
+      scan.partitionFilters.mkString("; "))
+    assert(!scan.partitionFilters.mkString.contains("dayofmonth"),
+      "dim predicate must not be statically propagated — that would make DPP decorative")
+    // and at runtime it pruned to exactly the audit days present in the data
+    val days = Tables.events(spark, sf).select(to_date(col("ts")).as("d")).distinct()
+    val expected = days.filter(
+      org.apache.spark.sql.functions.datediff(
+        col("d"), lit("2024-01-01").cast("date")) % 10 === 2).count()
+    val written = days.count()
+    assert(expected > 0 && expected < written,
+      s"fixture no longer exercises pruning ($expected of $written days)")
+    assert(scan.metrics("numPartitions").value == expected,
+      s"expected $expected dynamically selected partitions, " +
+        s"read ${scan.metrics("numPartitions").value}")
+  }
+
+  test("q43: a Bloom runtime filter prunes the big join side before its shuffle") {
+    graft.queries.ScaleQueries.withBloomConfs(spark) {
+      val df = graft.queries.ScaleQueries.bloomJoinFrame(spark, sf)
+        .groupBy("o_orderpriority").count()
+      df.collect()
+      val p = finalPlan(df).toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("bloom_filter_agg"),
+        "expected an injected Bloom build over the filtered orders keys")
+      assert(p.contains("might_contain"),
+        "expected the lineitem side filtered by might_contain pre-shuffle")
+    }
+  }
+
+  test("skewed join: AQE splits the hot key's partition (OptimizeSkewedJoin)") {
+    import spark.implicits._
+    // one hot key carrying ~10^4× the median partition's rows — the
+    // heavy-hitter shape q22c/q26c cite as "AQE's skew case". Thresholds
+    // are scaled to the fixture (defaults gate on 256 MB partitions);
+    // broadcast is disabled so the join is the SMJ a 100-TB dim would be.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // the hot partition is ~5 MB pre-shuffle but its repeated key
+      // compresses hard in the shuffle files — the thresholds must sit
+      // below the COMPRESSED hot-partition size, well above the others'
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB") {
+      val left = spark.range(200000)
+        .select(
+          when(col("id") < lit(190000L), lit("hot"))
+            .otherwise(concat(lit("k"), col("id") % 64)).as("k"),
+          col("id").as("v"))
+      val right = (Seq("hot") ++ (0 until 64).map("k" + _)).toDF("k")
+        .withColumn("tag", org.apache.spark.sql.functions.length(col("k")))
+      val joined = left.join(right, "k").groupBy("tag").count()
+      joined.collect()
+      val p = finalPlan(joined).toString
+      assert(p.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the SMJ skew=true:\n${p.take(3000)}")
+    }
   }
 
   test("q42: each PageRank round is one edge join + one inflow aggregation") {
