@@ -60,19 +60,25 @@ object BatchPipelineCli {
 }
 
 /** ≙ `streaming_pipeline/send_session_stream.py:114-118` +
-  * `write_session_stream.py`: encode each CSV row onto the wire format,
-  * replay it paced by event time, decode + transform per event, append to
-  * the sink. `--speedFactor` keeps the reference's meaning — hours of data
-  * published per (simulated) minute, 1–5 — mapped deterministically: one
-  * micro-batch per simulated publishing minute, i.e.
-  * `slices = ceil(span_hours / speedFactor)`, instead of wall-clock sleeps
-  * (slice mechanics in [[StreamRunner.replayPaced]]).
+  * `simulate_session_stream.py:63-108` + `write_session_stream.py`: encode
+  * each CSV row onto the wire format, replay it paced by event time,
+  * decode + transform per event, append to the sink. Two pacing surfaces,
+  * one per reference script:
+  *   - `--speedFactor` (send_session_stream.py) — hours of data published
+  *     per (simulated) minute, 1–5 — mapped deterministically: one
+  *     micro-batch per simulated publishing minute, i.e.
+  *     `slices = ceil(span_hours / speedFactor)`.
+  *   - `--perEvent true` (simulate_session_stream.py's per-event Δt loop) —
+  *     one micro-batch per distinct event time, in event-time order; the
+  *     reference's inter-event sleep becomes commit order
+  *     ([[StreamRunner.writePerEventSlices]]).
+  * Mutually exclusive, like the two reference scripts.
   */
 object ReplayPipelineCli {
   private val usage =
     "usage: graft.ReplayPipelineCli --input <csv> --output <parquetDir> " +
-      "[--speedFactor 1..5] [--topic <name> --subscription <name> " +
-      "[--channelRoot <dir>]]"
+      "[--speedFactor 1..5 | --perEvent true] " +
+      "[--topic <name> --subscription <name> [--channelRoot <dir>]]"
 
   /** Slice count for a data span and speedFactor, bounded to [1, 96] so a
     * months-long file cannot demand thousands of micro-batches. */
@@ -81,10 +87,14 @@ object ReplayPipelineCli {
 
   def main(args: Array[String]): Unit = {
     val kv = CliArgs.parse(args,
-      Set("input", "output", "speedFactor", "topic", "subscription", "channelRoot"),
+      Set("input", "output", "speedFactor", "perEvent", "topic", "subscription",
+        "channelRoot"),
       usage)
     val input = CliArgs.require(kv, "input", usage)
     val output = CliArgs.require(kv, "output", usage)
+    val perEvent = kv.get("perEvent").exists(_.toBoolean)
+    if (perEvent && kv.contains("speedFactor")) sys.error(
+      s"--perEvent and --speedFactor are mutually exclusive\n$usage")
     val speed = kv.getOrElse("speedFactor", "5").toInt
     require(speed >= 1 && speed <= 5, s"--speedFactor must be 1..5, got $speed\n$usage")
     val spark = GraftSession.get()
@@ -124,28 +134,37 @@ object ReplayPipelineCli {
     // with a channel, consume THROUGH the subscription's checkpoint so the
     // CLI's run advances the delivery cursor it created (a later drain of
     // the same subscription delivers nothing already consumed here)
-    val (stream, cursor) = kv.get("topic") match {
+    val (stream, cursor, nBatches) = kv.get("topic") match {
       case Some(topic) =>
         val sub = kv.getOrElse("subscription", s"$topic-sub")
         val ch = Channels(
           kv.getOrElse("channelRoot", TempDirs.create("graft_channels_")))
         ch.createTopic(topic)
         ch.createSubscription(sub, topic)
-        ch.publishPaced(messages.select(col("value"), col("__pace_ts")),
-          "__pace_ts", slices, topic)
+        val wire = messages.select(col("value"), col("__pace_ts"))
+        val n =
+          if (perEvent) ch.publishPerEvent(wire, "__pace_ts", topic)
+          else { ch.publishPaced(wire, "__pace_ts", slices, topic); slices }
         println(s"[replay] created topic $topic, subscription $sub")
         val (df, checkpoint) = ch.open(spark, sub)
-        (df, Some(checkpoint))
+        (df, Some(checkpoint), n)
+      case None if perEvent =>
+        val (df, n) = StreamRunner
+          .replayPerEvent(spark, messages, "__pace_ts", "cli_replay")
+        (df.drop("__pace_ts"), None, n)
       case None =>
         (StreamRunner
           .replayPaced(spark, messages, "__pace_ts", slices, "cli_replay")
-          .drop("__pace_ts"), None)
+          .drop("__pace_ts"), None, slices)
     }
     val transformed =
       EcommerceOps.streamTransform(EcommercePipelines.decodeWire(stream))
     val sink = StreamRunner.toParquet(spark, transformed, "cli_sink", cursor)
     sink.write.mode("overwrite").parquet(output)
-    println(s"[replay] $slices micro-batches (span ${f"${span / 3600.0}%.1f"} h, " +
-      s"speedFactor $speed); wrote ${spark.read.parquet(output).count()} rows to $output")
+    val pacing =
+      if (perEvent) "per-event Δt"
+      else f"span ${span / 3600.0}%.1f h, speedFactor $speed"
+    println(s"[replay] $nBatches micro-batches ($pacing); " +
+      s"wrote ${spark.read.parquet(output).count()} rows to $output")
   }
 }

@@ -24,7 +24,16 @@ import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
   *     and its checkpoint carries its own delivery cursor: a drain delivers
   *     only messages committed since that subscription's last drain —
   *     exactly Structured Streaming's file-source offset tracking, which is
-  *     why no bespoke cursor code exists here.
+  *     why no bespoke cursor code exists here. DOCUMENTED DIVERGENCE: a
+  *     subscription created AFTER publishes replays the topic's full
+  *     retained history on first drain (its cursor starts at the
+  *     beginning), where real Pub/Sub delivers only messages published
+  *     after the subscription exists. The reference never hits the
+  *     difference (it binds the subscription before publishing,
+  *     simulate_session_stream.py:141-156), and the file source offers no
+  *     seek-to-now hook (`modifiedAfter` is batch-only) — so the channel
+  *     keeps replay-from-start semantics, which ChannelsSpec pins as
+  *     'fan-out'.
   *   - **delete** → recursive removal of the directory (and, for a topic,
   *     nothing else: like Pub/Sub, deleting a topic does not delete its
   *     subscriptions — they just stop receiving).
@@ -51,6 +60,13 @@ final case class Channels(root: String) {
     val d = topicDir(name)
     require(!Files.exists(d), s"topic $name already exists") // AlreadyExists
     Files.createDirectories(d)
+    // incarnation stamp (underscore-prefixed → invisible to the file
+    // source's listing): a topic deleted and re-created at the same path is
+    // a DIFFERENT topic, and a subscription bound to the old incarnation
+    // must not read the new one through its stale seen-files log (which
+    // could silently skip or misorder the new incarnation's messages)
+    Files.writeString(d.resolve(IncarnationFile),
+      java.util.UUID.randomUUID().toString)
     d.toString
   }
 
@@ -59,9 +75,29 @@ final case class Channels(root: String) {
     val d = subDir(name)
     require(!Files.exists(d), s"subscription $name already exists")
     Files.createDirectories(d)
-    // binding marker: the subscription remembers its topic, as in Pub/Sub
+    // binding marker: the subscription remembers its topic AND the
+    // incarnation it was bound to, as in Pub/Sub (where the binding is to
+    // the topic resource, not its name)
     Files.writeString(d.resolve("TOPIC"), topic)
+    Files.writeString(d.resolve("INCARNATION"), incarnationOf(topic))
     d.toString
+  }
+
+  private val IncarnationFile = "_INCARNATION"
+
+  private def incarnationOf(topic: String): String = {
+    val f = topicDir(topic).resolve(IncarnationFile)
+    if (Files.exists(f)) Files.readString(f) else ""
+  }
+
+  /** Fail if `subscription`'s bound topic was deleted and re-created since
+    * the binding (same name, different incarnation). */
+  private def requireSameIncarnation(subscription: String, topic: String): Unit = {
+    val bound = Files.readString(subDir(subscription).resolve("INCARNATION"))
+    val current = incarnationOf(topic)
+    require(bound == current,
+      s"topic $topic was deleted and re-created since subscription " +
+        s"$subscription was bound; re-create the subscription")
   }
 
   def listTopics(): Seq[String] = list(Paths.get(root, "topics"))
@@ -119,6 +155,20 @@ final case class Channels(root: String) {
       dropCols = Seq(paceTs))
   }
 
+  /** Per-event-Δt publish — the reference's simulate_session_stream.py
+    * publish loop (one `publisher.publish` per event, sleeping each
+    * inter-event gap): one commit per distinct `paceTs` value, ascending.
+    * Returns the commit count. */
+  def publishPerEvent(messages: DataFrame, paceTs: String, topic: String,
+                      maxTimes: Int = 96): Int = {
+    val d = topicDir(topic)
+    require(Files.exists(d), s"topic $topic not found")
+    require(messages.columns.toSet == Set("value", paceTs),
+      s"expected (value, $paceTs), got ${messages.columns.mkString(",")}")
+    StreamRunner.writePerEventSlices(messages, paceTs, d.toString, maxTimes,
+      dropCols = Seq(paceTs))
+  }
+
   /** Open a subscription as a streaming frame (one publish commit = one
     * micro-batch under `maxFilesPerTrigger=1`) plus the checkpoint path
     * that is its durable delivery cursor. */
@@ -128,6 +178,7 @@ final case class Channels(root: String) {
     val topic = Files.readString(d.resolve("TOPIC"))
     val td = topicDir(topic)
     require(Files.exists(td), s"topic $topic (bound by $subscription) not found")
+    requireSameIncarnation(subscription, topic)
     val stream = spark.readStream
       .schema(messageSchema)
       .option("maxFilesPerTrigger", "1")

@@ -68,26 +68,94 @@ object StreamRunner {
       .parquet(dir)
   }
 
+  /** Explicit, strictly increasing mtimes for a sequence of slice commits
+    * into `dir`. The file source replays files in modification-time order,
+    * and back-to-back commits can TIE on filesystems with coarse (1 s)
+    * mtime granularity — replaying an earlier-range slice after a later one
+    * turns its whole range into droppable late data. Instead of trusting
+    * the write clock, each commit's new files are stamped with the next
+    * 2 s step past both "now" and anything already in the dir (so appends
+    * to a topic with prior publishes stay ordered after them). */
+  private final class SliceStamper(dir: String) {
+    private val seen = scala.collection.mutable.HashSet.empty[String]
+    private val t0 = {
+      val existing = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      existing.foreach(f => seen += f.getName)
+      val maxExisting = existing.map(_.lastModified()).foldLeft(0L)(math.max)
+      math.max(System.currentTimeMillis(), maxExisting + 2000L)
+    }
+    private var step = 0
+    /** Stamp every file that appeared since the last call. */
+    def stampNew(): Unit = {
+      for (f <- Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+           if seen.add(f.getName))
+        f.setLastModified(t0 + step * 2000L)
+      step += 1
+    }
+  }
+
   /** Write `df` into `dir` as `slices` event-time-ordered file commits
     * (quantile-split on `tsCol`). Slices must be written in event-time order
     * as separate commits: the file source replays files in
     * modification-time order, and a single multi-part write commits parts
     * in task-completion (arbitrary) order — which would turn earlier-range
-    * slices into droppable late data. Shared by [[replayPaced]] and the
-    * channel publisher ([[Channels]]). */
+    * slices into droppable late data. Commit order is pinned by
+    * [[SliceStamper]], not the write clock. Shared by [[replayPaced]] and
+    * the channel publisher ([[Channels]]). */
   def writePacedSlices(df: DataFrame, tsCol: String, slices: Int,
                        dir: String, dropCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     val withD = df.withColumn("__ts_d", col(tsCol).cast("double"))
     val qs = withD.stat.approxQuantile(
       "__ts_d", (1 until slices).map(_.toDouble / slices).toArray, 0.0)
+    val stamper = new SliceStamper(dir)
     for (j <- 0 until slices) {
       var part = withD
       if (j > 0) part = part.filter(col("__ts_d") >= qs(j - 1))
       if (j < slices - 1) part = part.filter(col("__ts_d") < qs(j))
       part.drop("__ts_d").drop(dropCols: _*)
         .coalesce(1).write.mode("append").parquet(dir)
+      stamper.stampNew()
     }
+  }
+
+  /** Per-event-Δt slicing (the reference's simulate_session_stream.py:63-108
+    * publish loop): one file commit per DISTINCT `tsCol` value, ascending,
+    * so — opened with `maxFilesPerTrigger=1` — micro-batch k carries exactly
+    * the events of the k-th timestamp. The reference sleeps each
+    * inter-event gap before publishing; here the gap becomes commit order
+    * (correctness is event-time processing, never arrival pacing). Bounded:
+    * more than `maxTimes` distinct times is refused (each is a source pass
+    * and a micro-batch) — long spans belong to quantile-slice pacing
+    * ([[writePacedSlices]]). Returns the commit count. */
+  def writePerEventSlices(df: DataFrame, tsCol: String, dir: String,
+                          maxTimes: Int, dropCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val times = df.select(col(tsCol)).distinct().orderBy(col(tsCol))
+      .limit(maxTimes + 1).collect().map(_.get(0))
+    require(times.nonEmpty, "per-event replay of an empty frame")
+    require(times.length <= maxTimes,
+      s"per-event pacing supports at most $maxTimes distinct event times; " +
+        "use speed-factor (quantile-slice) pacing for longer spans")
+    val stamper = new SliceStamper(dir)
+    for (t <- times) {
+      df.filter(col(tsCol) === lit(t)).drop(dropCols: _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      stamper.stampNew()
+    }
+    times.length
+  }
+
+  /** [[writePerEventSlices]] into a scratch dir, reopened as a
+    * one-commit-per-trigger stream; returns (stream, micro-batch count). */
+  def replayPerEvent(spark: SparkSession, df: DataFrame, tsCol: String,
+                     tag: String, maxTimes: Int = 96): (DataFrame, Int) = {
+    val dir = tempDir(s"pevent_$tag")
+    val n = writePerEventSlices(df, tsCol, dir, maxTimes)
+    (spark.readStream
+      .schema(df.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir), n)
   }
 
   /** Ordered multi-batch replay: write each slice as its own file-source
@@ -106,7 +174,11 @@ object StreamRunner {
       s"${s.queryExecution.logical.canonicalized.semanticHash()}").mkString("+")
     replayCache.computeIfAbsent(key, { _ =>
       val dir = tempDir(s"slices_$tag")
-      slices.foreach(_.coalesce(1).write.mode("append").parquet(dir))
+      val stamper = new SliceStamper(dir)
+      slices.foreach { s =>
+        s.coalesce(1).write.mode("append").parquet(dir)
+        stamper.stampNew()
+      }
       dir
     })
   }

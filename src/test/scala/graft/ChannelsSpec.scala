@@ -67,6 +67,26 @@ class ChannelsSpec extends SparkSpec {
     assert(strings(ch.drain(spark, "s", out)) === Set("a", "b"))
   }
 
+  test("a re-created topic is a new incarnation: stale-bound drains refuse") {
+    val ch = Channels(TempDirs.create("graft_ch_incarn_"))
+    ch.createTopic("t")
+    ch.createSubscription("s", "t")
+    ch.publish(msgs("a"), "t")
+    val out = TempDirs.create("graft_ch_incarn_out_")
+    assert(strings(ch.drain(spark, "s", out)) === Set("a"))
+    ch.deleteTopic("t")
+    ch.createTopic("t") // same name, NEW topic resource
+    ch.publish(msgs("b"), "t")
+    // the old binding's seen-files log could skip/misorder the new
+    // incarnation's messages — the drain must refuse, not guess
+    val e = intercept[IllegalArgumentException](ch.drain(spark, "s", out))
+    assert(e.getMessage.contains("re-created"))
+    // a fresh binding to the new incarnation reads it cleanly
+    ch.createSubscription("s2", "t")
+    val out2 = TempDirs.create("graft_ch_incarn_out2_")
+    assert(strings(ch.drain(spark, "s2", out2)) === Set("b"))
+  }
+
   test("draining a never-published topic yields an empty, well-typed frame") {
     val ch = Channels(TempDirs.create("graft_ch_empty_"))
     ch.createTopic("quiet")

@@ -72,7 +72,11 @@ class OracleSqlSpec extends AnyFunSuite {
       val wordChar = idx > 0 && (up(idx - 1).isLetterOrDigit || up(idx - 1) == '_')
       if (!wordChar) {
         val prefix = sql.substring(0, idx).reverse.dropWhile(_.isWhitespace).reverse
-        val castGuarded = prefix.toUpperCase.endsWith("CAST(")
+        // word-anchored: `CAST(` / `TRY_CAST(` only — a suffix match alone
+        // would also accept non-cast wrappers that merely END in "CAST("
+        // (e.g. BROADCAST"("), silently passing the lint without a cast
+        val castGuarded =
+          "(?i)(^|[^A-Za-z0-9_])(TRY_)?CAST\\($".r.findFirstIn(prefix).isDefined
         var end = pastBalanced(sql, idx + 3)
         var j = skipWs(sql, end)
         if (up.startsWith("OVER", j)) { // window form: OVER (...) or OVER w

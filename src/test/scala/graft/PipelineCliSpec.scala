@@ -74,6 +74,29 @@ class PipelineCliSpec extends SparkSpec {
     assert(ch.listSubscriptions() === Seq("etl"))
   }
 
+  test("replay CLI --perEvent paces one micro-batch per distinct event time") {
+    val out = TempDirs.create("graft_cli_pevent_out_")
+    val outStream = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outStream, true, "UTF-8")) {
+      ReplayPipelineCli.main(
+        Array("--input", csvPath, "--output", out, "--perEvent", "true"))
+    }
+    val df = spark.read.parquet(out)
+    assert(df.count() === 5)
+    assert(df.columns.contains("event_time_string"))
+    // the fixture has 5 distinct event times → 5 micro-batches, and the
+    // receipt says so (the simulate_session_stream.py per-publish loop)
+    assert(outStream.toString("UTF-8").contains("5 micro-batches (per-event Δt)"))
+  }
+
+  test("replay CLI rejects --perEvent together with --speedFactor") {
+    val out = TempDirs.create("graft_cli_pevent_bad_")
+    val e = intercept[RuntimeException](ReplayPipelineCli.main(Array(
+      "--input", csvPath, "--output", out,
+      "--perEvent", "true", "--speedFactor", "3")))
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("slice count maps speedFactor like the reference's publishing rate") {
     // 14.5h of fixture data at 5 h/min → 3 simulated minutes
     assert(ReplayPipelineCli.sliceCount(14.5, 5) === 3)
