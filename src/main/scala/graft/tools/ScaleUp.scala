@@ -1,0 +1,88 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize an N× corpus from a driver testdata dir for scale-stress
+  * benchmarking: `runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>`.
+  *
+  * The point is THROUGHPUT runs beyond the largest provided SF (the
+  * verdict's "would the linear-vs-quadratic claims hold at 10×?"), so the
+  * replicas must not be byte-copies: exact duplication would multiply every
+  * dedup/LSH bucket's depth by N and turn bucketed-linear pipelines into
+  * accidental quadratics that measure the DUPLICATION, not the data size.
+  * Each replica k therefore gets:
+  *   - fresh keys (id offsets per replica) so key cardinalities scale;
+  *   - perturbed document text (replica-keyed consonant rotation via
+  *     `translate` — length, whitespace, token shape preserved, so text
+  *     statistics stay realistic while shingles/MinHash signatures decouple
+  *     across replicas);
+  *   - perturbed embeddings (small deterministic per-(vec,dim,replica)
+  *     offset that changes DIRECTION — a pure rescale would leave cosine
+  *     geometry identical and every replica a perfect near-dup);
+  *   - lineitem/orders key offsets applied consistently so joins survive.
+  * Dimension tables are copied as-is: at any real scale the dims stay
+  * small relative to facts — that asymmetry is the thing being preserved.
+  */
+object ScaleUp {
+
+  private val Big = Seq("events", "documents", "embeddings", "lineitem", "orders")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    val Array(src, dst, fStr) = args
+    val factor = fStr.toInt
+    require(factor >= 1 && factor <= 100, s"factor must be 1..100, got $factor")
+    val spark = graft.GraftSession.get()
+    Files.createDirectories(Paths.get(dst))
+    for (t <- graft.sources.Tables.names if !Big.contains(t))
+      Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$dst/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    for (t <- Big) {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val reps = (0 until factor).map(k => replica(t, base, k))
+      reps.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t ×$factor")
+    }
+    spark.stop()
+  }
+
+  /** Replica k of table `t`; k = 0 is the identity. */
+  private def replica(t: String, df: DataFrame, k: Int): DataFrame = {
+    if (k == 0) return df
+    val kc = lit(k.toLong)
+    t match {
+      case "events" =>
+        // new event ids + new users per replica (per-user event density —
+        // the thing sessionization/windows key on — stays constant)
+        df.withColumn("event_id", col("event_id") + kc * 1000000000000L)
+          .withColumn("user_id", col("user_id") + kc * 10000000L)
+      case "documents" =>
+        // rotate consonants by a replica-keyed offset: same lengths, same
+        // token boundaries, different shingles → replicas are NOT near-dups
+        // of each other, so the corpus dup-rate scales instead of deepening
+        val abc = "bcdfghjklmnpqrstvwxz"
+        val rot = abc.drop(k % abc.length) + abc.take(k % abc.length)
+        df.withColumn("doc_id", col("doc_id") + kc * 1000000000L)
+          .withColumn("text",
+            translate(col("text"), abc + abc.toUpperCase,
+              rot + rot.toUpperCase))
+      case "embeddings" =>
+        // deterministic per-(vec,dim,replica) offset; changes direction so
+        // cosine neighborhoods decouple across replicas
+        df.withColumn("vec_id", col("vec_id") + kc * 1000000000L)
+          .withColumn("embedding",
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(hash(col("vec_id"), i, kc), lit(100)).cast("double")
+                / 1000.0 - 0.05).cast("float")).cast("float")))
+      case "lineitem" =>
+        df.withColumn("l_orderkey", col("l_orderkey") + kc * 1000000000L)
+      case "orders" =>
+        df.withColumn("o_orderkey", col("o_orderkey") + kc * 1000000000L)
+      case other => sys.error(s"no replica rule for $other")
+    }
+  }
+}
