@@ -52,4 +52,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // badly under heap pressure when the host is contended (BENCH_r01's warm
   // pass); BASELINE.md's protocol already assumes 16g
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // the full 110-query suite (batch + streaming micro-batches, two passes)
+  // generates thousands of whole-stage-codegen classes; the JDK-17 default
+  // 240 MB JIT code cache fills mid-run, the compiler shuts off, and
+  // whichever giant generated methods execute next run INTERPRETED
+  // (measured: q01/q02 0.8 s isolated vs 4-5 s late in the full suite).
+  // A long-running cluster JVM serving this workload would be sized the
+  // same way.
+  "-XX:ReservedCodeCacheSize=1g",
 )

