@@ -226,17 +226,11 @@ object ScaleQueries {
     * after. The defaults gate injection on a multi-GB application-side scan
     * and prefer broadcast for a dim this small — both right for production,
     * both masking the mechanism at harness scale. */
-  private[graft] def withBloomConfs[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
-    val overrides = Seq(
+  private[graft] def withBloomConfs[T](s: org.apache.spark.sql.SparkSession)(f: => T): T =
+    graft.Confs.withConfs(s,
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
-    overrides.foreach { case (k, v) => s.conf.set(k, v) }
-    try f
-    finally saved.foreach { case (k, v) =>
-      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
-  }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")(f)
 
   /** Bit-interleaved z-value of two non-negative ints: bit i of `x` lands
     * at position 2i, bit i of `y` at 2i+1 — generated identically as a

@@ -93,7 +93,12 @@ final case class Channels(root: String) {
   /** Fail if `subscription`'s bound topic was deleted and re-created since
     * the binding (same name, different incarnation). */
   private def requireSameIncarnation(subscription: String, topic: String): Unit = {
-    val bound = Files.readString(subDir(subscription).resolve("INCARNATION"))
+    val f = subDir(subscription).resolve("INCARNATION")
+    // a subscription dir created before incarnation stamping has no marker:
+    // treat it as bound to the unstamped ("") incarnation — the same
+    // convention incarnationOf uses for an unstamped topic — so legacy
+    // pairs still drain and a re-created (stamped) topic is still refused
+    val bound = if (Files.exists(f)) Files.readString(f) else ""
     val current = incarnationOf(topic)
     require(bound == current,
       s"topic $topic was deleted and re-created since subscription " +
@@ -138,7 +143,10 @@ final case class Channels(root: String) {
     val d = topicDir(topic)
     require(Files.exists(d), s"topic $topic not found")
     requireWire(messages)
-    messages.coalesce(1).write.mode("append").parquet(d.toString)
+    // stamped, not a plain write: paced publishes stamp their slices ahead
+    // of the wall clock, so an unstamped bulk commit could sort BETWEEN
+    // earlier paced slices and break "mtime order is publish order"
+    StreamRunner.writeOrderedCommit(messages, d.toString)
   }
 
   /** Paced publish: split `messages` into `slices` event-time-ordered

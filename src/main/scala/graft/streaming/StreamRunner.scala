@@ -94,6 +94,19 @@ object StreamRunner {
     }
   }
 
+  /** One ordered bulk commit into `dir`: write, then stamp the new files
+    * past everything already there. A plain unstamped write carries
+    * wall-clock mtimes, and [[SliceStamper]] deliberately stamps AHEAD of
+    * the wall clock (2 s per slice) — so a bulk publish following a paced
+    * publish could land its files BETWEEN earlier slices in mtime order,
+    * re-opening the exact misordering (earlier-range data turned droppable
+    * late) the stamper exists to prevent. Used by [[Channels.publish]]. */
+  def writeOrderedCommit(df: DataFrame, dir: String): Unit = {
+    val stamper = new SliceStamper(dir)
+    df.coalesce(1).write.mode("append").parquet(dir)
+    stamper.stampNew()
+  }
+
   /** Write `df` into `dir` as `slices` event-time-ordered file commits
     * (quantile-split on `tsCol`). Slices must be written in event-time order
     * as separate commits: the file source replays files in
@@ -134,6 +147,12 @@ object StreamRunner {
     val times = df.select(col(tsCol)).distinct().orderBy(col(tsCol))
       .limit(maxTimes + 1).collect().map(_.get(0))
     require(times.nonEmpty, "per-event replay of an empty frame")
+    // fail fast, not silently: a null pace time cannot be ordered, and the
+    // per-time equality filter below would never match its rows — they
+    // would vanish from the replay (and the null would still burn one of
+    // the maxTimes commit slots on an empty slice)
+    require(!times.contains(null),
+      s"per-event pacing requires a non-null $tsCol on every row")
     require(times.length <= maxTimes,
       s"per-event pacing supports at most $maxTimes distinct event times; " +
         "use speed-factor (quantile-slice) pacing for longer spans")

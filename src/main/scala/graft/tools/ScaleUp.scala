@@ -51,7 +51,7 @@ object ScaleUp {
   }
 
   /** Replica k of table `t`; k = 0 is the identity. */
-  private def replica(t: String, df: DataFrame, k: Int): DataFrame = {
+  private[graft] def replica(t: String, df: DataFrame, k: Int): DataFrame = {
     if (k == 0) return df
     val kc = lit(k.toLong)
     t match {
@@ -61,15 +61,25 @@ object ScaleUp {
         df.withColumn("event_id", col("event_id") + kc * 1000000000000L)
           .withColumn("user_id", col("user_id") + kc * 10000000L)
       case "documents" =>
-        // rotate consonants by a replica-keyed offset: same lengths, same
-        // token boundaries, different shingles → replicas are NOT near-dups
-        // of each other, so the corpus dup-rate scales instead of deepening
+        // rotate consonants by k mod 20 AND vowels by k div 20: same
+        // lengths, same token boundaries, different shingles → replicas are
+        // NOT near-dups of each other, so the corpus dup-rate scales instead
+        // of deepening. The second (vowel) rotation matters: consonant
+        // rotation alone is the IDENTITY at k % 20 == 0, so factors > 20
+        // would byte-copy texts across replicas 20 apart — exactly the
+        // accidental dup-deepening this perturbation exists to prevent. The
+        // pair (k % 20, k / 20) is distinct for every k in 0..99 (factor
+        // cap is 100), so no two replicas share a transform.
         val abc = "bcdfghjklmnpqrstvwxz"
-        val rot = abc.drop(k % abc.length) + abc.take(k % abc.length)
+        val vow = "aeiou"
+        val rc = abc.drop(k % abc.length) + abc.take(k % abc.length)
+        val vk = k / abc.length % vow.length
+        val rv = vow.drop(vk) + vow.take(vk)
         df.withColumn("doc_id", col("doc_id") + kc * 1000000000L)
           .withColumn("text",
-            translate(col("text"), abc + abc.toUpperCase,
-              rot + rot.toUpperCase))
+            translate(col("text"),
+              abc + abc.toUpperCase + vow + vow.toUpperCase,
+              rc + rc.toUpperCase + rv + rv.toUpperCase))
       case "embeddings" =>
         // deterministic per-(vec,dim,replica) offset; changes direction so
         // cosine neighborhoods decouple across replicas

@@ -87,6 +87,46 @@ class ChannelsSpec extends SparkSpec {
     assert(strings(ch.drain(spark, "s2", out2)) === Set("b"))
   }
 
+  test("a legacy subscription without an incarnation marker still drains") {
+    val ch = Channels(TempDirs.create("graft_ch_legacy_"))
+    ch.createTopic("t")
+    ch.createSubscription("s", "t")
+    ch.publish(msgs("a"), "t")
+    // a subscription dir from before incarnation stamping has no marker;
+    // against a stamped topic the drain must refuse CLEANLY (binding can't
+    // be verified), not crash with NoSuchFileException
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      ch.root, "subscriptions", "s", "INCARNATION"))
+    val out = TempDirs.create("graft_ch_legacy_out_")
+    val e = intercept[IllegalArgumentException](ch.drain(spark, "s", out))
+    assert(e.getMessage.contains("re-created"))
+    // a fully legacy pair (topic unstamped too) must still drain: both
+    // sides resolve to the "" incarnation
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      ch.root, "topics", "t", "_INCARNATION"))
+    assert(strings(ch.drain(spark, "s", out)) === Set("a"))
+  }
+
+  test("a bulk publish after paced slices commits after them in mtime order") {
+    val ch = Channels(TempDirs.create("graft_ch_order_"))
+    ch.createTopic("t")
+    val paced = spark.range(8).selectExpr(
+      "CAST(CAST(id AS STRING) AS BINARY) AS value",
+      "timestamp_seconds(1704067200 + id * 60) AS pts")
+    ch.publishPaced(paced, "pts", 4, "t")
+    val topicDir = new java.io.File(s"${ch.root}/topics/t")
+    def snapshot() = topicDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val before = snapshot()
+    ch.publish(msgs("late"), "t")
+    val after = snapshot()
+    // paced slices are stamped AHEAD of the wall clock; an unstamped bulk
+    // commit would sort between them and break replay order
+    val newest = after.filterNot { case (n, _) => before.contains(n) }.values
+    assert(newest.nonEmpty)
+    assert(newest.min > before.values.max,
+      s"bulk commit not ordered after paced slices: ${newest.min} <= ${before.values.max}")
+  }
+
   test("draining a never-published topic yields an empty, well-typed frame") {
     val ch = Channels(TempDirs.create("graft_ch_empty_"))
     ch.createTopic("quiet")

@@ -46,6 +46,29 @@ class PacedReplaySpec extends SparkSpec {
     mustEmit.foreach { case (k, v) => assert(streamed.get(k).contains(v), s"missing $k") }
   }
 
+  test("per-event pacing refuses a null pace timestamp instead of dropping rows") {
+    // null never satisfies the per-time equality filter, so its rows would
+    // silently vanish from the replay — the primitive must fail fast
+    val df = spark.range(3).selectExpr("id AS v",
+      "IF(id = 1, CAST(NULL AS timestamp), timestamp_seconds(1704067200 + id)) AS ts")
+    val e = intercept[IllegalArgumentException](
+      StreamRunner.writePerEventSlices(df, "ts", TempDirs.create("graft_nullts_"),
+        maxTimes = 10))
+    assert(e.getMessage.contains("non-null"))
+  }
+
+  test("scale-up text perturbation is never the identity for replicas 1..99") {
+    // consonant rotation alone cycles at k = 20 (byte-identical replicas →
+    // accidental dup-deepening); the vowel rotation breaks the cycle
+    val doc = spark.range(1).selectExpr("id AS doc_id", "'the quick brown fox' AS text")
+    val texts = (1 until 100).map { k =>
+      graft.tools.ScaleUp.replica("documents", doc, k)
+        .select($"text").head.getString(0)
+    }
+    assert(!texts.contains("the quick brown fox"), "found an identity replica")
+    assert(texts.distinct.size == texts.size, "two replicas share a transform")
+  }
+
   test("hash32Fast stays in the 32-bit domain and agrees with itself") {
     import graft.functions.TextHash._
     val h = Seq("a", "b", "a").toDF("t").select(hash32Fast(col("t"))).as[Long].collect()

@@ -166,13 +166,8 @@ class PlanSpec extends SparkSpec {
       "date filter must prune directories, not re-filter rows")
   }
 
-  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally saved.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
-  }
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T =
+    graft.Confs.withConfs(spark, pairs: _*)(f)
 
   /** The final (post-AQE) physical plan of an EXECUTED frame. */
   private def finalPlan(df: org.apache.spark.sql.DataFrame)
@@ -204,8 +199,16 @@ class PlanSpec extends SparkSpec {
     assert(scan.partitionFilters.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]),
       scan.partitionFilters.mkString("; "))
-    assert(!scan.partitionFilters.mkString.contains("dayofmonth"),
-      "dim predicate must not be statically propagated — that would make DPP decorative")
+    // no STATIC day-set filter may coexist with the DPP subquery (a
+    // constant-folded `d IN (...)` would make DPP decorative); the only
+    // non-DPP partition predicates allowed are null-intolerance guards
+    val static = scan.partitionFilters.filterNot(pf =>
+      pf.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+    assert(static.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]),
+      s"dim predicate must not be statically propagated — that would make " +
+        s"DPP decorative: ${static.mkString("; ")}")
     // and at runtime it pruned to exactly the audit days present in the data
     val days = Tables.events(spark, sf).select(to_date(col("ts")).as("d")).distinct()
     val expected = days.filter(
