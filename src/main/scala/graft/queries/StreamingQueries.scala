@@ -41,7 +41,7 @@ object StreamingQueries {
   private def maxEventTs(s: org.apache.spark.sql.SparkSession,
                          dir: String): java.sql.Timestamp =
     maxTsCache.computeIfAbsent(s"${graft.SessionToken(s)}|$dir",
-      _ => Tables.events(s, dir).agg(max(col("ts"))).head.getTimestamp(0))
+      _ => Tables.events(s, dir).agg(max(col("ts"))).head().getTimestamp(0))
 
   val defs: Seq[QueryDef] = Seq(
     // T1-T3/Q19 — unbounded ingest + stateless per-event transform + append
