@@ -29,6 +29,31 @@ object EcommercePipelines {
     transformed
   }
 
+  /** [[runBatch]] with ingest-health counters riding the SAME pass —
+    * `observe()` attaches aggregate metrics to the source scan inside the
+    * pipeline's one plan, so monitoring costs zero extra scans (a separate
+    * `filter(...).count()` audit re-reads the 100 TB input once per
+    * counter). The Spark-native analogue of Beam pipeline counters on the
+    * reference's streaming job (metrics the Dataflow UI surfaces per step).
+    * The returned [[org.apache.spark.sql.Observation]] yields its metric
+    * row after ANY action on the returned frame completes: rows ingested,
+    * rows missing a session id, null/negative prices, event-time bounds —
+    * the reconciliation numbers an ingest SLO dashboard needs. */
+  def runBatchObserved(spark: SparkSession, csvPath: String,
+                       out: Option[String] = None)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("ingest_health")
+    val src = Ecommerce.readCsv(spark, csvPath).observe(obs,
+      count(lit(1)).as("rows"),
+      count_if(col("user_session").isNull).as("null_sessions"),
+      count_if(col("price").isNull || col("price") < 0).as("bad_prices"),
+      min(col("event_time")).as("first_event"),
+      max(col("event_time")).as("last_event"))
+    val transformed = EcommerceOps.batchTransform(src)
+    out.foreach(dir => transformed.write.mode("append").parquet(dir))
+    (transformed, obs)
+  }
+
   /** S6 — OLTP-style JDBC sink, the direct analogue of the reference's
     * Spanner batch inserts (`write_session_batch.py:96-103,162-175`): each
     * executor partition writes its rows in `batchsize`-row JDBC batches —

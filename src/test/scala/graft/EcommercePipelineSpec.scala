@@ -50,6 +50,23 @@ class EcommercePipelineSpec extends SparkSpec {
     assert(out.select(col("record_id")).distinct().count() === 5)
   }
 
+  test("ingest-health metrics ride the batch pass itself (observe)") {
+    val (out, obs) = EcommercePipelines.runBatchObserved(spark, csvPath)
+    assert(out.count() === 5) // the action that completes the observation
+    val m = obs.get
+    assert(m("rows") === 5L)
+    assert(m("null_sessions") === 0L)
+    assert(m("bad_prices") === 0L)
+    assert(m("first_event") === "2019-11-01 09:00:00 UTC")
+    assert(m("last_event") === "2019-11-01 23:30:00 UTC")
+    // the metrics must ride the pipeline's own pass: exactly one scan of
+    // the source in the executed plan, no second audit subtree
+    val scans = out.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 1, scans.mkString("; "))
+  }
+
   test("S8: DDL creates a queryable parquet-backed table") {
     val loc = TempDirs.create("graft_tbl_")
     EcommercePipelines.runBatch(spark, csvPath, Some(loc))
