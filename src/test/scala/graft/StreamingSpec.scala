@@ -45,6 +45,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming observe() surfaces per-batch health counters in query progress") {
+    // the streaming half of runBatchObserved's zero-extra-scan monitoring:
+    // observe() on an unbounded frame reports its aggregates PER MICRO-BATCH
+    // through StreamingQueryProgress.observedMetrics — Beam's per-step
+    // counters, with no second pass over the stream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val observed = mem.toDF().toDF("id", "price")
+      .observe("ingest_health",
+        count(lit(1)).as("rows"),
+        count_if($"price" < 0).as("bad_prices"))
+      .select($"id")
+    val q = observed.writeStream.format("memory").queryName("obs_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((1L, 9.5), (2L, -1.0))
+      q.processAllAvailable()
+      mem.addData((3L, 2.0))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest_health")))
+        .map(r => (r.getAs[Long]("rows"), r.getAs[Long]("bad_prices")))
+      assert(metrics.contains((2L, 1L)), s"first batch counters missing: $metrics")
+      assert(metrics.contains((1L, 0L)), s"second batch counters missing: $metrics")
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider backs stateful queries (100 TB state backend)") {
     // At 100 TB of streaming state the default in-memory HDFS-backed store
     // OOMs; RocksDB spills state off-heap/on-disk per executor. This pins
