@@ -23,8 +23,13 @@ object EcommercePipelines {
 
   /** Batch pipeline: returns the sink-shaped frame (all-string columns,
     * dict-packed category_code, record_id) and writes it if `out` is set. */
-  def runBatch(spark: SparkSession, csvPath: String, out: Option[String] = None): DataFrame = {
-    val transformed = EcommerceOps.batchTransform(Ecommerce.readCsv(spark, csvPath))
+  def runBatch(spark: SparkSession, csvPath: String, out: Option[String] = None): DataFrame =
+    transformAndSink(Ecommerce.readCsv(spark, csvPath), out)
+
+  /** Shared tail of [[runBatch]] / [[runBatchObserved]]: the sink contract
+    * (transform → optional parquet append) lives once. */
+  private def transformAndSink(src: DataFrame, out: Option[String]): DataFrame = {
+    val transformed = EcommerceOps.batchTransform(src)
     out.foreach(dir => transformed.write.mode("append").parquet(dir))
     transformed
   }
@@ -49,9 +54,7 @@ object EcommercePipelines {
       count_if(col("price").isNull || col("price") < 0).as("bad_prices"),
       min(col("event_time")).as("first_event"),
       max(col("event_time")).as("last_event"))
-    val transformed = EcommerceOps.batchTransform(src)
-    out.foreach(dir => transformed.write.mode("append").parquet(dir))
-    (transformed, obs)
+    (transformAndSink(src, out), obs)
   }
 
   /** S6 — OLTP-style JDBC sink, the direct analogue of the reference's

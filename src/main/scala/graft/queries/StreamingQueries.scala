@@ -31,16 +31,31 @@ object StreamingQueries {
       lit(-1L).as("user_id"), lit("__flush").as("event_type"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
 
-  /** max(ts) of the events table, once per (session, dir): five
-    * sentinel-flush streams (q19d, q20, q20b, q20c, q20d) anchor their
-    * far-future sentinels on the same scalar, and each `agg(max)` is a
-    * full-table driver action — cached so a suite pass pays one scan, not
-    * five (same pattern as SimilarityQueries' guardCount). */
+  /** max(ts) of the events table, once per (session, dir, data state):
+    * five sentinel-flush streams (q19d, q20, q20b, q20c, q20d) anchor
+    * their far-future sentinels on the same scalar, and each `agg(max)`
+    * is a full-table driver action — cached so a suite pass pays one
+    * scan, not five (same pattern as SimilarityQueries' guardCount). The
+    * key includes a file-level signature of the source: a stale maxTs
+    * after in-session data regeneration would anchor the sentinels BEFORE
+    * the new data's tail (watermark never passes it → final windows /
+    * outer null rows silently missing) AND keep the writeSlices replay
+    * key identical, silently replaying the old slice dir. */
   private val maxTsCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.sql.Timestamp]()
+  private def eventsSig(dir: String): Int = {
+    val root = new java.io.File(s"$dir/events.parquet")
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      else Array(root)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode
+  }
   private def maxEventTs(s: org.apache.spark.sql.SparkSession,
                          dir: String): java.sql.Timestamp =
-    maxTsCache.computeIfAbsent(s"${graft.SessionToken(s)}|$dir",
+    maxTsCache.computeIfAbsent(
+      s"${graft.SessionToken(s)}|$dir|${eventsSig(dir)}",
       _ => Tables.events(s, dir).agg(max(col("ts"))).head().getTimestamp(0))
 
   val defs: Seq[QueryDef] = Seq(

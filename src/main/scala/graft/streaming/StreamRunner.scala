@@ -73,39 +73,53 @@ object StreamRunner {
     * and back-to-back commits can TIE on filesystems with coarse (1 s)
     * mtime granularity — replaying an earlier-range slice after a later one
     * turns its whole range into droppable late data. Instead of trusting
-    * the write clock, each commit's new files are stamped with the next
-    * 2 s step past both "now" and anything already in the dir (so appends
-    * to a topic with prior publishes stay ordered after them). */
+    * the write clock, each commit gets the next 2 s step past both "now"
+    * and anything already in the dir (so appends to a topic with prior
+    * publishes stay ordered after them). */
   private final class SliceStamper(dir: String) {
-    private val seen = scala.collection.mutable.HashSet.empty[String]
     private val t0 = {
       val existing = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      existing.foreach(f => seen += f.getName)
       val maxExisting = existing.map(_.lastModified()).foldLeft(0L)(math.max)
       math.max(System.currentTimeMillis(), maxExisting + 2000L)
     }
     private var step = 0
-    /** Stamp every file that appeared since the last call. */
-    def stampNew(): Unit = {
-      for (f <- Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-           if seen.add(f.getName))
-        f.setLastModified(t0 + step * 2000L)
-      step += 1
+    def next(): Long = { val t = t0 + step * 2000L; step += 1; t }
+  }
+
+  /** One slice commit into `dir` with its mtime stamped BEFORE the file
+    * becomes visible there: parquet to a scratch dir, stamp the data file,
+    * then rename it in (same filesystem — rename preserves the stamp). The
+    * earlier write-then-restamp sequence had a window in which a
+    * concurrently listing consumer (Channels doc: "publishers/consumers
+    * are separate jobs") could observe and checkpoint the wall-clock
+    * mtime — which, sorting between earlier future-stamped slices, is the
+    * exact misordering the stamp exists to prevent. Part-file names carry
+    * a task UUID, so cross-commit collisions cannot occur. */
+  private def commitSlice(df: DataFrame, dir: String,
+                          stamper: SliceStamper): Unit = {
+    val staging = tempDir("slice_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val stamp = stamper.next()
+    val parts = Option(new java.io.File(staging).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    for (f <- parts.sortBy(_.getName)) {
+      f.setLastModified(stamp)
+      java.nio.file.Files.move(
+        f.toPath, java.nio.file.Paths.get(dir, f.getName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 
-  /** One ordered bulk commit into `dir`: write, then stamp the new files
-    * past everything already there. A plain unstamped write carries
-    * wall-clock mtimes, and [[SliceStamper]] deliberately stamps AHEAD of
-    * the wall clock (2 s per slice) — so a bulk publish following a paced
-    * publish could land its files BETWEEN earlier slices in mtime order,
-    * re-opening the exact misordering (earlier-range data turned droppable
-    * late) the stamper exists to prevent. Used by [[Channels.publish]]. */
-  def writeOrderedCommit(df: DataFrame, dir: String): Unit = {
-    val stamper = new SliceStamper(dir)
-    df.coalesce(1).write.mode("append").parquet(dir)
-    stamper.stampNew()
-  }
+  /** One ordered bulk commit into `dir`, stamped past everything already
+    * there. A plain unstamped write carries wall-clock mtimes, and
+    * [[SliceStamper]] deliberately stamps AHEAD of the wall clock (2 s per
+    * slice) — so a bulk publish following a paced publish could land its
+    * files BETWEEN earlier slices in mtime order, turning earlier-range
+    * data into droppable late data. Used by [[Channels.publish]]. */
+  def writeOrderedCommit(df: DataFrame, dir: String): Unit =
+    commitSlice(df, dir, new SliceStamper(dir))
 
   /** Write `df` into `dir` as `slices` event-time-ordered file commits
     * (quantile-split on `tsCol`). Slices must be written in event-time order
@@ -126,9 +140,7 @@ object StreamRunner {
       var part = withD
       if (j > 0) part = part.filter(col("__ts_d") >= qs(j - 1))
       if (j < slices - 1) part = part.filter(col("__ts_d") < qs(j))
-      part.drop("__ts_d").drop(dropCols: _*)
-        .coalesce(1).write.mode("append").parquet(dir)
-      stamper.stampNew()
+      commitSlice(part.drop("__ts_d").drop(dropCols: _*), dir, stamper)
     }
   }
 
@@ -157,11 +169,8 @@ object StreamRunner {
       s"per-event pacing supports at most $maxTimes distinct event times; " +
         "use speed-factor (quantile-slice) pacing for longer spans")
     val stamper = new SliceStamper(dir)
-    for (t <- times) {
-      df.filter(col(tsCol) === lit(t)).drop(dropCols: _*)
-        .coalesce(1).write.mode("append").parquet(dir)
-      stamper.stampNew()
-    }
+    for (t <- times)
+      commitSlice(df.filter(col(tsCol) === lit(t)).drop(dropCols: _*), dir, stamper)
     times.length
   }
 
@@ -194,10 +203,7 @@ object StreamRunner {
     replayCache.computeIfAbsent(key, { _ =>
       val dir = tempDir(s"slices_$tag")
       val stamper = new SliceStamper(dir)
-      slices.foreach { s =>
-        s.coalesce(1).write.mode("append").parquet(dir)
-        stamper.stampNew()
-      }
+      slices.foreach(s => commitSlice(s, dir, stamper))
       dir
     })
   }

@@ -61,10 +61,11 @@ class PacedReplaySpec extends SparkSpec {
     // consonant rotation alone cycles at k = 20 (byte-identical replicas →
     // accidental dup-deepening); the vowel rotation breaks the cycle
     val doc = spark.range(1).selectExpr("id AS doc_id", "'the quick brown fox' AS text")
-    val texts = (1 until 100).map { k =>
-      graft.tools.ScaleUp.replica("documents", doc, k)
-        .select($"text").head.getString(0)
-    }
+    // one union plan, one job — not 99 single-row driver actions
+    val texts = (1 until 100)
+      .map(k => graft.tools.ScaleUp.replica("documents", doc, k).select($"text"))
+      .reduce(_.unionByName(_)).collect().map(_.getString(0)).toSeq
+    assert(texts.length == 99)
     assert(!texts.contains("the quick brown fox"), "found an identity replica")
     assert(texts.distinct.size == texts.size, "two replicas share a transform")
   }
