@@ -167,6 +167,41 @@ object IngestParity {
           .select(lit(fmt).as("fmt"), col("n_rows"), col("n_mismatch"))
       }
       roundTrip("jsonl").unionByName(roundTrip("orc")).orderBy("fmt")
+    },
+
+    // S1+++/Q40b — schema evolution on the lake: an old-writer batch
+    // (doc_id, lang, text) and a new-writer batch that ADDED a column
+    // (n_chars) land in ONE dataset dir, as they do when a producer is
+    // upgraded mid-stream; `mergeSchema` unions the file footers so
+    // old-batch rows surface NULL for the added column and aggregation
+    // over the union just works. Scale note: mergeSchema's footer sweep
+    // reads every file's footer at plan time — affordable as a one-off
+    // schema DISCOVERY step, but a 100 TB production read passes the
+    // unified schema explicitly (s.read.schema(evolved).parquet(...)),
+    // which skips the sweep entirely; the demo exercises the discovery
+    // path. The oracle recomputes the same aggregate from the base table
+    // (old/new batch membership is doc_id parity, so "column present"
+    // is expressible as a CASE filter).
+    QueryDef(
+      "q40b_schema_evolution",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS n_evolved,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS chars_evolved
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val d = graft.TempDirs.create("graft_q40b_")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(d)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .write.mode("append").parquet(d)
+      s.read.option("mergeSchema", "true").parquet(d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(col("n_chars")).as("chars_evolved"))
+        .orderBy("lang")
     }
   )
 }
