@@ -72,12 +72,13 @@ object SimilarityQueries {
     * return the FINAL materialized (vec_id, embedding, cid) assignment.
     * Materialize tags match q24f's, so when both q24f and q24h run in one
     * session the iterations execute once and both read the same parquet. */
-  private def kmFinalAssignments(s: SparkSession, dir: String): DataFrame = {
+  private def kmFinalAssignments(s: SparkSession, dir: String,
+                                 k: Int = KmK): DataFrame = {
     import VecFunctions.vecDot
     val emb = base(s, dir).select(col("vec_id"), col("embedding"))
     def withN2(df: DataFrame): DataFrame =
       df.withColumn("cn2", vecDot(col("cvec"), col("cvec")))
-    var cent = withN2(emb.filter(col("vec_id") < KmK)
+    var cent = withN2(emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
     var lastAsg: DataFrame = null
     for (t <- 1 to KmIters) {
@@ -88,13 +89,40 @@ object SimilarityQueries {
       // lineage-truncation step of iterative Spark algorithms — without
       // it every downstream branch (next iteration's centroids, the
       // final cent/sizes pair) re-executes the whole unrolled chain
-      lastAsg = Materialize(s, dir, s"q24f_asg$t")(scored
+      // non-default k (the KScaling measurement tool) gets its own tags so
+      // it cannot clobber or absorb q24f/q24h's shared artifacts
+      val tag = if (k == KmK) s"q24f_asg$t" else s"q24f_asg${t}_k$k"
+      lastAsg = Materialize(s, dir, tag)(scored
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cid"), col("embedding"))).as("m"))
         .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.cid").as("cid")))
       cent = withN2(decimalCentroids(lastAsg, "cid"))
     }
     lastAsg
+  }
+
+  /** q24h's body with the cluster count as a parameter (default = the
+    * oracle-checked KmK geometry): cluster-blocked within-cluster near-dup
+    * detection, keep = lowest id per neighborhood. Exposed so the KScaling
+    * measurement tool can demonstrate the SemDeDup scaling rule — pairwise
+    * work is quadratic in CLUSTER size, so doubling the corpus at fixed k
+    * quadruples it, while doubling k alongside restores the cluster size
+    * and the cost curve (k ∝ n is the production setting). */
+  private[graft] def semanticDedupFrame(s: SparkSession, dir: String,
+                                        k: Int = KmK): DataFrame = {
+    import VecFunctions.vecDot
+    val a = kmFinalAssignments(s, dir, k).select(col("vec_id"), col("cid"))
+      .join(base(s, dir), "vec_id")
+    val lo = a.select(col("vec_id").as("lo_id"), col("cid").as("lo_cid"),
+      col("embedding").as("le"), col("nrm").as("ln"))
+    val dup = a.join(lo,
+        col("cid") === col("lo_cid") && col("lo_id") < col("vec_id"))
+      .filter(vecDot(col("embedding"), col("le")) / (col("nrm") * col("ln")) >= NearDupTau)
+      .groupBy(col("vec_id")).agg(min(col("lo_id")).as("dup_of"))
+    a.select(col("vec_id"), col("cid"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
   }
 
   /** Random-hyperplane LSH: 16 fixed hyperplanes generated by a seeded
@@ -472,20 +500,7 @@ object SimilarityQueries {
          |SELECT a.vec_id, a.cid, d.dup_of, (d.dup_of IS NOT NULL) AS is_dup
          |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
-      import VecFunctions.vecDot
-      val a = kmFinalAssignments(s, dir).select(col("vec_id"), col("cid"))
-        .join(base(s, dir), "vec_id")
-      val lo = a.select(col("vec_id").as("lo_id"), col("cid").as("lo_cid"),
-        col("embedding").as("le"), col("nrm").as("ln"))
-      val dup = a.join(lo,
-          col("cid") === col("lo_cid") && col("lo_id") < col("vec_id"))
-        .filter(vecDot(col("embedding"), col("le")) / (col("nrm") * col("ln")) >= NearDupTau)
-        .groupBy(col("vec_id")).agg(min(col("lo_id")).as("dup_of"))
-      a.select(col("vec_id"), col("cid"))
-        .join(dup, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"), col("dup_of"),
-          col("dup_of").isNotNull.as("is_dup"))
-        .orderBy("vec_id")
+      semanticDedupFrame(s, dir).orderBy("vec_id")
     },
 
     // X2+X3/Q24c — embedding near-duplicate pairs: all-pairs cosine ≥ 0.45.
