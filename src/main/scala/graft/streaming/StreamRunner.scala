@@ -97,10 +97,16 @@ object StreamRunner {
     * a task UUID, so cross-commit collisions cannot occur. */
   private def commitSlice(df: DataFrame, dir: String,
                           stamper: SliceStamper): Unit = {
-    val staging = tempDir("slice_stage")
-    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    // stage INSIDE the target dir: a dot-prefixed subdir is invisible to
+    // the file source's listing (hidden-path filter), and staying on the
+    // target's own filesystem is what makes the renames below atomic —
+    // a /tmp staging dir would throw AtomicMoveNotSupported whenever the
+    // channel root lives on another mount
+    val staging = java.nio.file.Paths.get(
+      dir, s".staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val stamp = stamper.next()
-    val parts = Option(new java.io.File(staging).listFiles())
+    val parts = Option(staging.toFile.listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
@@ -110,6 +116,10 @@ object StreamRunner {
         f.toPath, java.nio.file.Paths.get(dir, f.getName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    // remove the leftovers (_SUCCESS etc.) and the staging dir itself
+    Option(staging.toFile.listFiles()).getOrElse(Array.empty)
+      .foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(staging)
   }
 
   /** One ordered bulk commit into `dir`, stamped past everything already
