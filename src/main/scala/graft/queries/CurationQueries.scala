@@ -21,6 +21,11 @@ object CurationQueries {
     * q25g's shard budget so shard k ≙ sequence k at the same offsets. */
   private val SeqLen = 2048
 
+  /** q25p chunk geometry: ChunkLen-token windows every ChunkStride tokens
+    * (overlap = ChunkLen - ChunkStride). */
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
   /** Quality score in [0,1] (same formula as q25, shared constants):
     * 0.5·min(1, tokens/100) + 0.3·stopword_ratio + 0.2·(1-punct_ratio). */
   private def qualityCol(text: org.apache.spark.sql.Column,
@@ -209,6 +214,52 @@ object CurationQueries {
             - greatest(col("seq") * L, col("off"))).as("seg_len"),
           greatest(col("off") - col("seq") * L, lit(0L)).as("offset_in_seq"))
         .orderBy("lang", "seq", "doc_id")
+    },
+
+    // X4++/Q25p — overlapping document chunking (RAG / retrieval-index
+    // prep): the SPLIT counterpart of q25o's packing (packing concatenates
+    // docs into fixed sequences; chunking cuts one doc into fixed-width
+    // overlapping windows). Chunk k of a doc covers tokens
+    // [k·Stride, k·Stride + ChunkLen) ∩ [0, n) for every k with
+    // k·Stride < n — naive stride chunking, deterministic, so the final
+    // (possibly short) tail window is emitted as-is. All narrow per-row
+    // work (tokenize → bounded range-explode → array slice/join) riding
+    // the scan: chunking 100 TB is scan-shaped, no shuffle but the
+    // output sort. Emits offsets AND the chunk text, so the output table
+    // IS the retrieval corpus (doc_id, chunk_id) → text.
+    QueryDef(
+      "q25p_doc_chunks",
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(${sqlTokens("text")}, x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |k AS (SELECT doc_id, toks, n,
+         |  unnest(generate_series(0, (n - 1) // $ChunkStride)) AS k FROM n)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  CAST(k * $ChunkStride AS BIGINT) AS tok_begin,
+         |  CAST(least($ChunkLen, n - k * $ChunkStride) AS BIGINT) AS tok_len,
+         |  array_to_string(
+         |    toks[k * $ChunkStride + 1 :
+         |         k * $ChunkStride + least($ChunkLen, n - k * $ChunkStride)],
+         |    ' ') AS chunk_text
+         |FROM k ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(tokens(col("text")), x => x =!= "").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+      val S = lit(ChunkStride.toLong)
+      val tokLen = least(lit(ChunkLen.toLong), col("n") - col("chunk_id") * S)
+      t.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), expr(s"(n - 1) div $ChunkStride"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S).as("tok_begin"),
+          tokLen.as("tok_len"),
+          array_join(
+            slice(col("toks"),
+              (col("chunk_id") * S + 1).cast("int"), tokLen.cast("int")),
+            " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
     },
 
     // X4+/Q25f — deterministic stratified sampling: cap each language

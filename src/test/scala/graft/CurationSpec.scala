@@ -72,6 +72,37 @@ class CurationSpec extends SparkSpec {
     assert(segs.groupBy(_._2).exists(_._2.length > 1), "no straddles exercised")
   }
 
+  test("doc chunks cover every token, stride uniformly, and carry their own text") {
+    val chunks = byName("q25p_doc_chunks")(spark, sf)
+      .select("doc_id", "chunk_id", "tok_begin", "tok_len", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(chunks.nonEmpty)
+    val nTok = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(graft.functions.TextHash.tokens(col("text")), x => x =!= ""))
+          .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val ordered = cs.sortBy(_._2)
+      // chunk ids dense from 0; begins are an exact 48-stride grid
+      ordered.zipWithIndex.foreach { case ((_, k, begin, len, text), i) =>
+        assert(k === i.toLong, s"doc $doc chunk ids not dense")
+        assert(begin === k * 48, s"doc $doc chunk $k begins at $begin")
+        assert(len === math.min(64L, nTok(doc) - begin), s"doc $doc chunk $k len")
+        // the text IS the claimed token window
+        assert(text.split(" ").count(_.nonEmpty).toLong === len,
+          s"doc $doc chunk $k text/len mismatch")
+      }
+      // full coverage: the last chunk reaches the doc's final token, and
+      // every token index < n falls inside at least one chunk window
+      val last = ordered.last
+      assert(last._3 + last._4 === nTok(doc), s"doc $doc tail uncovered")
+      assert(ordered.forall(c => c._3 < nTok(doc)), s"doc $doc phantom chunk")
+    }
+    // overlap actually occurs in the fixture (docs longer than one window)
+    assert(chunks.groupBy(_._1).exists(_._2.length > 1), "no multi-chunk docs")
+  }
+
   test("curated corpus is a subset of rank-1 docs meeting the quality bar") {
     val curated = byName("q22b_corpus_curation")(spark, sf)
       .select("doc_id", "quality", "dup_rank")
