@@ -262,6 +262,67 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // X4+++/Q25q — DSIR-style importance selection (hashed-feature
+    // importance resampling, Xie et al. 2023): re-weight the corpus toward
+    // a TARGET domain — here lang='en' stands in for "the domain you want
+    // more of" — using two hashed bag-of-tokens models built in ONE pass:
+    // tokens hash into 512 buckets, each bucket's importance ratio is the
+    // smoothed target/source frequency ratio, each doc scores the sum of
+    // its tokens' ratios, and selection keeps the top-100 docs by
+    // per-token ratio. Everything that decides is integer: the ratio is
+    // floored MILLIONTHS of (t+1)(S+512) / ((s+1)(T+512)) — fixed-order
+    // products/quotients of exact integer counts are bit-identical across
+    // engines — and per-doc scores are BIGINT sums (order-free), so no
+    // keep decision ever branches on float noise (the q25n discipline).
+    // Scale: the 512-row ratio table broadcasts; doc scoring rides the
+    // same token explode the model build needs (two passes total); the
+    // rank window runs over the per-doc aggregate (one row per doc) —
+    // at 100 TB the quota becomes a score threshold from
+    // approx_percentile instead of a global sort.
+    QueryDef(
+      "q25q_dsir_selection",
+      s"""WITH tok AS (SELECT doc_id, lang, ${sqlHash32("w")} % 512 AS b
+         |  FROM (SELECT doc_id, lang,
+         |    unnest(list_filter(${sqlTokens("text")}, x -> x <> '')) AS w
+         |    FROM documents)),
+         |m AS (SELECT b, COUNT(*) AS s_cnt,
+         |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS t_cnt
+         |  FROM tok GROUP BY b),
+         |tot AS (SELECT CAST(SUM(s_cnt) AS BIGINT) AS s_tot,
+         |  CAST(SUM(t_cnt) AS BIGINT) AS t_tot FROM m),
+         |r AS (SELECT b, CAST(floor(1000000.0 * ((t_cnt + 1.0) * (s_tot + 512.0))
+         |    / ((s_cnt + 1.0) * (t_tot + 512.0))) AS BIGINT) AS ratio_fp
+         |  FROM m CROSS JOIN tot),
+         |d AS (SELECT tok.doc_id, tok.lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(ratio_fp) AS BIGINT) AS score_fp
+         |  FROM tok JOIN r USING (b) GROUP BY tok.doc_id, tok.lang)
+         |SELECT doc_id, lang, n_tok, score_fp,
+         |  (ROW_NUMBER() OVER (ORDER BY score_fp // n_tok DESC, doc_id) <= 100) AS sel
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(filter(tokens(col("text")), x => x =!= "")).as("w"))
+        .select(col("doc_id"), col("lang"),
+          pmod(hash32(col("w")), lit(512L)).as("b"))
+      val m = tok.groupBy(col("b")).agg(
+        count(lit(1)).as("s_cnt"),
+        count(when(col("lang") === "en", 1)).as("t_cnt"))
+      val tot = m.select(sum(col("s_cnt")).cast("long").as("s_tot"),
+        sum(col("t_cnt")).cast("long").as("t_tot"))
+      val r = m.crossJoin(broadcast(tot))
+        .select(col("b"),
+          floor(lit(1000000.0) * ((col("t_cnt") + 1.0) * (col("s_tot") + 512.0))
+            / ((col("s_cnt") + 1.0) * (col("t_tot") + 512.0))).as("ratio_fp"))
+      val d = tok.join(broadcast(r), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_tok"),
+          sum(col("ratio_fp")).as("score_fp"))
+      d.select(col("doc_id"), col("lang"), col("n_tok"), col("score_fp"),
+          (row_number().over(Window.orderBy(
+            expr("score_fp div n_tok").desc, col("doc_id"))) <= 100).as("sel"))
+        .orderBy("doc_id")
+    },
+
     // X4+/Q25f — deterministic stratified sampling: cap each language
     // stratum at ~100 docs by keeping a doc iff
     // hash(lang:doc_id) mod 1000 < floor(1000 · min(1, 100/count(lang))).

@@ -103,6 +103,23 @@ class CurationSpec extends SparkSpec {
     assert(chunks.groupBy(_._1).exists(_._2.length > 1), "no multi-chunk docs")
   }
 
+  test("DSIR selection keeps exactly the quota and skews toward the target domain") {
+    val rows = byName("q25q_dsir_selection")(spark, sf)
+      .select("doc_id", "lang", "n_tok", "score_fp", "sel")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    assert(rows.count(_._5) === 100)
+    // the operator's purpose: the selected set is richer in the target
+    // domain than the corpus at large
+    val enAll = rows.count(_._2 == "en").toDouble / rows.length
+    val enSel = rows.filter(_._5).count(_._2 == "en").toDouble / 100
+    assert(enSel > enAll, s"no skew toward target: $enSel vs corpus $enAll")
+    // selection is exactly the per-token-ratio order (ties break by doc_id,
+    // so the boundary values may be equal but never inverted)
+    val perTok = (r: (Long, String, Long, Long, Boolean)) => r._4 / r._3
+    assert(rows.filter(_._5).map(perTok).min >= rows.filterNot(_._5).map(perTok).max,
+      "an unselected doc out-scores a selected one")
+  }
+
   test("curated corpus is a subset of rank-1 docs meeting the quality bar") {
     val curated = byName("q22b_corpus_curation")(spark, sf)
       .select("doc_id", "quality", "dup_rank")
