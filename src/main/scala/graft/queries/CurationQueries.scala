@@ -219,10 +219,14 @@ object CurationQueries {
     // X4++/Q25p — overlapping document chunking (RAG / retrieval-index
     // prep): the SPLIT counterpart of q25o's packing (packing concatenates
     // docs into fixed sequences; chunking cuts one doc into fixed-width
-    // overlapping windows). Chunk k of a doc covers tokens
-    // [k·Stride, k·Stride + ChunkLen) ∩ [0, n) for every k with
-    // k·Stride < n — naive stride chunking, deterministic, so the final
-    // (possibly short) tail window is emitted as-is. All narrow per-row
+    // overlapping windows). Chunk k covers tokens
+    // [k·Stride, k·Stride + ChunkLen) ∩ [0, n); the grid STOPS at the
+    // first window that reaches the doc's end (k ≤ max(0, ⌈(n-Len)/Stride⌉)
+    // = (n-Len+Stride-1) div Stride), so coverage is complete but no
+    // emitted window is fully contained in its predecessor — a naive
+    // k·Stride < n bound would append a strict-suffix duplicate window
+    // whenever (n-1) mod Stride < Len - Stride, and duplicate sub-chunks
+    // in a retrieval index are returnable junk. All narrow per-row
     // work (tokenize → bounded range-explode → array slice/join) riding
     // the scan: chunking 100 TB is scan-shaped, no shuffle but the
     // output sort. Emits offsets AND the chunk text, so the output table
@@ -234,7 +238,9 @@ object CurationQueries {
          |  FROM documents),
          |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
          |k AS (SELECT doc_id, toks, n,
-         |  unnest(generate_series(0, (n - 1) // $ChunkStride)) AS k FROM n)
+         |  unnest(generate_series(0,
+         |    greatest((n - ${ChunkLen - ChunkStride + 1}) // $ChunkStride, 0))) AS k
+         |  FROM n)
          |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
          |  CAST(k * $ChunkStride AS BIGINT) AS tok_begin,
          |  CAST(least($ChunkLen, n - k * $ChunkStride) AS BIGINT) AS tok_len,
@@ -251,7 +257,11 @@ object CurationQueries {
       val S = lit(ChunkStride.toLong)
       val tokLen = least(lit(ChunkLen.toLong), col("n") - col("chunk_id") * S)
       t.select(col("doc_id"), col("toks"), col("n"),
-          explode(sequence(lit(0L), expr(s"(n - 1) div $ChunkStride"))).as("chunk_id"))
+          // Spark `div` truncates toward zero where DuckDB `//` floors, so
+          // the short-doc negative case is clamped with greatest both sides
+          explode(sequence(lit(0L), greatest(
+            expr(s"(n - ${ChunkLen - ChunkStride + 1}) div $ChunkStride"),
+            lit(0L)))).as("chunk_id"))
         .select(col("doc_id"), col("chunk_id"),
           (col("chunk_id") * S).as("tok_begin"),
           tokLen.as("tok_len"),
@@ -304,9 +314,14 @@ object CurationQueries {
           explode(filter(tokens(col("text")), x => x =!= "")).as("w"))
         .select(col("doc_id"), col("lang"),
           pmod(hash32(col("w")), lit(512L)).as("b"))
-      val m = tok.groupBy(col("b")).agg(
+      // materialized: m feeds BOTH the totals and the ratio table, and a
+      // twice-referenced subtree is instantiated twice in the physical
+      // plan — without this the documents tokenize+hash scan ran 3×
+      // (model under r, model under tot, doc scoring), not the 2 passes
+      // the design intends
+      val m = Materialize(s, dir, "q25q_m")(tok.groupBy(col("b")).agg(
         count(lit(1)).as("s_cnt"),
-        count(when(col("lang") === "en", 1)).as("t_cnt"))
+        count(when(col("lang") === "en", 1)).as("t_cnt")))
       val tot = m.select(sum(col("s_cnt")).cast("long").as("s_tot"),
         sum(col("t_cnt")).cast("long").as("t_tot"))
       val r = m.crossJoin(broadcast(tot))

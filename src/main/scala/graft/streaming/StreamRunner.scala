@@ -31,6 +31,30 @@ object StreamRunner {
     * still gets its own checkpoint/sink). */
   private val replayCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** File-level signature of every file-source relation under `df`'s plan
+    * (root paths plus their files' names, sizes, mtimes). Replay keys
+    * include it because the logical plan's semanticHash sees only the
+    * PATH: regenerating a source in place (even preserving max(ts)) would
+    * otherwise leave every key unchanged and silently replay the stale
+    * slice materialization of the old data. */
+  private def sourceSig(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty[String]
+      }
+    }.flatten.sorted
+    roots.map { p =>
+      val root = new java.io.File(p)
+      val files =
+        if (root.isDirectory)
+          Option(root.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        else Array(root)
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    }.mkString("||").hashCode
+  }
+
   /** Materialize a bounded frame and re-open it as a parquet file stream.
     * `singleFile=true` forces one input file so `AvailableNow` runs exactly
     * one micro-batch (required by operators whose emission the harness wants
@@ -42,7 +66,8 @@ object StreamRunner {
     spark.conf.set(
       "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
     val key = s"${graft.SessionToken(spark)}|${df.schema.catalogString}|" +
-      s"${df.queryExecution.logical.canonicalized.semanticHash()}|$singleFile"
+      s"${df.queryExecution.logical.canonicalized.semanticHash()}|" +
+      s"${sourceSig(df)}|$singleFile"
     val dir = replayCache.computeIfAbsent(key, { _ =>
       val d = tempDir(s"replay_$tag")
       val w = if (singleFile) df.coalesce(1) else df
@@ -209,7 +234,8 @@ object StreamRunner {
   def writeSlices(slices: Seq[DataFrame], tag: String): String = {
     val key = slices.map(s => s"${graft.SessionToken(s.sparkSession)}|" +
       s"${s.schema.catalogString}|" +
-      s"${s.queryExecution.logical.canonicalized.semanticHash()}").mkString("+")
+      s"${s.queryExecution.logical.canonicalized.semanticHash()}|" +
+      s"${sourceSig(s)}").mkString("+")
     replayCache.computeIfAbsent(key, { _ =>
       val dir = tempDir(s"slices_$tag")
       val stamper = new SliceStamper(dir)

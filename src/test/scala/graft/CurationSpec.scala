@@ -98,6 +98,13 @@ class CurationSpec extends SparkSpec {
       val last = ordered.last
       assert(last._3 + last._4 === nTok(doc), s"doc $doc tail uncovered")
       assert(ordered.forall(c => c._3 < nTok(doc)), s"doc $doc phantom chunk")
+      // no window is fully contained in its predecessor (chunk ends
+      // strictly increase): a contained suffix-duplicate chunk is
+      // returnable junk in a retrieval index
+      ordered.map(c => c._3 + c._4).sliding(2).foreach {
+        case Array(a, b) => assert(a < b, s"doc $doc contained chunk")
+        case _ =>
+      }
     }
     // overlap actually occurs in the fixture (docs longer than one window)
     assert(chunks.groupBy(_._1).exists(_._2.length > 1), "no multi-chunk docs")
