@@ -126,6 +126,24 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q25p: chunking rides the scan — no join, no shuffle but the output sort") {
+    val p = plan("q25p_doc_chunks")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // tokenize → range-explode → slice/join are all per-row: exactly the
+    // one exchange the global ORDER BY needs
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q25q: corpus tokenized at most twice, ratio table broadcast, no SMJ") {
+    val p = plan("q25q_dsir_selection")
+    // pass 1 built the materialized 512-row model; the final plan pays
+    // only the scoring pass over documents plus model-parquet re-reads
+    assert("documents.parquet".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q38: both layouts aggregate straight off pruned scans, no join") {
     val p = plan("q38_zorder_stats")
     assert(!p.contains("Join"), p)
