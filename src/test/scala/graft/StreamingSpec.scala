@@ -45,6 +45,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow re-runs resume offsets, state, and watermark from the checkpoint") {
+    // the incremental-batch production pattern: a cron-style job re-starts
+    // the SAME query on the SAME checkpoint as new files land. One
+    // assertion pins all three recovery guarantees: the window count 2
+    // proves run-1's rows were neither lost (state restored) nor
+    // reprocessed by later runs (source offsets resumed — a re-read would
+    // double it to 4), and that it is emitted at all proves the watermark
+    // advanced across restarts rather than resetting.
+    val src = TempDirs.create("graft_resume_src_")
+    val chk = TempDirs.create("graft_resume_chk_")
+    val out = TempDirs.create("graft_resume_out_")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    def land(name: String, rows: (Timestamp, String)*): Unit =
+      rows.toSeq.toDF("ts", "k").coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/$name")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
+        .withWatermark("ts", "5 minutes")
+        .groupBy(window($"ts", "10 minutes"), $"k")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"window.start".as("ws"), $"k", $"cnt")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "resume run timed out")
+      finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+    land("a", (ts(1), "a"), (ts(5), "a")); run() // state: [10:00,10:10)→2
+    land("b", (Timestamp.valueOf("2024-01-01 11:00:00"), "a")); run()
+    land("c", (Timestamp.valueOf("2024-01-01 12:00:00"), "a")); run()
+    val rows = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ws",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType)))).parquet(out)
+      .as[(Timestamp, String, Long)].collect().map(r => r._1.toString -> r._3).toMap
+    assert(rows("2024-01-01 10:00:00.0") === 2L,
+      s"run-1 state lost or reprocessed across restarts: $rows")
+    assert(rows("2024-01-01 11:00:00.0") === 1L, rows.toString)
+  }
+
   test("streaming observe() surfaces per-batch health counters in query progress") {
     // the streaming half of runBatchObserved's zero-extra-scan monitoring:
     // observe() on an unbounded frame reports its aggregates PER MICRO-BATCH
