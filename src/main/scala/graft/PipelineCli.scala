@@ -37,10 +37,22 @@ private[graft] object CliArgs {
 object BatchPipelineCli {
   private val usage =
     "usage: graft.BatchPipelineCli --input <csv> [--output <parquetDir>] " +
-      "[--jdbcUrl <url> --table <name>]"
+      "[--jdbcUrl <url> --table <name>]\n" +
+      "       (--instance_id / --database_id are accepted as aliases of " +
+      "--jdbcUrl / --table for reference arg-surface parity)"
+
+  /** Reference-script arg aliases (`write_session_batch.py:111-121` names
+    * the Spanner target `--instance_id`/`--database_id`): accepted 1:1 and
+    * canonicalized onto the Spark-native JDBC coordinates. Passing an alias
+    * and its canonical form together is ambiguous and fails fast. */
+  private val aliases = Map("instance_id" -> "jdbcUrl", "database_id" -> "table")
 
   def main(args: Array[String]): Unit = {
-    val kv = CliArgs.parse(args, Set("input", "output", "jdbcUrl", "table"), usage)
+    val raw = CliArgs.parse(args,
+      Set("input", "output", "jdbcUrl", "table") ++ aliases.keySet, usage)
+    for ((a, c) <- aliases if raw.contains(a) && raw.contains(c))
+      sys.error(s"--$a is an alias of --$c; pass one, not both\n$usage")
+    val kv = raw.map { case (k, v) => aliases.getOrElse(k, k) -> v }
     val input = CliArgs.require(kv, "input", usage)
     val spark = GraftSession.get()
     val out = EcommercePipelines.runBatch(spark, input, kv.get("output"))

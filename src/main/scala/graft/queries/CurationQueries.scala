@@ -280,15 +280,20 @@ object CurationQueries {
     // smoothed target/source frequency ratio, each doc scores the sum of
     // its tokens' ratios, and selection keeps the top-100 docs by
     // per-token ratio. Everything that decides is integer: the ratio is
-    // floored MILLIONTHS of (t+1)(S+512) / ((s+1)(T+512)) — fixed-order
-    // products/quotients of exact integer counts are bit-identical across
-    // engines — and per-doc scores are BIGINT sums (order-free), so no
+    // floored MILLIONTHS of (t+1)(S+512) / ((s+1)(T+512)), computed in
+    // DECIMAL(38,0) / HUGEINT so the fixed-order integer products stay
+    // EXACT past 2^53 (doubles would be 1-ULP engine-divergent at real
+    // 100 TB token counts and could flip a keep decision at the quota
+    // boundary) — and per-doc scores are BIGINT sums (order-free), so no
     // keep decision ever branches on float noise (the q25n discipline).
     // Scale: the 512-row ratio table broadcasts; doc scoring rides the
-    // same token explode the model build needs (two passes total); the
-    // rank window runs over the per-doc aggregate (one row per doc) —
-    // at 100 TB the quota becomes a score threshold from
-    // approx_percentile instead of a global sort.
+    // same token explode the model build needs (two passes total). The
+    // quota is enforced WITHOUT a global-sort window: a distributed top-k
+    // (TakeOrderedAndProject — per-partition top-100, k-row driver merge)
+    // finds the 100th (score, doc_id) boundary key, which broadcasts back
+    // onto the per-doc frame as a threshold compare. doc_id uniqueness
+    // makes the composite key a total order, so threshold-vs-rank selection
+    // is exactly row_number ≤ 100 — the oracle keeps the rank form.
     QueryDef(
       "q25q_dsir_selection",
       s"""WITH tok AS (SELECT doc_id, lang, ${sqlHash32("w")} % 512 AS b
@@ -300,8 +305,8 @@ object CurationQueries {
          |  FROM tok GROUP BY b),
          |tot AS (SELECT CAST(SUM(s_cnt) AS BIGINT) AS s_tot,
          |  CAST(SUM(t_cnt) AS BIGINT) AS t_tot FROM m),
-         |r AS (SELECT b, CAST(floor(1000000.0 * ((t_cnt + 1.0) * (s_tot + 512.0))
-         |    / ((s_cnt + 1.0) * (t_tot + 512.0))) AS BIGINT) AS ratio_fp
+         |r AS (SELECT b, CAST((1000000::HUGEINT * (t_cnt + 1) * (s_tot + 512))
+         |    // ((s_cnt + 1)::HUGEINT * (t_tot + 512)) AS BIGINT) AS ratio_fp
          |  FROM m CROSS JOIN tot),
          |d AS (SELECT tok.doc_id, tok.lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
          |  CAST(SUM(ratio_fp) AS BIGINT) AS score_fp
@@ -324,17 +329,33 @@ object CurationQueries {
         count(when(col("lang") === "en", 1)).as("t_cnt")))
       val tot = m.select(sum(col("s_cnt")).cast("long").as("s_tot"),
         sum(col("t_cnt")).cast("long").as("t_tot"))
+      // IntegralDivide over DECIMAL(38,0): exact at any real corpus size
+      // (1e6·(t+1)·(S+512) fits 38 digits up to ~1e12 target tokens per
+      // bucket × 1e13 total — far past 100 TB), result well inside BIGINT
       val r = m.crossJoin(broadcast(tot))
         .select(col("b"),
-          floor(lit(1000000.0) * ((col("t_cnt") + 1.0) * (col("s_tot") + 512.0))
-            / ((col("s_cnt") + 1.0) * (col("t_tot") + 512.0))).as("ratio_fp"))
-      val d = tok.join(broadcast(r), "b")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).cast("long").as("n_tok"),
-          sum(col("ratio_fp")).as("score_fp"))
-      d.select(col("doc_id"), col("lang"), col("n_tok"), col("score_fp"),
-          (row_number().over(Window.orderBy(
-            expr("score_fp div n_tok").desc, col("doc_id"))) <= 100).as("sel"))
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (t_cnt + 1) * (s_tot + 512))
+                 | DIV (CAST(s_cnt + 1 AS DECIMAL(38,0)) * (t_tot + 512)) AS BIGINT)"""
+            .stripMargin.replace("\n", "")).as("ratio_fp"))
+      // materialized: the per-doc score frame (one row per doc) feeds both
+      // the boundary top-k and the final projection; without this the
+      // documents tokenize+hash scan would run once per consumer
+      val d = Materialize(s, dir, "q25q_d")(
+        tok.join(broadcast(r), "b")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_tok"),
+            sum(col("ratio_fp")).as("score_fp"))
+          .withColumn("negq", -expr("score_fp div n_tok")))
+      // top-k boundary: orderBy+limit(100) compiles to TakeOrderedAndProject
+      // (no single-partition WindowExec — plan-pinned in PlanSpec); the
+      // 1-row max(struct) boundary broadcasts back as a threshold. With
+      // fewer than 100 docs the max-struct is the last doc and everything
+      // selects, matching rank ≤ 100.
+      val bound = d.orderBy(col("negq"), col("doc_id")).limit(100)
+        .agg(max(struct(col("negq"), col("doc_id"))).as("bnd"))
+      d.crossJoin(broadcast(bound))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("score_fp"),
+          (struct(col("negq"), col("doc_id")) <= col("bnd")).as("sel"))
         .orderBy("doc_id")
     },
 

@@ -385,6 +385,28 @@ object DedupQueries {
     // exactly. Prefix blocking is the cheap high-recall blocker for
     // boilerplate/near-identical docs; the block key is the shuffle key; the
     // stride halves gram volume with near-identical pair discrimination.
+    //
+    // Engine-side representation: grams are xxhash64'd to int64 BEFORE the
+    // per-doc collect_set, so the materialized table and the join carry
+    // array<bigint>, not array<string> — ~8× less payload and allocation
+    // than 4-char UTF8Strings, and set sizes/intersections are identical to
+    // the string sets barring a 64-bit collision within one compared pair
+    // (p < 1e-13 per pair; deterministic, and the oracle below, which
+    // compares the RAW gram strings in DuckDB, would catch one). Jaccard is
+    // computed from ONE array_intersect (|A∪B| = |A|+|B|−|A∩B| for the
+    // duplicate-free collect_set arrays), not intersect+union twice.
+    //
+    // Block bound: a gram-count bucket (width ln(10/3) in log-size space) is
+    // a SECONDARY join key. J ≥ 0.3 ⇒ J ≤ min/max ⇒ |A|/|B| ≤ 10/3 ⇒ the
+    // two log-sizes differ by < one bucket width, so every qualifying pair
+    // is found with the probe side exploded to buckets {b−1, b, b+1}
+    // (each pair matches exactly ONE of the three — no dedup needed). A
+    // boilerplate-heavy corpus where thousands of docs share a 3-token
+    // prefix no longer forms one O(|block|²) hot block unless the docs are
+    // ALSO within 3.3× of each other in gram count — the remaining pairs
+    // are exactly the candidates the J ≥ 0.3 predicate could accept.
+    // Oracle parity: bucketing only prunes pairs that cannot pass the
+    // Jaccard filter, so the prefix-only DuckDB formulation is unchanged.
     QueryDef(
       "q23d_ngram_jaccard_pairs",
       s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks,
@@ -396,8 +418,10 @@ object DedupQueries {
          |FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
          |WHERE ${sqlJaccard("a.grams", "b.grams")} >= 0.3
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      // gram generation via explode + codegen'd substr + collect_set, not a
-      // per-row lambda (same distinct-gram sets, interpreted-HOF cost gone)
+      // gram generation via explode + codegen'd substr/xxhash64 +
+      // collect_set, not a per-row lambda (same distinct-gram sets,
+      // interpreted-HOF cost gone)
+      val bucketWidth = math.log(10.0 / 3.0)
       val keyed = Materialize(s, dir, "q23d_keyed")(
         Tables.documents(s, dir)
           .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
@@ -411,16 +435,28 @@ object DedupQueries {
               greatest(length(col("text")) - (CharGramN - 1), lit(1)),
               lit(2))).as("i"))
           .select(col("doc_id"), col("pkey"),
-            col("text").substr(col("i"), lit(CharGramN)).as("g"))
+            xxhash64(col("text").substr(col("i"), lit(CharGramN))).as("g"))
           .groupBy(col("doc_id"), col("pkey"))
-          .agg(collect_set(col("g")).as("grams")))
+          .agg(collect_set(col("g")).as("grams"))
+          .select(col("doc_id"), col("pkey"), col("grams"),
+            size(col("grams")).as("n"),
+            floor(log(size(col("grams")).cast("double")) / bucketWidth)
+              .cast("long").as("bkt")))
+      val probe = keyed.select(
+        col("doc_id"), col("pkey"), col("grams"), col("n"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
       keyed.alias("a")
-        .join(keyed.alias("b"),
-          col("a.pkey") === col("b.pkey") && col("a.doc_id") < col("b.doc_id"))
-        .filter(jaccard(col("a.grams"), col("b.grams")) >= 0.3)
+        .join(probe.alias("b"),
+          col("a.pkey") === col("b.pkey") && col("a.bkt") === col("b.bkt") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("n_int",
+          size(array_intersect(col("a.grams"), col("b.grams"))))
+        .withColumn("jac",
+          col("n_int").cast("double") / (col("a.n") + col("b.n") - col("n_int")))
+        .filter(col("jac") >= 0.3)
         .select(
           col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          round(jaccard(col("a.grams"), col("b.grams")), 6).as("gram_jaccard"))
+          round(col("jac"), 6).as("gram_jaccard"))
         .orderBy("da", "db")
     },
 

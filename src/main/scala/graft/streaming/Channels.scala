@@ -44,6 +44,16 @@ import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
   * Scale stance: a channel is a directory contract, so at warehouse scale
   * the root lives on the object store and publishers/consumers are separate
   * jobs; nothing here holds driver-side state beyond path strings.
+  *
+  * SINGLE WRITER PER TOPIC: publish order is serialized by the mtime
+  * stamper, which derives its base from a snapshot of the dir listing at
+  * publish time ([[StreamRunner.writeOrderedCommit]]) — two publishers
+  * stamping the same topic concurrently can snapshot the same base and
+  * emit colliding/interleaved mtimes, making cross-publisher replay order
+  * arbitrary. Concurrent publishers must serialize externally (one
+  * publisher job per topic — the reference's own deployment shape; its
+  * replay scripts are a single process per topic). Consumers are unlimited
+  * and need no coordination.
   */
 final case class Channels(root: String) {
 

@@ -46,12 +46,24 @@ object StreamRunner {
       }
     }.flatten.sorted
     roots.map { p =>
-      val root = new java.io.File(p)
-      val files =
-        if (root.isDirectory)
-          Option(root.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-        else Array(root)
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      val root = java.nio.file.Paths.get(p)
+      // full recursive walk, not a root-level listing: a partitioned layout
+      // (day=*/part-*.parquet) exposes only subdir names at the root, so a
+      // nested part file rewritten in place under the same name would leave
+      // a shallow signature unchanged — the exact staleness this guards
+      val files: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try {
+            val b = Seq.newBuilder[java.nio.file.Path]
+            walk.filter(java.nio.file.Files.isRegularFile(_)).forEach(b += _)
+            b.result().sortBy(_.toString)
+          } finally walk.close()
+        } else Seq(root)
+      files.map { f =>
+        val file = f.toFile
+        s"${f.toAbsolutePath}:${file.length}:${file.lastModified}"
+      }.mkString("|")
     }.mkString("||").hashCode
   }
 
@@ -141,10 +153,20 @@ object StreamRunner {
         f.toPath, java.nio.file.Paths.get(dir, f.getName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    // remove the leftovers (_SUCCESS etc.) and the staging dir itself
-    Option(staging.toFile.listFiles()).getOrElse(Array.empty)
-      .foreach(_.delete())
-    java.nio.file.Files.deleteIfExists(staging)
+    // remove the leftovers (_SUCCESS etc.) and the staging dir itself —
+    // recursively and best-effort: an aborted/retried task can leave a
+    // non-empty `_temporary` subdir, which a flat delete() skips silently
+    // and a bare deleteIfExists(staging) then turns into a
+    // DirectoryNotEmptyException AFTER the part files are already
+    // committed. Cleanup failure past the renames must not fail the
+    // publish; a survivor is scratch inside a TempDirs-tracked tree.
+    try {
+      val walk = java.nio.file.Files.walk(staging)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Exception => () } })
+      finally walk.close()
+    } catch { case _: Exception => () }
   }
 
   /** One ordered bulk commit into `dir`, stamped past everything already

@@ -61,6 +61,25 @@ class PipelineCliSpec extends SparkSpec {
     assert(pIds === jIds)
   }
 
+  test("batch CLI accepts --instance_id/--database_id as JDBC-target aliases") {
+    val out = TempDirs.create("graft_cli_alias_out_")
+    val db = TempDirs.create("graft_cli_alias_derby_")
+    val url = s"jdbc:derby:$db/oltp;create=true"
+    // the reference's Spanner coordinates (write_session_batch.py:111-121),
+    // canonicalized onto --jdbcUrl/--table
+    BatchPipelineCli.main(Array(
+      "--input", csvPath, "--output", out,
+      "--instance_id", url, "--database_id", "alias_sessions"))
+    val jdbc = graft.operators.EcommercePipelines.readOltp(spark, url, "alias_sessions")
+    assert(jdbc.count() === 5)
+    // alias + canonical together is ambiguous and must fail fast
+    val e = intercept[RuntimeException] {
+      BatchPipelineCli.main(Array(
+        "--input", csvPath, "--instance_id", url, "--jdbcUrl", url))
+    }
+    assert(e.getMessage.contains("alias"))
+  }
+
   test("replay CLI with --topic/--subscription uses the channel lifecycle") {
     val out = TempDirs.create("graft_cli_replay_ch_out_")
     val root = TempDirs.create("graft_cli_chroot_")

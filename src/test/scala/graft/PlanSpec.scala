@@ -135,13 +135,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
-  test("q25q: corpus tokenized at most twice, ratio table broadcast, no SMJ") {
+  test("q25q: quota via distributed top-k + broadcast threshold, no global window") {
     val p = plan("q25q_dsir_selection")
-    // pass 1 built the materialized 512-row model; the final plan pays
-    // only the scoring pass over documents plus model-parquet re-reads
+    // pass 1 built the materialized model and per-doc score frames; the
+    // final plan reads the tiny score parquet twice (boundary + projection)
     assert("documents.parquet".r.findAllIn(p).size <= 1, p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the 100-doc quota must NOT be a single-partition window over every
+    // doc (the 100 TB scale-killer): boundary key via TakeOrderedAndProject
+    // (per-partition top-100, driver k-row merge), broadcast back
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("q38: both layouts aggregate straight off pruned scans, no join") {
