@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Builder-side reproduction of the driver's per-round bench invocation —
+# see bench/driver_protocol.md. Produces the same JSON line the driver
+# records as BENCH_r{N}.json's `parsed`, plus bench/metrics_last.json.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:-/root/testdata/sf0.1}"
+OUT="${2:-bench/driver_protocol_last.json}"
+LOG="$(mktemp /tmp/graft_driver_protocol_XXXX.log)"
+
+echo "[driver-protocol] sf=$SF_DIR log=$LOG" >&2
+SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" >"$LOG" 2>&1 || {
+  echo "[driver-protocol] sbt rc=$? — tail:" >&2; tail -20 "$LOG" >&2; exit 1; }
+
+# the driver parses the LAST line that is a JSON object; replicate that
+grep '"metric":"total"' "$LOG" | tail -1 > "$OUT"
+if [ ! -s "$OUT" ]; then
+  echo "[driver-protocol] no bench JSON line found — tail:" >&2
+  tail -20 "$LOG" >&2; exit 1
+fi
+python3 - "$OUT" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+qs = d["queries"]
+print(f"warm total {d['value']}s  cold {d['cold_total']}s  n={len(qs)}  failed={d['failed']}")
+worst = sorted(qs.items(), key=lambda kv: -kv[1])[:10]
+print("worst:", " ".join(f"{k}={v}" for k, v in worst))
+EOF
+echo "[driver-protocol] wrote $OUT (+ bench/metrics_last.json)" >&2

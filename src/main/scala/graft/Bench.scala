@@ -1,5 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-query task-metric totals, accumulated from the listener bus so a
+  * bench run is self-diagnosing: wall time alone cannot distinguish "slow
+  * plan" from "the host was spilling / GC-bound during this query" (the
+  * round-6 driver-bench heavy-tail question — VERDICT r6 Next-round #1).
+  * Counters are cumulative; [[Bench]] diffs snapshots around each query.
+  */
+final class TaskMetricsListener extends SparkListener {
+  private val jobsStarted, jobsEnded = new AtomicLong
+  private[this] val c = Array.fill(7)(new AtomicLong) // shw shr memSpill diskSpill gcMs runMs tasks
+  override def onJobStart(e: SparkListenerJobStart): Unit = { jobsStarted.incrementAndGet(); () }
+  override def onJobEnd(e: SparkListenerJobEnd): Unit = { jobsEnded.incrementAndGet(); () }
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      c(0).addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      c(1).addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      c(2).addAndGet(m.memoryBytesSpilled)
+      c(3).addAndGet(m.diskBytesSpilled)
+      c(4).addAndGet(m.jvmGCTime)
+      c(5).addAndGet(m.executorRunTime)
+      c(6).addAndGet(1L)
+      ()
+    }
+  }
+  /** Listener-bus events are async: task/job events for a finished action
+    * can still be in flight when the action call returns. Wait (bounded)
+    * for every started job to report ended, then a short settle for the
+    * trailing task-end events that precede each job-end on the bus. */
+  def drain(): Unit = {
+    val deadline = System.nanoTime() + 3_000_000_000L
+    while (jobsEnded.get < jobsStarted.get && System.nanoTime() < deadline) Thread.sleep(10)
+    Thread.sleep(60)
+  }
+  def snapshot(): Array[Long] = c.map(_.get)
+}
 
 /** Benchmark main: runs every SparkEntry query twice on
   * SPARK_GRAFT_SF_DIR and reports the warm (second-run) time per query —
@@ -41,7 +79,18 @@ object Bench {
     // q18b, q25i, q25j) were timing their parquet scan, not their
     // expressions. The noop sink evaluates every output column and discards
     // the rows — the closest local analogue of writing the result out.
-    def once(name: String): Double = {
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def driverGcMs(): Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
+    // name -> [sec*1000, shuffleWriteB, shuffleReadB, memSpillB, diskSpillB,
+    //          taskGcMs, taskRunMs, tasks, driverGcMs] per pass
+    val metricLog = scala.collection.mutable.LinkedHashMap.empty[(String, String), Array[Long]]
+    def once(pass: String, name: String): Double = {
+      listener.drain()
+      val before = listener.snapshot(); val gc0 = driverGcMs()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -54,7 +103,12 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
           return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      listener.drain()
+      val after = listener.snapshot()
+      metricLog((pass, name)) =
+        (sec * 1000).toLong +: after.zip(before).map { case (a, b) => a - b } :+ (driverGcMs() - gc0)
+      sec
     }
     // optional arg (local dev only; the driver passes none): substring
     // filter to bench a subset while iterating — mirrors Verify's 3rd arg
@@ -67,7 +121,7 @@ object Bench {
     val prefix = names.map(n => n -> n.takeWhile(_ != '_')).toMap
     val collided = prefix.values.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
     def key(n: String): String = if (collided(prefix(n))) n else prefix(n)
-    val cold = names.map(n => n -> once(n)).toMap
+    val cold = names.map(n => n -> once("cold", n)).toMap
     // settle between passes: the cold pass leaves ~110 queries of heap
     // debris and unreferenced codegen classes; without a collection here
     // the warm pass's FIRST queries (alphabetically q01/q02, whose giant
@@ -76,7 +130,7 @@ object Bench {
     // Steady-state throughput is what the warm pass claims to measure.
     System.gc()
     Thread.sleep(2000)
-    val warm = names.map(n => n -> once(n)).toMap
+    val warm = names.map(n => n -> once("warm", n)).toMap
     def fmt(v: Double): String = f"$v%.3f"
     val qs = names.map(n => s""""${key(n)}":${fmt(warm(n))}""").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
@@ -88,6 +142,31 @@ object Bench {
         s""""cold_total":${fmt(coldTotal)},"failed":$failedJson,"sf":"$sfDir"}"""
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
+    // Per-query task metrics go to a FILE, not the stdout JSON line: the
+    // harness tail-captures only ~2000 chars and the existing line already
+    // nearly fills it — growing the line would truncate it and break the
+    // round's bench parse. The file is inside the repo so builder-side runs
+    // commit it; a stderr digest of the worst rows rides along in the tail.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT", "bench/metrics_last.json")
+      val cols = Seq("ms", "shuffle_write_b", "shuffle_read_b", "spill_mem_b",
+        "spill_disk_b", "task_gc_ms", "task_run_ms", "tasks", "driver_gc_ms")
+      def passJson(pass: String): String =
+        names.flatMap(n => metricLog.get((pass, n)).map(v =>
+          s""""${key(n)}":[${v.mkString(",")}]""")).mkString("{", ",", "}")
+      val mj = s"""{"sf":"$sfDir","cpus":$cpus,"cols":[${cols.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""cold":${passJson("cold")},"warm":${passJson("warm")}}"""
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, mj.getBytes("UTF-8"))
+      val worst = names.flatMap(n => metricLog.get(("warm", n)).map(n -> _))
+        .sortBy(-_._2(0)).take(8)
+      System.err.println("[bench] warm worst (sec / spillMB / shWriteMB / taskGCs / driverGCms): " +
+        worst.map { case (n, v) => f"${key(n)}=${v(0) / 1000.0}%.1f/${(v(3) + v(4)) / 1e6}%.0f/${v(1) / 1e6}%.0f/${v(5) / 1000.0}%.1f/${v(8)}" }
+          .mkString(" "))
+      System.err.println(s"[bench] per-query task metrics -> $out")
+    } catch { case scala.util.control.NonFatal(t) =>
+      System.err.println(s"[bench] metrics dump failed: $t") }
     // stop() BEFORE the println so no executor/log line can land after the
     // JSON and push it out of the harness's tail window
     try spark.stop() catch { case _: Throwable => () }

@@ -361,7 +361,11 @@ object BehaviorQueries {
     // and the cumulative user base. The cumulative window is a global
     // ordered sum — but over at most one row per DAY (the daily aggregate),
     // so the single-reducer stage is a few-hundred-row frame, not the event
-    // stream.
+    // stream. DELIBERATE: the `WindowExec: No Partition Defined` WARN this
+    // emits in bench logs is expected and harmless at any scale — the
+    // window's input is bounded by the calendar, and PlanSpec pins that it
+    // sits above the reducing aggregates so a refactor can't silently feed
+    // it raw events.
     QueryDef(
       "q35_user_growth",
       """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day

@@ -435,7 +435,14 @@ object DedupQueries {
               greatest(length(col("text")) - (CharGramN - 1), lit(1)),
               lit(2))).as("i"))
           .select(col("doc_id"), col("pkey"),
-            xxhash64(col("text").substr(col("i"), lit(CharGramN))).as("g"))
+            col("text").substr(col("i"), lit(CharGramN)).as("graw"))
+          // xxhash64(NULL) yields the SEED (42), not NULL — an unfiltered
+          // null-text doc would emit one phantom gram (and two such docs
+          // sharing a pkey would pair at jaccard=1.0) that the DuckDB
+          // oracle, whose char-gram list of NULL text is empty, never
+          // produces. Drop null grams BEFORE hashing.
+          .filter(col("graw").isNotNull)
+          .select(col("doc_id"), col("pkey"), xxhash64(col("graw")).as("g"))
           .groupBy(col("doc_id"), col("pkey"))
           .agg(collect_set(col("g")).as("grams"))
           .select(col("doc_id"), col("pkey"), col("grams"),

@@ -163,10 +163,19 @@ object StreamRunner {
     try {
       val walk = java.nio.file.Files.walk(staging)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { try java.nio.file.Files.deleteIfExists(p)
-          catch { case _: Exception => () } })
+        .forEach(p => { try { java.nio.file.Files.deleteIfExists(p); () }
+          catch {
+            // a blanket Exception catch would swallow an interrupt and
+            // clear the thread's flag — restore it so the caller's
+            // cancellation still lands; everything else stays best-effort
+            case _: InterruptedException => Thread.currentThread().interrupt()
+            case scala.util.control.NonFatal(_) => ()
+          } })
       finally walk.close()
-    } catch { case _: Exception => () }
+    } catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
   }
 
   /** One ordered bulk commit into `dir`, stamped past everything already

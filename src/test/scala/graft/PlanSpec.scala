@@ -143,9 +143,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     // the 100-doc quota must NOT be a single-partition window over every
     // doc (the 100 TB scale-killer): boundary key via TakeOrderedAndProject
-    // (per-partition top-100, driver k-row merge), broadcast back
-    assert(!p.contains("WindowExec"), p)
+    // (per-partition top-100, driver k-row merge), broadcast back.
+    // NOTE: SparkPlan node names print WITHOUT the Exec suffix, so a window
+    // shows as `Window [...]` — match that, not "WindowExec" (which would be
+    // vacuously absent), and don't trip on WindowGroupLimit.
+    assert("""\bWindow \[""".r.findFirstIn(p).isEmpty, p)
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q35: deliberate single-partition window over the bounded per-day aggregate") {
+    val p = plan("q35_user_growth")
+    // q35's cumulative-users sum is a GLOBAL ordered window — its
+    // `WindowExec: No Partition Defined` WARN in bench logs is expected,
+    // not an accident: the window input is the per-day aggregate (≤ 1 row
+    // per day, a few hundred rows at any SF), never the event stream. Pin
+    // the shape: the Window node sits ABOVE the reducing aggregates
+    // (first-day per user, then per-day counts), so a refactor can't
+    // silently feed it raw events.
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && """\bWindow \[""".r.findFirstIn(p).isDefined,
+      s"expected the deliberate global Window node: $p")
+    val below = p.substring(wIdx)
+    assert("HashAggregate".r.findAllIn(below).size >= 2,
+      s"the global window must consume the per-day aggregate, not raw events: $p")
   }
 
   test("q38: both layouts aggregate straight off pruned scans, no join") {

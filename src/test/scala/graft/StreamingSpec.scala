@@ -220,4 +220,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("event_type", "cnt"))
     assert(out.count() === 0L)
   }
+
+  test("ProcessingTime trigger paces non-empty micro-batches on the wall clock") {
+    // The one reference behavior the AvailableNow harness never executes:
+    // real-time pacing (simulate_session_stream.py:89-93 sleeps Δevent-time
+    // between publishes so consumers see data arrive over wall time). Here
+    // the q19-shaped pipeline runs under a genuine wall-clock
+    // ProcessingTime trigger over a paced slice dir (maxFilesPerTrigger=1):
+    // the slices must arrive as separately-triggered non-empty
+    // micro-batches and the query must stop cleanly. Flake-bounded: a
+    // generous polling deadline, ">= 2 non-empty batches" rather than an
+    // exact count, and completeness asserted on the sink row count (every
+    // slice processed), not on trigger timing.
+    import graft.sources.Tables
+    import graft.streaming.StreamRunner
+    val src = Tables.events(spark, sf)
+      .filter(col("event_type") =!= "error")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value").cast("double").as("price"))
+    val expected = src.count()
+    val stream = StreamRunner.replayPaced(spark, src, "ts", slices = 4, tag = "ptime")
+      .withColumn("hour", hour(col("ts")))
+    val q = stream.writeStream.format("memory").queryName("ptime_smoke")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 120 * 1000L
+      while (spark.table("ptime_smoke").count() < expected &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table("ptime_smoke").count() === expected,
+        s"sink incomplete after 120s: ${spark.table("ptime_smoke").count()} of $expected")
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.length >= 2,
+        s"expected >=2 non-empty wall-clock-triggered micro-batches, saw ${nonEmpty.length}")
+      // distinct trigger timestamps prove separate wall-clock ticks, not
+      // one batch split by the progress reporter
+      assert(nonEmpty.map(_.timestamp).distinct.length >= 2)
+      assert(q.exception.isEmpty, s"query raised: ${q.exception}")
+    } finally q.stop()
+    assert(q.exception.isEmpty, "stop must be clean")
+  }
 }
