@@ -135,6 +135,73 @@ object DedupQueries {
       .select(col("da"), col("db"))
   }
 
+  /** q23d's per-doc gram-set stage, parameterized on the gram-hash
+    * expression: (doc_id, pkey, grams, n, bkt) with grams = the distinct
+    * `gramHash` values of the doc's stride-2 char-4-grams, pkey = the
+    * 3-token prefix block key, bkt = the gram-count log-bucket (width
+    * ln(10/3)) that bounds hot prefix blocks (see q23d's QueryDef comment).
+    *
+    * Production passes `xxhash64(_)`; `DedupEdgeSpec` injects a
+    * deliberately-COLLIDING hash to pin the collision blast-radius
+    * invariant (a collision can only perturb pairs whose gram sets contain
+    * the colliding grams) as a tested property rather than a probability
+    * claim in a comment.
+    *
+    * Gram generation is explode + codegen'd substr/hash + collect_set, not
+    * a per-row lambda (same distinct-gram sets, interpreted-HOF cost gone). */
+  private[graft] def charGramKeyed(docs: DataFrame,
+                                   gramHash: Column => Column): DataFrame = {
+    val bucketWidth = math.log(10.0 / 3.0)
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("text"),
+        concat_ws(" ",
+          try_element_at(col("toks"), lit(1)), try_element_at(col("toks"), lit(2)),
+          try_element_at(col("toks"), lit(3))).as("pkey"))
+      .select(col("doc_id"), col("pkey"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - (CharGramN - 1), lit(1)),
+          lit(2))).as("i"))
+      .select(col("doc_id"), col("pkey"),
+        col("text").substr(col("i"), lit(CharGramN)).as("graw"))
+      // xxhash64(NULL) yields the SEED (42), not NULL — an unfiltered
+      // null-text doc would emit one phantom gram (and two such docs
+      // sharing a pkey would pair at jaccard=1.0) that the DuckDB
+      // oracle, whose char-gram list of NULL text is empty, never
+      // produces. Drop null grams BEFORE hashing.
+      .filter(col("graw").isNotNull)
+      .select(col("doc_id"), col("pkey"), gramHash(col("graw")).as("g"))
+      .groupBy(col("doc_id"), col("pkey"))
+      .agg(collect_set(col("g")).as("grams"))
+      .select(col("doc_id"), col("pkey"), col("grams"),
+        size(col("grams")).as("n"),
+        floor(log(size(col("grams")).cast("double")) / bucketWidth)
+          .cast("long").as("bkt"))
+  }
+
+  /** q23d's pair stage over [[charGramKeyed]] output: prefix-block +
+    * gram-count-bucket equi-join, one array_intersect per candidate,
+    * J ≥ 0.3 confirm. */
+  private[graft] def charGramJaccardPairs(keyed: DataFrame): DataFrame = {
+    val probe = keyed.select(
+      col("doc_id"), col("pkey"), col("grams"), col("n"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    keyed.alias("a")
+      .join(probe.alias("b"),
+        col("a.pkey") === col("b.pkey") && col("a.bkt") === col("b.bkt") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("n_int",
+        size(array_intersect(col("a.grams"), col("b.grams"))))
+      .withColumn("jac",
+        col("n_int").cast("double") / (col("a.n") + col("b.n") - col("n_int")))
+      .filter(col("jac") >= 0.3)
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        round(col("jac"), 6).as("gram_jaccard"))
+      .orderBy("da", "db")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // X1/Q22 — exact dedup by normalized text hash: rank within each hash
     // group (kept = rank 1). One shuffle on the 256-bit hash; at 100 TB this
@@ -418,53 +485,9 @@ object DedupQueries {
          |FROM keyed a JOIN keyed b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
          |WHERE ${sqlJaccard("a.grams", "b.grams")} >= 0.3
          |ORDER BY da, db""".stripMargin) { (s, dir) =>
-      // gram generation via explode + codegen'd substr/xxhash64 +
-      // collect_set, not a per-row lambda (same distinct-gram sets,
-      // interpreted-HOF cost gone)
-      val bucketWidth = math.log(10.0 / 3.0)
       val keyed = Materialize(s, dir, "q23d_keyed")(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-          .select(
-            col("doc_id"), col("text"),
-            concat_ws(" ",
-              try_element_at(col("toks"), lit(1)), try_element_at(col("toks"), lit(2)),
-              try_element_at(col("toks"), lit(3))).as("pkey"))
-          .select(col("doc_id"), col("pkey"), col("text"),
-            explode(sequence(lit(1),
-              greatest(length(col("text")) - (CharGramN - 1), lit(1)),
-              lit(2))).as("i"))
-          .select(col("doc_id"), col("pkey"),
-            col("text").substr(col("i"), lit(CharGramN)).as("graw"))
-          // xxhash64(NULL) yields the SEED (42), not NULL — an unfiltered
-          // null-text doc would emit one phantom gram (and two such docs
-          // sharing a pkey would pair at jaccard=1.0) that the DuckDB
-          // oracle, whose char-gram list of NULL text is empty, never
-          // produces. Drop null grams BEFORE hashing.
-          .filter(col("graw").isNotNull)
-          .select(col("doc_id"), col("pkey"), xxhash64(col("graw")).as("g"))
-          .groupBy(col("doc_id"), col("pkey"))
-          .agg(collect_set(col("g")).as("grams"))
-          .select(col("doc_id"), col("pkey"), col("grams"),
-            size(col("grams")).as("n"),
-            floor(log(size(col("grams")).cast("double")) / bucketWidth)
-              .cast("long").as("bkt")))
-      val probe = keyed.select(
-        col("doc_id"), col("pkey"), col("grams"), col("n"),
-        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
-      keyed.alias("a")
-        .join(probe.alias("b"),
-          col("a.pkey") === col("b.pkey") && col("a.bkt") === col("b.bkt") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .withColumn("n_int",
-          size(array_intersect(col("a.grams"), col("b.grams"))))
-        .withColumn("jac",
-          col("n_int").cast("double") / (col("a.n") + col("b.n") - col("n_int")))
-        .filter(col("jac") >= 0.3)
-        .select(
-          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          round(col("jac"), 6).as("gram_jaccard"))
-        .orderBy("da", "db")
+        charGramKeyed(Tables.documents(s, dir), xxhash64(_)))
+      charGramJaccardPairs(keyed)
     },
 
     // X1+/Q22c — sub-document duplication: per document, the fraction of its

@@ -84,6 +84,65 @@ class DedupEdgeSpec extends SparkSpec {
     }
   }
 
+  test("q23d: a gram-hash collision only inflates Jaccard within pairs holding the colliding grams") {
+    // q23d hashes grams to int64 before collect_set and claims (comment at
+    // DedupQueries.charGramKeyed) that a 64-bit collision can only perturb
+    // the one compared pair whose gram sets contain the colliding grams.
+    // Constructing a REAL xxhash64 collision is impractical here: a birthday
+    // search needs ~2^32.5 evaluations plus a stored hash→gram table
+    // (~10^2 GB), and within the actual input space (4-char grams, ≈2^32
+    // ASCII inputs into 2^64 outputs) the expected number of colliding pairs
+    // is C(2^32,2)/2^64 ≈ 0.5 — a collision plausibly does not exist at all.
+    // So the invariant is pinned by INJECTION: run the exact production
+    // dataflow (charGramKeyed/charGramJaccardPairs) with a hash that forces
+    // h(g1) = h(g2) for one chosen gram pair, and assert the blast radius.
+    import org.apache.spark.sql.Column
+    val docs = Seq(
+      (1L, "p q r aabbccddeeff1122"),
+      (2L, "p q r aabbccddeeff3344"),
+      (3L, "p q r zzyyxxwwvvuuttss"),
+      (4L, "p q r zzyyxxwwvvuuttss")
+    ).toDF("doc_id", "text")
+    // raw (string) gram sets via the production extraction, hash = identity
+    val raw = DedupQueries.charGramKeyed(docs, identity[Column])
+      .select(col("doc_id"), col("grams"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+    val tailGrams = (a: Long, b: Long) =>
+      (raw(a) -- raw(b)) -- raw(3L) // distinct tail, absent from docs 3/4
+    val g1 = tailGrams(1L, 2L).head
+    val g2 = tailGrams(2L, 1L).head
+    assert(g1 !== g2)
+    val collide: Column => Column = c =>
+      when(c === lit(g1), xxhash64(lit(g2))).otherwise(xxhash64(c))
+    def run(h: Column => Column): Map[(Long, Long), Double] =
+      DedupQueries.charGramJaccardPairs(DedupQueries.charGramKeyed(docs, h))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+    def keyedSets(h: Column => Column): Map[Long, Set[Long]] =
+      DedupQueries.charGramKeyed(docs, h)
+        .select(col("doc_id"), col("grams"))
+        .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    val base = run(xxhash64(_))
+    val coll = run(collide)
+    // blast radius: every pair row except (1,2) is bit-identical
+    assert(base.keySet === coll.keySet)
+    for (k <- base.keySet if k != (1L, 2L))
+      assert(base(k) === coll(k), s"pair $k perturbed by an unrelated collision")
+    assert(base((3L, 4L)) === 1.0 && coll((3L, 4L)) === 1.0)
+    // the affected pair inflates by EXACTLY one intersection element:
+    // doc1 carries h(g1)=xxhash64(g2), doc2 carries xxhash64(g2) genuinely
+    val sb = keyedSets(xxhash64(_)); val sc = keyedSets(collide)
+    // set SIZES are unchanged (g2 ∉ doc1, so no within-doc merge)
+    assert(sb.forall { case (d, s) => sc(d).size === s.size })
+    def jac(a: Set[Long], b: Set[Long]): Double = {
+      val i = (a & b).size
+      math.rint(i.toDouble / (a.size + b.size - i) * 1e6) / 1e6
+    }
+    assert((sc(1L) & sc(2L)).size === (sb(1L) & sb(2L)).size + 1)
+    assert(coll((1L, 2L)) === jac(sc(1L), sc(2L)))
+    assert(coll((1L, 2L)) > base((1L, 2L)))
+  }
+
   test("streaming near-dup gate never misses a confirmed batch near-dup") {
     // q29c flags on band collision BEFORE the Jaccard confirm, so its
     // flagged set must cover every member of every q23b confirmed pair
