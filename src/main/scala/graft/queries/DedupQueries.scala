@@ -634,7 +634,8 @@ object DedupQueries {
         .agg(count(col("idx_doc")).as("n_band_matches"))
         .select(col("doc_id"), col("n_band_matches"),
           (col("n_band_matches") > 0).as("flagged"))
-      StreamRunner.toUpsert(s, gated, Seq("doc_id"), "q29c").orderBy("doc_id")
+      StreamRunner.toUpsert(s, gated, Seq("doc_id"), "q29c", flush = false)
+        .orderBy("doc_id")
     }
   )
 }

@@ -17,11 +17,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingQueries {
 
-  /** One far-future sentinel slice over the `events` schema: flush
-    * punctuation for watermark-gated append emission on a bounded replay
-    * (see q19d's comment for why read-back filtering, not in-stream
-    * filtering, must drop these). `days` staggers successive sentinels so
-    * the first ADVANCES the watermark and the next EXECUTES under it. */
+  /** Far-future sentinel rows over the `events` schema: flush punctuation
+    * for watermark-gated append emission on a bounded replay (see q19d's
+    * comment for why read-back filtering, not in-stream filtering, must
+    * drop these). The sentinel rides IN THE SAME slice as the data: the
+    * watermark computed at that batch's end is already past every real
+    * window/row, and the no-data micro-batch that AvailableNow runs after
+    * the last data batch (`noDataMicroBatches`, pinned on by StreamRunner)
+    * executes under it — evicting and emitting everything real. One data
+    * batch total, where the earlier two-staggered-sentinel-slices design
+    * paid three (the second sentinel did exactly what the no-data batch
+    * does). `days` remains for callers needing a specific offset. */
   private def eventsFlush(s: org.apache.spark.sql.SparkSession,
                           maxTs: java.sql.Timestamp,
                           days: Int): org.apache.spark.sql.DataFrame =
@@ -126,25 +132,28 @@ object StreamingQueries {
           col("view_id"), col("purchase_id"), col("user_id"),
           floor((unix_micros(col("pts")) - unix_micros(col("vts"))) / 1000000)
             .as("gap_s"))
-      StreamRunner.toParquet(s, joined, "q19c").orderBy("view_id", "purchase_id")
+      StreamRunner.toParquet(s, joined, "q19c", flush = false)
+        .orderBy("view_id", "purchase_id")
     },
 
     // T5+/Q19d — stream-stream LEFT OUTER interval join: every view, with
     // its purchases in the following hour, or a null-extended row once the
     // watermark proves no purchase can still arrive. The outer side is the
     // part q19c can't express — null rows are emitted by state EVICTION, so
-    // the bounded replay needs flush punctuation: two far-future sentinel
-    // slices (maxFilesPerTrigger=1 → own micro-batches) advance the global
-    // watermark past the data's tail, then execute under it, evicting and
-    // null-emitting every unmatched real view. In production a live stream's
-    // own traffic advances the watermark; the sentinels are the bounded
-    // stand-in (same role as Flink's end-of-input watermark). Sentinel rows
-    // use user_id = -1 and are dropped from the BATCH read-back of the sink,
-    // NOT by an in-stream filter: Catalyst pushes a post-join `user_id >= 0`
-    // through the outer join and the watermark node into the parquet scan,
-    // which silently drops the watermark-driving sentinel rows at the source
-    // (observed: per-source offsets advanced, numInputRows 0, watermark
-    // pinned at maxTs - 1h, tail null rows never emitted).
+    // the bounded replay needs flush punctuation: far-future sentinel rows
+    // (one per side, so BOTH streams' watermarks — the global watermark is
+    // their min — move past the data) ride in the single data slice; the
+    // end-of-batch watermark then clears every real view, and the trailing
+    // no-data micro-batch evicts and null-emits every unmatched one. In
+    // production a live stream's own traffic advances the watermark; the
+    // sentinel is the bounded stand-in (same role as Flink's end-of-input
+    // watermark). Sentinel rows use user_id = -1 and are dropped from the
+    // BATCH read-back of the sink, NOT by an in-stream filter: Catalyst
+    // pushes a post-join `user_id >= 0` through the outer join and the
+    // watermark node into the parquet scan, which silently drops the
+    // watermark-driving sentinel rows at the source (observed: per-source
+    // offsets advanced, numInputRows 0, watermark pinned at maxTs - 1h,
+    // tail null rows never emitted).
     // State is bounded: both sides evict at watermark + 1 h interval.
     QueryDef(
       "q19d_stream_outer_join",
@@ -157,8 +166,9 @@ object StreamingQueries {
         |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
       val src = Tables.events(s, dir)
       val maxTs = maxEventTs(s, dir)
-      // one 'view' + one 'purchase' sentinel per slice, so BOTH streams'
-      // watermarks (the global watermark is their min) move past the data
+      // one 'view' + one 'purchase' sentinel, in-slice (see the QueryDef
+      // comment above): the data batch's END-of-batch watermark clears the
+      // tail, the no-data micro-batch executes the evictions under it
       def flush(days: Int): org.apache.spark.sql.DataFrame =
         s.range(1)
           .select(explode(array(lit("view"), lit("purchase"))).as("event_type"))
@@ -167,11 +177,8 @@ object StreamingQueries {
             (lit(maxTs) + expr(s"INTERVAL $days DAYS")).as("ts"),
             lit(-1L).as("user_id"), col("event_type"),
             lit(0.0).as("value"), lit(null).cast("string").as("props"))
-      // exactly two sentinel slices: the first ADVANCES the watermark past
-      // the data's tail, the second EXECUTES under it (eviction uses the
-      // watermark committed at the end of the previous batch)
       val sliceDir =
-        StreamRunner.writeSlices(Seq(src, flush(1), flush(2)), "q19d")
+        StreamRunner.writeSlices(Seq(src.unionByName(flush(1))), "q19d")
       val views = StreamRunner.openSlices(s, sliceDir, src.schema)
         .filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
@@ -214,7 +221,7 @@ object StreamingQueries {
       val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("value_sum"))
-      StreamRunner.toUpsert(s, stream, Seq("event_type"), "q19e")
+      StreamRunner.toUpsert(s, stream, Seq("event_type"), "q19e", flush = false)
         .orderBy("event_type")
     },
 
@@ -223,8 +230,10 @@ object StreamingQueries {
     // end and its state is EVICTED — the bounded-state production shape (a
     // complete-mode snapshot would keep every window's state forever and
     // rewrite the full result each micro-batch). The bounded replay gets
-    // its end-of-input flush from two far-future sentinel slices (q19d's
-    // punctuation pattern), dropped in the batch read-back.
+    // its end-of-input flush from a far-future sentinel riding in the data
+    // slice + the trailing no-data micro-batch (see eventsFlush), dropped
+    // in the batch read-back. The one slice is SHARED with q20b/q20c/q20d
+    // (identical construction → one materialization per suite pass).
     QueryDef(
       "q20_tumbling_window",
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS cnt
@@ -232,7 +241,7 @@ object StreamingQueries {
       val src = Tables.events(s, dir)
       val maxTs = maxEventTs(s, dir)
       val sliceDir = StreamRunner.writeSlices(
-        Seq(src, eventsFlush(s, maxTs, 1), eventsFlush(s, maxTs, 2)), "q20")
+        Seq(src.unionByName(eventsFlush(s, maxTs, 1))), "q20")
       val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -250,9 +259,10 @@ object StreamingQueries {
     // serving table, the coarse ones derive from their EMISSIONS without
     // a second pipeline or a re-scan. Chained aggs require append mode
     // (complete would have let the bounded replay skip the flush problem),
-    // so the replay appends two far-future sentinel slices — one advances
-    // the watermark past the data's tail, the next executes under it,
-    // cascading the 15-min flush through the hourly state in that batch.
+    // so the replay carries an in-slice far-future sentinel; the trailing
+    // no-data micro-batches (AvailableNow keeps running them while any
+    // stateful operator still has evictions pending under the advanced
+    // watermark) cascade the 15-min flush through the hourly state.
     // Sentinels are dropped from the BATCH read-back, not in-stream (the
     // q19d pushdown hazard: a source-pushed filter would drop the
     // watermark-driving rows).
@@ -263,7 +273,7 @@ object StreamingQueries {
       val src = Tables.events(s, dir)
       val maxTs = maxEventTs(s, dir)
       val sliceDir = StreamRunner.writeSlices(
-        Seq(src, eventsFlush(s, maxTs, 1), eventsFlush(s, maxTs, 2)), "q20d")
+        Seq(src.unionByName(eventsFlush(s, maxTs, 1))), "q20d")
       val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
@@ -282,8 +292,9 @@ object StreamingQueries {
     // APPEND mode: a session is emitted once, when the watermark proves no
     // event can still extend it, and its state is evicted — per-user open
     // sessions are the only state (bounded), vs complete mode's
-    // all-sessions-forever snapshot. Sentinel slices flush the tail; the
-    // sentinel's own user_id = -1 session is dropped in the read-back.
+    // all-sessions-forever snapshot. An in-slice sentinel + the no-data
+    // micro-batch flush the tail; the sentinel's own user_id = -1 session
+    // is dropped in the read-back.
     QueryDef(
       "q20b_session_window",
       """WITH o AS (
@@ -301,7 +312,7 @@ object StreamingQueries {
       val src = Tables.events(s, dir)
       val maxTs = maxEventTs(s, dir)
       val sliceDir = StreamRunner.writeSlices(
-        Seq(src, eventsFlush(s, maxTs, 1), eventsFlush(s, maxTs, 2)), "q20b")
+        Seq(src.unionByName(eventsFlush(s, maxTs, 1))), "q20b")
       val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -336,7 +347,7 @@ object StreamingQueries {
       val src = Tables.events(s, dir)
       val maxTs = maxEventTs(s, dir)
       val sliceDir = StreamRunner.writeSlices(
-        Seq(src, eventsFlush(s, maxTs, 1), eventsFlush(s, maxTs, 2)), "q20c")
+        Seq(src.unionByName(eventsFlush(s, maxTs, 1))), "q20c")
       val stream = StreamRunner.openSlices(s, sliceDir, src.schema)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
@@ -356,7 +367,8 @@ object StreamingQueries {
       val stream = StreamRunner.replay(s, Tables.events(s, dir), "q21")
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
-      StreamRunner.toParquet(s, stream, "q21").orderBy("user_id", "event_type")
+      StreamRunner.toParquet(s, stream, "q21", flush = false)
+        .orderBy("user_id", "event_type")
     },
 
     // T7/Q21c — watermark-scoped streaming dedup: the input is replayed
@@ -376,7 +388,7 @@ object StreamingQueries {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"))
-      StreamRunner.toParquet(s, stream, "q21c").orderBy("event_id")
+      StreamRunner.toParquet(s, stream, "q21c", flush = false).orderBy("event_id")
     },
 
     // T7+X1/Q29 — streaming exact dedup WITH canonical-id attribution: the
@@ -408,7 +420,7 @@ object StreamingQueries {
             ids.iterator.map(id => (id, canon, id != canon))
         }
         .toDF("doc_id", "dup_of", "is_dup")
-      StreamRunner.toParquet(s, stream, "q29").orderBy("doc_id")
+      StreamRunner.toParquet(s, stream, "q29", flush = false).orderBy("doc_id")
     },
 
     // X1+/Q29b — the same dedup-attribution semantics on the Spark 4.x
@@ -437,7 +449,7 @@ object StreamingQueries {
             new graft.streaming.DedupAttributionProcessor,
             TimeMode.None(), OutputMode.Append())
           .toDF("doc_id", "dup_of", "is_dup")
-        StreamRunner.toParquet(s, stream, "q29b").orderBy("doc_id")
+        StreamRunner.toParquet(s, stream, "q29b", flush = false).orderBy("doc_id")
       } finally {
         prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
         // unload the RocksDB providers so later queries get default state
@@ -492,7 +504,7 @@ object StreamingQueries {
           timestamp_micros(col("fv")).as("first_view"),
           timestamp_micros(col("fp")).as("first_purchase"),
           col("latency_s"))
-      StreamRunner.toParquet(s, stream, "q21b").orderBy("user_id")
+      StreamRunner.toParquet(s, stream, "q21b", flush = false).orderBy("user_id")
     }
   )
 }
