@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Readers for the driver testdata star schema (TESTDATA.md / FIXTURES.md §B).
   *
@@ -22,16 +22,23 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads (under
-    * spark.sql.legacy.parquet.nanosAsLong=true) as nanos-since-epoch long;
-    * truncate to micros — the same thing DuckDB's nanos→TIMESTAMP cast does,
-    * so oracle comparisons agree.
+  /** events.ts arrives in one of two parquet encodings depending on the
+    * testdata generation: TIMESTAMP(NANOS), which Spark reads (under
+    * spark.sql.legacy.parquet.nanosAsLong=true) as nanos-since-epoch long —
+    * truncate to micros, the same thing DuckDB's nanos→TIMESTAMP cast does;
+    * or TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads as
+    * TIMESTAMP_NTZ — cast to session-local TIMESTAMP (session tz is pinned
+    * UTC, so the instant is identical and DuckDB's naive reading agrees).
+    * Downstream code (event-time watermarks, unix_micros, epoch casts)
+    * requires the instant-typed TIMESTAMP either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
