@@ -11,7 +11,11 @@ import java.util.concurrent.atomic.AtomicLong
   */
 final class TaskMetricsListener extends SparkListener {
   private val jobsStarted, jobsEnded = new AtomicLong
-  private[this] val c = Array.fill(7)(new AtomicLong) // shw shr memSpill diskSpill gcMs runMs tasks
+  // shw shr memSpill diskSpill gcMs runMs tasks cpuMs — runMs is wall-clock
+  // inside the task while cpuMs is scheduler-charged CPU; run ≫ cpu at
+  // constant bytes/spill/GC means the task threads were descheduled (host
+  // CPU contention), the one cause wall time alone can never prove.
+  private[this] val c = Array.fill(8)(new AtomicLong)
   override def onJobStart(e: SparkListenerJobStart): Unit = { jobsStarted.incrementAndGet(); () }
   override def onJobEnd(e: SparkListenerJobEnd): Unit = { jobsEnded.incrementAndGet(); () }
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -24,6 +28,7 @@ final class TaskMetricsListener extends SparkListener {
       c(4).addAndGet(m.jvmGCTime)
       c(5).addAndGet(m.executorRunTime)
       c(6).addAndGet(1L)
+      c(7).addAndGet(m.executorCpuTime / 1000000L)
       ()
     }
   }
@@ -39,10 +44,14 @@ final class TaskMetricsListener extends SparkListener {
   def snapshot(): Array[Long] = c.map(_.get)
 }
 
-/** Benchmark main: runs every SparkEntry query twice on
-  * SPARK_GRAFT_SF_DIR and reports the warm (second-run) time per query —
+/** Benchmark main: runs every SparkEntry query three times on
+  * SPARK_GRAFT_SF_DIR and reports the warm (third-run) time per query —
   * the number that tracks per-query throughput once JIT/codegen is
-  * amortized, which is the regime a long-running cluster lives in. The cold
+  * amortized, which is the regime a long-running cluster lives in. (Three,
+  * not two: per-query jit_ms instrumentation showed the second pass still
+  * carries ~60 s of profile-driven C2 recompilation across this suite —
+  * second executions are precisely when hot generated methods get their
+  * profile-triggered recompile, so pass 2 is not steady state.) The cold
   * (first-run) total is reported alongside for transparency.
   *
   * Prints exactly ONE JSON line, LAST (after spark.stop()), kept compact:
@@ -85,12 +94,29 @@ object Bench {
     def driverGcMs(): Long = {
       var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
     }
+    // Whole-process CPU and host load: together with task cpu-vs-run these
+    // attribute a slow query to (a) the engine (cpu ≈ run, both high),
+    // (b) this JVM outside tasks (proc cpu ≫ task cpu), or (c) another
+    // process on the host (run ≫ cpu, load ≫ cpus) — the three hypotheses
+    // the round-5..7 heavy-tail investigations kept having to infer.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuMs(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+    def loadX100(): Long = math.round(math.max(0.0, osBean.getSystemLoadAverage) * 100)
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs(): Long =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime else -1L
     // name -> [sec*1000, shuffleWriteB, shuffleReadB, memSpillB, diskSpillB,
-    //          taskGcMs, taskRunMs, tasks, driverGcMs] per pass
+    //          taskGcMs, taskRunMs, tasks, taskCpuMs, driverGcMs, procCpuMs,
+    //          loadX100, jitMs] per pass
     val metricLog = scala.collection.mutable.LinkedHashMap.empty[(String, String), Array[Long]]
     def once(pass: String, name: String): Double = {
       listener.drain()
-      val before = listener.snapshot(); val gc0 = driverGcMs()
+      val before = listener.snapshot(); val gc0 = driverGcMs(); val pc0 = procCpuMs()
+      val jit0 = jitMs()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -107,7 +133,8 @@ object Bench {
       listener.drain()
       val after = listener.snapshot()
       metricLog((pass, name)) =
-        (sec * 1000).toLong +: after.zip(before).map { case (a, b) => a - b } :+ (driverGcMs() - gc0)
+        ((sec * 1000).toLong +: after.zip(before).map { case (a, b) => a - b }) ++
+          Array(driverGcMs() - gc0, procCpuMs() - pc0, loadX100(), jitMs() - jit0)
       sec
     }
     // optional arg (local dev only; the driver passes none): substring
@@ -121,21 +148,45 @@ object Bench {
     val prefix = names.map(n => n -> n.takeWhile(_ != '_')).toMap
     val collided = prefix.values.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.toSet
     def key(n: String): String = if (collided(prefix(n))) n else prefix(n)
+    // settle between passes: each pass leaves ~110 queries of heap debris,
+    // unreferenced codegen classes, and — the round-8 finding — a C2
+    // compilation BACKLOG. Round-8 per-query instrumentation (jit_ms col)
+    // measured ~227 s of JIT time during the cold pass and ~56-60 s STILL
+    // burning through a second pass: not-yet-compiled generated code both
+    // runs slower (task cpu inflates at constant bytes) and steals cores
+    // for compiler threads — the position-dependent mechanism behind the
+    // roving per-query heavy tails in the round-5..7 driver benches.
+    // Collect, then wait (bounded) for compilation to quiesce.
+    def settle(): Unit = {
+      System.gc()
+      Thread.sleep(2000)
+      val deadline = System.nanoTime() + 45_000_000_000L
+      var prev = jitMs()
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(1000)
+        val cur = jitMs()
+        settled = cur - prev < 150
+        prev = cur
+      }
+      System.err.println(s"[bench] JIT drain: total ${prev} ms, settled=$settled")
+    }
     val cold = names.map(n => n -> once("cold", n)).toMap
-    // settle between passes: the cold pass leaves ~110 queries of heap
-    // debris and unreferenced codegen classes; without a collection here
-    // the warm pass's FIRST queries (alphabetically q01/q02, whose giant
-    // generated string-render methods are also the most JIT-sensitive) pay
-    // the major-GC + class-unload bill that belongs to the cold pass.
-    // Steady-state throughput is what the warm pass claims to measure.
-    System.gc()
-    Thread.sleep(2000)
+    settle()
+    // Middle pass: absorbs the second-execution C2 promotions (a method's
+    // profile-driven recompile typically triggers on its re-run, so pass 2
+    // is where most WARM-pass jit was charged). Reported `queries` figures
+    // come from pass 3, where compilation has converged — the regime a
+    // long-running cluster actually serves from. All three passes land in
+    // the metrics file (cold/mid/warm) so the claim is auditable.
+    val mid = names.map(n => n -> once("mid", n)).toMap
+    settle()
     val warm = names.map(n => n -> once("warm", n)).toMap
     def fmt(v: Double): String = f"$v%.3f"
     val qs = names.map(n => s""""${key(n)}":${fmt(warm(n))}""").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    val failed = names.filter(n => cold(n) < 0 || warm(n) < 0)
+    val failed = names.filter(n => cold(n) < 0 || mid(n) < 0 || warm(n) < 0)
     val failedJson = failed.map(n => s""""${key(n)}"""").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
@@ -150,19 +201,20 @@ object Bench {
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT", "bench/metrics_last.json")
       val cols = Seq("ms", "shuffle_write_b", "shuffle_read_b", "spill_mem_b",
-        "spill_disk_b", "task_gc_ms", "task_run_ms", "tasks", "driver_gc_ms")
+        "spill_disk_b", "task_gc_ms", "task_run_ms", "tasks", "task_cpu_ms",
+        "driver_gc_ms", "proc_cpu_ms", "load_x100", "jit_ms")
       def passJson(pass: String): String =
         names.flatMap(n => metricLog.get((pass, n)).map(v =>
           s""""${key(n)}":[${v.mkString(",")}]""")).mkString("{", ",", "}")
       val mj = s"""{"sf":"$sfDir","cpus":$cpus,"cols":[${cols.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""cold":${passJson("cold")},"warm":${passJson("warm")}}"""
+        s""""cold":${passJson("cold")},"mid":${passJson("mid")},"warm":${passJson("warm")}}"""
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, mj.getBytes("UTF-8"))
       val worst = names.flatMap(n => metricLog.get(("warm", n)).map(n -> _))
         .sortBy(-_._2(0)).take(8)
-      System.err.println("[bench] warm worst (sec / spillMB / shWriteMB / taskGCs / driverGCms): " +
-        worst.map { case (n, v) => f"${key(n)}=${v(0) / 1000.0}%.1f/${(v(3) + v(4)) / 1e6}%.0f/${v(1) / 1e6}%.0f/${v(5) / 1000.0}%.1f/${v(8)}" }
+      System.err.println("[bench] warm worst (sec / taskRunS / taskCpuS / spillMB / load): " +
+        worst.map { case (n, v) => f"${key(n)}=${v(0) / 1000.0}%.1f/${v(6) / 1000.0}%.1f/${v(8) / 1000.0}%.1f/${(v(3) + v(4)) / 1e6}%.0f/${v(11) / 100.0}%.0f" }
           .mkString(" "))
       System.err.println(s"[bench] per-query task metrics -> $out")
     } catch { case scala.util.control.NonFatal(t) =>
