@@ -636,6 +636,54 @@ object DedupQueries {
           (col("n_band_matches") > 0).as("flagged"))
       StreamRunner.toUpsert(s, gated, Seq("doc_id"), "q29c", flush = false)
         .orderBy("doc_id")
-    }
+    },
+
+    // X1/Q22d — incremental ingest dedup: an append-only corpus's new batch
+    // (doc_id % 5 == 0 here; in production the day's arrivals) deduped
+    // against the frozen history WITHOUT anti-joining the full archive. A
+    // Bloom sketch of the BATCH keys (the small side — built by Spark's
+    // distributed treeAggregate, a few MB on the driver) prefilters the
+    // history scan: a history row can reach the confirm join only if the
+    // sketch says its key might be in the batch. No false negatives ⇒ every
+    // true duplicate survives the prefilter ⇒ the anti-join result is EXACT
+    // regardless of false positives (those only inflate the candidate set by
+    // ~fpp·|history|). The candidate set (true dups + fpp·|history|) is then
+    // small enough to BROADCAST, so the batch side never shuffles: at 100 TB
+    // the archive is one scan-riding bloom probe and the join is map-side.
+    // (At extreme history sizes, size the broadcast by lowering fpp, or drop
+    // the hint — the shuffle anti-join is still reduced ~1/fpp×.)
+    // Exactness incl. the false-positive path is pinned by DedupEdgeSpec
+    // (fpp = 0.5 run must equal the naive anti-join).
+    QueryDef(
+      "q22d_incremental_dedup",
+      """SELECT d.doc_id, sha256(lower(trim(d.text))) AS text_sha
+        |FROM documents d
+        |WHERE d.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents h
+        |                  WHERE h.doc_id % 5 <> 0
+        |                    AND lower(trim(h.text)) = lower(trim(d.text)))
+        |ORDER BY doc_id""".stripMargin)(
+      (s, dir) => incrementalDedup(s, dir, fpp = 0.01))
   )
+
+  /** q22d's pipeline with the bloom false-positive rate exposed so the spec
+    * can crank it to 0.5 and pin that FPs never change the result. */
+  private[graft] def incrementalDedup(s: SparkSession, dir: String, fpp: Double): DataFrame = {
+    val key = lower(trim(col("text")))
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), key.as("k"))
+    val hist = docs.filter(col("doc_id") % 5 =!= 0).select(key.as("hk"))
+    // expected-items bound from the (metadata-only) table count; the sketch
+    // build is its own distributed aggregation job over the 1-column scan
+    val expected = math.max(1000L, docs.count() / 5 + 1)
+    val bloomBc = s.sparkContext.broadcast(batch.stat.bloomFilter("k", expected, fpp))
+    // scalar UDF, documented exception to the no-UDF rule: probing a
+    // driver-built sketch has no builtin; the probe is one hash per row
+    // riding the history scan, and everything around it stays codegen'd
+    val mightBeInBatch = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+    val histCand = hist.filter(mightBeInBatch(col("hk")))
+    batch.join(broadcast(histCand), col("k") === col("hk"), "left_anti")
+      .select(col("doc_id"), sha2(col("k"), 256).as("text_sha"))
+      .orderBy("doc_id")
+  }
 }

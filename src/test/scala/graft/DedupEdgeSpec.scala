@@ -158,4 +158,28 @@ class DedupEdgeSpec extends SparkSpec {
         s"confirmed pair ($a,$b) not fully flagged by the gate")
     }
   }
+
+  test("q22d: bloom false positives never change the incremental-dedup result") {
+    // fpp = 0.5 floods the history prefilter with false positives; the
+    // confirm join must absorb every one of them — the result is defined
+    // to equal the naive full anti-join, which has no sketch in it at all.
+    val sf = "/root/testdata/sf0.001"
+    val got = DedupQueries.incrementalDedup(spark, sf, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(col("text"))).as("k"))
+    val expected = docs.filter(col("doc_id") % 5 === 0)
+      .join(docs.filter(col("doc_id") % 5 =!= 0).select(col("k").as("hk")),
+        col("k") === col("hk"), "left_anti")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture batch unexpectedly empty")
+  }
+
+  test("q22d: the confirm anti-join broadcasts the sketch-reduced history side") {
+    val plan = DedupQueries.incrementalDedup(spark, "/root/testdata/sf0.001", fpp = 0.01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti confirm join, got:\n$plan")
+  }
 }
