@@ -109,14 +109,20 @@ object Bench {
     def jitMs(): Long =
       if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
         compBean.getTotalCompilationTime else -1L
+    // Janino source-compilation count (exact, monotonic): a warm-pass query
+    // that shows compiles > 0 took a codegen-cache MISS and re-ran janino —
+    // the remaining in-JVM hypothesis for bimodal warm rows (q18b's 1.4 s vs
+    // 6 s modes) that task cpu / jit / bytes alone cannot separate.
+    def janinoCompiles(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     // name -> [sec*1000, shuffleWriteB, shuffleReadB, memSpillB, diskSpillB,
     //          taskGcMs, taskRunMs, tasks, taskCpuMs, driverGcMs, procCpuMs,
-    //          loadX100, jitMs] per pass
+    //          loadX100, jitMs, janinoCompiles] per pass
     val metricLog = scala.collection.mutable.LinkedHashMap.empty[(String, String), Array[Long]]
     def once(pass: String, name: String): Double = {
       listener.drain()
       val before = listener.snapshot(); val gc0 = driverGcMs(); val pc0 = procCpuMs()
-      val jit0 = jitMs()
+      val jit0 = jitMs(); val jan0 = janinoCompiles()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -134,7 +140,8 @@ object Bench {
       val after = listener.snapshot()
       metricLog((pass, name)) =
         ((sec * 1000).toLong +: after.zip(before).map { case (a, b) => a - b }) ++
-          Array(driverGcMs() - gc0, procCpuMs() - pc0, loadX100(), jitMs() - jit0)
+          Array(driverGcMs() - gc0, procCpuMs() - pc0, loadX100(), jitMs() - jit0,
+            janinoCompiles() - jan0)
       sec
     }
     // optional arg (local dev only; the driver passes none): substring
@@ -202,7 +209,7 @@ object Bench {
       val out = sys.env.getOrElse("SPARK_GRAFT_METRICS_OUT", "bench/metrics_last.json")
       val cols = Seq("ms", "shuffle_write_b", "shuffle_read_b", "spill_mem_b",
         "spill_disk_b", "task_gc_ms", "task_run_ms", "tasks", "task_cpu_ms",
-        "driver_gc_ms", "proc_cpu_ms", "load_x100", "jit_ms")
+        "driver_gc_ms", "proc_cpu_ms", "load_x100", "jit_ms", "janino_compiles")
       def passJson(pass: String): String =
         names.flatMap(n => metricLog.get((pass, n)).map(v =>
           s""""${key(n)}":[${v.mkString(",")}]""")).mkString("{", ",", "}")
