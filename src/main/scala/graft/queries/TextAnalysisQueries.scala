@@ -488,6 +488,49 @@ object TextAnalysisQueries {
           coalesce(col("fam_fp") >= lit(MinFamFp) * col("n_bigrams"), lit(false))
             .as("keep"))
         .orderBy("doc_id")
+    },
+
+    // X4/Q25r — BPE merge-pair counting (one vocab-induction step): the
+    // corpus-weighted frequency of every adjacent character pair, the
+    // quantity a BPE tokenizer trainer maximizes at each merge. The 100 TB
+    // shape is the point: the corpus scan collapses to the DISTINCT-token
+    // frequency table in one map-side-partial aggregation (vocab is
+    // millions of rows however big the corpus), the pair explode runs over
+    // that small table only — corpus size buys you nothing but bigger tf
+    // counts — and the final top-k is a TakeOrderedAndProject, never a
+    // global sort. (q25m counts WORD bigrams for an LM; this counts CHAR
+    // pairs inside tokens for tokenizer training — different op.)
+    QueryDef(
+      "q25r_bpe_pairs",
+      s"""WITH toks AS (
+         |  SELECT unnest(${sqlTokens("lower(text)")}) AS tok FROM documents),
+         |tf AS (SELECT tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok),
+         |pairs AS (
+         |  SELECT substr(tok, i, 2) AS pair, tf
+         |  FROM tf, (SELECT unnest(generate_series(1, 64)) AS i) g
+         |  WHERE i <= length(tok) - 1)
+         |SELECT pair, CAST(SUM(tf) AS BIGINT) AS c_pair,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pos
+         |FROM pairs GROUP BY pair
+         |ORDER BY c_pair DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .select(explode(tokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      tf
+        // step pinned to lit(1): sequence(1, 0) without a step would infer
+        // step -1 and emit [1, 0]; the floor keeps the bound valid and the
+        // i <= len-1 filter drops 1-char tokens (no pair) exactly like the
+        // oracle's WHERE
+        .select(col("tok"), col("tf"),
+          explode(sequence(lit(1), greatest(length(col("tok")) - 1, lit(1)),
+            lit(1))).as("i"))
+        .filter(col("i") <= length(col("tok")) - 1)
+        .select(col("tok").substr(col("i"), lit(2)).as("pair"), col("tf"))
+        .groupBy(col("pair"))
+        .agg(sum(col("tf")).as("c_pair"), count(lit(1)).as("n_pos"))
+        .orderBy(col("c_pair").desc, col("pair"))
+        .limit(20)
     }
   )
 }

@@ -326,4 +326,13 @@ class PlanSpec extends SparkSpec {
     // (the final brute⟕ivf eval join is NQueries×K rows — its join strategy
     // is irrelevant at any scale, so it is deliberately not constrained)
   }
+
+  test("q25r: top-k pairs via TakeOrderedAndProject, never a global sort") {
+    val p = plan("q25r_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"))
+    // two hash aggregations (token tf, then pair counts), both with
+    // map-side partials — the corpus collapses to the vocab before the
+    // pair explode, which is the whole 100 TB argument
+    assert("HashAggregate".r.findAllIn(p).size >= 4)
+  }
 }
