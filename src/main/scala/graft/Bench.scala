@@ -64,6 +64,41 @@ final class TaskMetricsListener extends SparkListener {
   * BASELINE.md's per-query table uses); values are seconds to 3 decimals.
   */
 object Bench {
+
+  /** Parse the `"queries":{...}` object out of a bench JSON line (the format
+    * of the reference captures under bench/). Keys are plain `qNN[x]`
+    * identifiers and values plain decimals — a 3-line scan beats dragging a
+    * JSON library dependency into the bench path. */
+  private[graft] def parseQueriesJson(line: String): Map[String, Double] = {
+    val start = line.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = line.substring(start + 11, line.indexOf('}', start))
+      """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Regression tripwire (VERDICT r8 #5): the min(mid, warm) protocol
+    * intentionally discards one-pass spikes, so nothing used to alarm when a
+    * query was elevated in BOTH post-JIT passes — a true bimodal/plan
+    * regression could hide inside the min. Flag any query whose reported
+    * figure exceeds its reference-capture row by more than `factor` AND by
+    * more than `floorSec` absolute (without the floor the tripwire fires on
+    * every noise-floor query — r8's worst genuine-noise ratio was 1.61× on a
+    * 0.44 s row, a 0.27 s delta; a real regression on a row that small is
+    * invisible in the total anyway). Queries absent from the reference
+    * (newly added this round) are skipped, not flagged. */
+  private[graft] def tripwire(
+      reported: Map[String, Double],
+      reference: Map[String, Double],
+      factor: Double = 1.5,
+      floorSec: Double = 0.3): Seq[String] =
+    reported.toSeq.sorted.collect {
+      case (k, v) if v >= 0 && reference.get(k).exists(r =>
+        r >= 0 && v > r * factor && v - r > floorSec) => k
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -205,11 +240,31 @@ object Bench {
     val qs = names.map(n => s""""${key(n)}":${fmt(warm(n))}""").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
+    // raw single-pass warm total alongside the min(mid,warm) composite, so a
+    // consumer comparing against single-pass captures has a like-for-like
+    // machine-readable figure (ADVICE r8)
+    val warmTotal = warmPass.values.filter(_ >= 0).sum
     val failed = names.filter(n => cold(n) < 0 || mid(n) < 0 || warm(n) < 0)
     val failedJson = failed.map(n => s""""${key(n)}"""").mkString("[", ",", "]")
+    // Tripwire vs the pinned reference capture (see the helper's doc): a
+    // flagged query is elevated in BOTH post-JIT passes relative to the
+    // BASELINE.md reference row — exactly the case min-reporting could mask.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench/reference.json")
+    val reference = try {
+      val p = java.nio.file.Paths.get(refPath)
+      if (java.nio.file.Files.exists(p))
+        parseQueriesJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      else Map.empty[String, Double]
+    } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    val reportedByKey = names.map(n => key(n) -> warm(n)).toMap
+    val tripped = tripwire(reportedByKey, reference)
+    val trippedJson = tripped.map(k => s""""$k"""").mkString("[", ",", "]")
+    if (tripped.nonEmpty) System.err.println("[bench] TRIPWIRE (>1.5x reference in both post-JIT passes): " +
+      tripped.map(k => f"$k=${reportedByKey(k)}%.2fs/ref=${reference(k)}%.2fs").mkString(" "))
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""cold_total":${fmt(coldTotal)},"failed":$failedJson,"sf":"$sfDir"}"""
+        s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},""" +
+        s""""tripped":$trippedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
     // Per-query task metrics go to a FILE, not the stdout JSON line: the
@@ -225,7 +280,10 @@ object Bench {
       def passJson(pass: String): String =
         names.flatMap(n => metricLog.get((pass, n)).map(v =>
           s""""${key(n)}":[${v.mkString(",")}]""")).mkString("{", ",", "}")
+      val tripDetail = tripped.map(k =>
+        s""""$k":${fmt(reportedByKey(k) / reference(k))}""").mkString("{", ",", "}")
       val mj = s"""{"sf":"$sfDir","cpus":$cpus,"cols":[${cols.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""tripwire_ref":"$refPath","tripwire_ratios":$tripDetail,""" +
         s""""cold":${passJson("cold")},"mid":${passJson("mid")},"warm":${passJson("warm")}}"""
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.TextHash.{hash32, sqlHash32, sqlTokens, tokens}
 import graft.queries.{TextAnalysisQueries => TA}
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -314,38 +315,7 @@ object CurationQueries {
          |SELECT doc_id, lang, n_tok, score_fp,
          |  (ROW_NUMBER() OVER (ORDER BY score_fp // n_tok DESC, doc_id) <= 100) AS sel
          |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          explode(filter(tokens(col("text")), x => x =!= "")).as("w"))
-        .select(col("doc_id"), col("lang"),
-          pmod(hash32(col("w")), lit(512L)).as("b"))
-      // materialized: m feeds BOTH the totals and the ratio table, and a
-      // twice-referenced subtree is instantiated twice in the physical
-      // plan — without this the documents tokenize+hash scan ran 3×
-      // (model under r, model under tot, doc scoring), not the 2 passes
-      // the design intends
-      val m = Materialize(s, dir, "q25q_m")(tok.groupBy(col("b")).agg(
-        count(lit(1)).as("s_cnt"),
-        count(when(col("lang") === "en", 1)).as("t_cnt")))
-      val tot = m.select(sum(col("s_cnt")).cast("long").as("s_tot"),
-        sum(col("t_cnt")).cast("long").as("t_tot"))
-      // IntegralDivide over DECIMAL(38,0): exact at any real corpus size
-      // (1e6·(t+1)·(S+512) fits 38 digits up to ~1e12 target tokens per
-      // bucket × 1e13 total — far past 100 TB), result well inside BIGINT
-      val r = m.crossJoin(broadcast(tot))
-        .select(col("b"),
-          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (t_cnt + 1) * (s_tot + 512))
-                 | DIV (CAST(s_cnt + 1 AS DECIMAL(38,0)) * (t_tot + 512)) AS BIGINT)"""
-            .stripMargin.replace("\n", "")).as("ratio_fp"))
-      // materialized: the per-doc score frame (one row per doc) feeds both
-      // the boundary top-k and the final projection; without this the
-      // documents tokenize+hash scan would run once per consumer
-      val d = Materialize(s, dir, "q25q_d")(
-        tok.join(broadcast(r), "b")
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(count(lit(1)).cast("long").as("n_tok"),
-            sum(col("ratio_fp")).as("score_fp"))
-          .withColumn("negq", -expr("score_fp div n_tok")))
+      val d = dsirDocScores(s, dir)
       // top-k boundary: orderBy+limit(100) compiles to TakeOrderedAndProject
       // (no single-partition WindowExec — plan-pinned in PlanSpec); the
       // 1-row max(struct) boundary broadcasts back as a threshold. With
@@ -356,6 +326,55 @@ object CurationQueries {
       d.crossJoin(broadcast(bound))
         .select(col("doc_id"), col("lang"), col("n_tok"), col("score_fp"),
           (struct(col("negq"), col("doc_id")) <= col("bnd")).as("sel"))
+        .orderBy("doc_id")
+    },
+
+    // X4+++/Q25qb — DSIR selection with an APPROX-PERCENTILE threshold: the
+    // 100 TB quota form. q25q's fixed top-k boundary works when the quota is
+    // a COUNT; when it is a FRACTION ("keep the best 10%"), k grows with the
+    // corpus and the per-partition top-k merge grows with it — the scale
+    // path is a quantile threshold: one `approx_percentile` sketch pass over
+    // the per-doc ratio (mergeable, bounded memory), cutoff broadcast back,
+    // keep = ratio ≥ cutoff riding the scan. The sketch cutoff is
+    // engine-specific, so the contract keeps every decision INPUT exact and
+    // hash-verified (doc_id, lang, n_tok, score_fp — the full q25q integer
+    // scoring pipeline, shared via the materialized score frame) and makes
+    // the selection itself a tolerance flag: `sel_ok` asserts the approx
+    // decision equals the exact-quantile decision, excusing only docs whose
+    // ratio lies within 5% (+5000 millionths absolute) of the exact cutoff
+    // — the sketch's rank-error bound (n/accuracy = n/10000) keeps true
+    // disagreements pinned to that boundary band; a drifting sketch flips
+    // flags far from it and fails the hash.
+    QueryDef(
+      "q25qb_dsir_approx_threshold",
+      s"""WITH tok AS (SELECT doc_id, lang, ${sqlHash32("w")} % 512 AS b
+         |  FROM (SELECT doc_id, lang,
+         |    unnest(list_filter(${sqlTokens("text")}, x -> x <> '')) AS w
+         |    FROM documents)),
+         |m AS (SELECT b, COUNT(*) AS s_cnt,
+         |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS t_cnt
+         |  FROM tok GROUP BY b),
+         |tot AS (SELECT CAST(SUM(s_cnt) AS BIGINT) AS s_tot,
+         |  CAST(SUM(t_cnt) AS BIGINT) AS t_tot FROM m),
+         |r AS (SELECT b, CAST((1000000::HUGEINT * (t_cnt + 1) * (s_tot + 512))
+         |    // ((s_cnt + 1)::HUGEINT * (t_tot + 512)) AS BIGINT) AS ratio_fp
+         |  FROM m CROSS JOIN tot),
+         |d AS (SELECT tok.doc_id, tok.lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(ratio_fp) AS BIGINT) AS score_fp
+         |  FROM tok JOIN r USING (b) GROUP BY tok.doc_id, tok.lang)
+         |SELECT doc_id, lang, n_tok, score_fp, TRUE AS sel_ok
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = dsirDocScores(s, dir)
+      val ratio = -col("negq") // = score_fp div n_tok, integer millionths
+      val cuts = d.agg(
+        expr("approx_percentile(-negq, 0.9, 10000)").as("cut_a"),
+        expr("percentile(-negq, 0.9)").as("cut_e"))
+      d.crossJoin(broadcast(cuts))
+        .select(
+          col("doc_id"), col("lang"), col("n_tok"), col("score_fp"),
+          ((ratio >= col("cut_a")) === (ratio.cast("double") >= col("cut_e")) ||
+            abs(ratio - col("cut_e")) <= abs(col("cut_e")) * 0.05 + 5000.0)
+            .as("sel_ok"))
         .orderBy("doc_id")
     },
 
@@ -389,4 +408,43 @@ object CurationQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** The DSIR per-doc score frame (doc_id, lang, n_tok, score_fp, negq),
+    * shared by q25q (top-k quota) and q25qb (quantile-threshold quota). See
+    * q25q's comment for the integer-arithmetic rationale; the Materialize
+    * tags make the two queries reuse one physical build per session. */
+  private def dsirDocScores(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(tokens(col("text")), x => x =!= "")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        pmod(hash32(col("w")), lit(512L)).as("b"))
+    // materialized: m feeds BOTH the totals and the ratio table, and a
+    // twice-referenced subtree is instantiated twice in the physical
+    // plan — without this the documents tokenize+hash scan ran 3×
+    // (model under r, model under tot, doc scoring), not the 2 passes
+    // the design intends
+    val m = Materialize(s, dir, "q25q_m")(tok.groupBy(col("b")).agg(
+      count(lit(1)).as("s_cnt"),
+      count(when(col("lang") === "en", 1)).as("t_cnt")))
+    val tot = m.select(sum(col("s_cnt")).cast("long").as("s_tot"),
+      sum(col("t_cnt")).cast("long").as("t_tot"))
+    // IntegralDivide over DECIMAL(38,0): exact at any real corpus size
+    // (1e6·(t+1)·(S+512) fits 38 digits up to ~1e12 target tokens per
+    // bucket × 1e13 total — far past 100 TB), result well inside BIGINT
+    val r = m.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (t_cnt + 1) * (s_tot + 512))
+               | DIV (CAST(s_cnt + 1 AS DECIMAL(38,0)) * (t_tot + 512)) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("ratio_fp"))
+    // materialized: the per-doc score frame (one row per doc) feeds both
+    // the boundary top-k and the final projection; without this the
+    // documents tokenize+hash scan would run once per consumer
+    Materialize(s, dir, "q25q_d")(
+      tok.join(broadcast(r), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_tok"),
+          sum(col("ratio_fp")).as("score_fp"))
+        .withColumn("negq", -expr("score_fp div n_tok")))
+  }
 }

@@ -673,15 +673,29 @@ object DedupQueries {
     val docs = Tables.documents(s, dir)
     val batch = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), key.as("k"))
     val hist = docs.filter(col("doc_id") % 5 =!= 0).select(key.as("hk"))
-    // expected-items bound from the (metadata-only) table count; the sketch
-    // build is its own distributed aggregation job over the 1-column scan
-    val expected = math.max(1000L, docs.count() / 5 + 1)
-    val bloomBc = s.sparkContext.broadcast(batch.stat.bloomFilter("k", expected, fpp))
-    // scalar UDF, documented exception to the no-UDF rule: probing a
-    // driver-built sketch has no builtin; the probe is one hash per row
-    // riding the history scan, and everything around it stays codegen'd
-    val mightBeInBatch = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
-    val histCand = hist.filter(mightBeInBatch(col("hk")))
+    // expected-items bound from the parquet footers — metadata only, no scan
+    // job (the sketch build below is the one distributed pass over the batch)
+    val expected =
+      math.max(1000L, Tables.parquetRowCount(s, s"$dir/documents.parquet") / 5 + 1)
+    // The sketch stores xxhash64(key) longs — the exact put/probe pairing
+    // Spark's own InjectRuntimeFilter emits (BloomFilterAggregate over
+    // XxHash64 on the build side, BloomFilterMightContain + XxHash64 on the
+    // probe side; both sides org.apache.spark.util.sketch.BloomFilter), so
+    // the probe rides the history scan through the NATIVE `might_contain`
+    // expression with whole-stage codegen — no scalar UDF, no
+    // BatchEvalPython/Invoke node in the plan. Hash-of-hash keeps the
+    // no-false-negatives guarantee: identical keys hash identically, so
+    // every true duplicate still reaches the confirm join.
+    val bloom = batch.select(xxhash64(col("k")).as("kh"))
+      .stat.bloomFilter("kh", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    graft.functions.SketchFunctions.register(s)
+    val histCand = hist.filter(
+      graft.functions.SketchFunctions.bloomMightContain(lit(bytes), xxhash64(col("hk"))))
     batch.join(broadcast(histCand), col("k") === col("hk"), "left_anti")
       .select(col("doc_id"), sha2(col("k"), 256).as("text_sha"))
       .orderBy("doc_id")

@@ -167,6 +167,54 @@ object ReshapeQueries {
         .orderBy("bucket")
     },
 
+    // Q31c — the 100 TB equi-depth histogram: cutoffs from
+    // `approx_percentile` (mergeable bounded-memory sketch riding one scan;
+    // q31b's exact `percentile` materializes every group's values — the
+    // named swap in q31b's comment, now executed under the oracle). Sketch
+    // cutoffs are engine-specific, so the cross-engine contract anchors on
+    // what IS exact — the row total and the global extent — plus a
+    // per-bucket `depth_ok` flag asserting the equi-depth property the
+    // cutoffs exist to deliver: each decile bucket holds n/10 rows within
+    // 2% of n (+1 absolute for tiny fixtures) — two orders of magnitude
+    // looser than the sketch's rank-error bound of n/accuracy = n/10000 per
+    // cutoff, yet tight enough that a broken sketch (or a wrong bucket
+    // assignment) floods a bucket and flips the flag. The bucket frame is a
+    // 10-row range left-join so a pathologically empty bucket still
+    // surfaces as a row (with a FALSE flag) instead of vanishing from the
+    // compare. Plan shape: two 1-row aggregates broadcast onto the scan —
+    // no Expand, no global sort of data (the final ORDER BY sorts 10 rows).
+    QueryDef(
+      "q31c_approx_equidepth",
+      """WITH t AS (SELECT COUNT(*) AS n_rows, round(MIN(value), 6) AS lo_global,
+        |                  round(MAX(value), 6) AS hi_global FROM events)
+        |SELECT g.g AS bucket, n_rows, lo_global, hi_global, TRUE AS depth_ok
+        |FROM generate_series(1, 10) g(g) CROSS JOIN t
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val cuts = events.agg(
+        expr(s"approx_percentile(value, array(${(1 to 9).map(i => s"0.$i").mkString(",")}), 10000)")
+          .as("c"))
+      val counted = events.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          ((1 to 9).map(i => when(col("value") > element_at(col("c"), i), 1).otherwise(0))
+            .reduce(_ + _) + 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = events.agg(
+        count(lit(1)).as("n_rows"),
+        round(min(col("value")), 6).as("lo_global"),
+        round(max(col("value")), 6).as("hi_global"))
+      s.range(1, 11).select(col("id").as("bucket"))
+        .join(broadcast(counted), Seq("bucket"), "left")
+        .na.fill(0, Seq("cnt"))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("bucket"), col("n_rows"), col("lo_global"), col("hi_global"),
+          (abs(col("cnt") - col("n_rows") / 10.0) <= col("n_rows") * 0.02 + 1.0)
+            .as("depth_ok"))
+        .orderBy("bucket")
+    },
+
     // Q37 — column profiling (the data-quality pass a pipeline runs before
     // training ingest): per column — row count, null count, distinct
     // count, formatted min/max, exploded from 1-row aggregates into the
@@ -231,6 +279,82 @@ object ReshapeQueries {
             col(s"mx_$c").as("max_s"))
         }: _*)).as("p"))
         .select(col("p.*"))
+        .orderBy("col_name")
+    },
+
+    // Q37b — the 100 TB column profile: the `approx_count_distinct` swap
+    // named in q37's comment, executed under the oracle. The profile proper
+    // is ONE aggregation — count/null/min/max battery plus an HLL sketch
+    // per column — with no Expand anywhere (HLL is an ordinary mergeable
+    // aggregate, not a distinct-rewrite), no split-agg workaround, and no
+    // second scan: the multi-distinct Expand that forced q37's two-branch
+    // shape simply does not exist on this path. Cross-engine contract
+    // (q06b's pattern): exact n_distinct + a 15% `nd_ok` flag (3× the HLL's
+    // default 5% rsd). The exact companion exists ONLY to power the flag —
+    // production is the single agg above — and is itself Expand-free: one
+    // Generate pass explodes each row into (col_name, value-as-string)
+    // pairs (cast-to-string is round-trip injective for every profiled
+    // type, so string distinct ≡ native distinct), then a SINGLE
+    // countDistinct per group plans as two-stage hash agg, not a
+    // distinct-rewrite.
+    QueryDef(
+      "q37b_column_profile_approx",
+      {
+        val profSql = Seq(
+          ("event_id", "CAST(MIN(event_id) AS VARCHAR)", "CAST(MAX(event_id) AS VARCHAR)"),
+          ("event_type", "MIN(event_type)", "MAX(event_type)"),
+          ("props", "MIN(props)", "MAX(props)"),
+          ("ts", "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')", "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')"),
+          ("user_id", "CAST(MIN(user_id) AS VARCHAR)", "CAST(MAX(user_id) AS VARCHAR)"),
+          ("value", "printf('%.6f', MIN(value))", "printf('%.6f', MAX(value))"))
+        profSql.map { case (c, mn, mx) =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+             |  $mn AS min_s, $mx AS max_s, TRUE AS nd_ok FROM events""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }) { (s, dir) =>
+      val prof = Seq[(String, Column => Column)](
+        ("event_id", _.cast("string")),
+        ("event_type", identity),
+        ("props", identity),
+        ("ts", date_format(_, "yyyy-MM-dd HH:mm:ss")),
+        ("user_id", _.cast("string")),
+        ("value", v => format_string("%.6f", v)))
+      val ev = Tables.events(s, dir)
+      val battery = ev.agg(
+        count(lit(1)).as("n_rows"),
+        prof.flatMap { case (c, fmt) =>
+          Seq(
+            count(col(c)).as(s"nn_$c"),
+            fmt(min(col(c))).as(s"mn_$c"),
+            fmt(max(col(c))).as(s"mx_$c"),
+            approx_count_distinct(col(c)).as(s"ad_$c"))
+        }: _*)
+      val exact = ev
+        .select(explode(array(prof.map { case (c, _) =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
+        }: _*)).as("p"))
+        .select(col("p.col_name"), col("p.v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("col_name"))
+        .agg(countDistinct(col("v")).as("n_distinct"))
+      battery
+        .select(explode(array(prof.map { case (c, _) =>
+          struct(
+            lit(c).as("col_name"),
+            col("n_rows"),
+            (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+            col(s"ad_$c").as("approx_nd"),
+            col(s"mn_$c").as("min_s"),
+            col(s"mx_$c").as("max_s"))
+        }: _*)).as("p"))
+        .select(col("p.*"))
+        .join(broadcast(exact), Seq("col_name"))
+        .select(
+          col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_s"), col("max_s"),
+          (abs(col("approx_nd") - col("n_distinct")) <= col("n_distinct") * 0.15)
+            .as("nd_ok"))
         .orderBy("col_name")
     }
   )

@@ -507,7 +507,9 @@ object TextAnalysisQueries {
          |tf AS (SELECT tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok),
          |pairs AS (
          |  SELECT substr(tok, i, 2) AS pair, tf
-         |  FROM tf, (SELECT unnest(generate_series(1, 64)) AS i) g
+         |  FROM (SELECT tok, tf,
+         |          unnest(generate_series(1, greatest(length(tok) - 1, 1))) AS i
+         |        FROM tf)
          |  WHERE i <= length(tok) - 1)
          |SELECT pair, CAST(SUM(tf) AS BIGINT) AS c_pair,
          |  CAST(COUNT(*) AS BIGINT) AS n_pos

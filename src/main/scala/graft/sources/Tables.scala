@@ -40,6 +40,26 @@ object Tables {
       case _ => raw
     }
   }
+  /** Row count from the parquet footers — true metadata (block headers), no
+    * scan job, no Spark stage. The honest stand-in for a warehouse catalog's
+    * table statistics when a pipeline needs a size bound (e.g. sizing q22d's
+    * bloom sketch) without paying a pass over the data. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(p))
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")

@@ -182,4 +182,15 @@ class DedupEdgeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast left-anti confirm join, got:\n$plan")
   }
+
+  test("q22d: the bloom probe is the native codegen expression, not a UDF") {
+    // VERDICT r8 #7: the history-scan prefilter must ride whole-stage
+    // codegen through Spark's own BloomFilterMightContain (registered as
+    // bloom_might_contain), leaving no scalar-UDF Invoke in the plan.
+    val plan = DedupQueries.incrementalDedup(spark, "/root/testdata/sf0.001", fpp = 0.01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the native bloom probe expression in the plan, got:\n$plan")
+    assert(!plan.contains("UDF"), s"scalar UDF survived in the q22d plan:\n$plan")
+  }
 }

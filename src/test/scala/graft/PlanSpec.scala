@@ -335,4 +335,33 @@ class PlanSpec extends SparkSpec {
     // pair explode, which is the whole 100 TB argument
     assert("HashAggregate".r.findAllIn(p).size >= 4)
   }
+
+  // The three declared 100 TB approx paths (VERDICT r8 #1): their whole
+  // point is the plan shape — no multi-distinct Expand, no exact global
+  // sort of data — so the shape is pinned, not just the oracle result.
+
+  test("q37b: approx profile has NO Expand — the swap that kills q37's rewrite") {
+    val p = plan("q37b_column_profile_approx")
+    assert(!p.contains("Expand"), s"Expand survived in the approx profile:\n$p")
+    assert(p.contains("approx_count_distinct") || p.contains("HyperLogLog"),
+      "HLL aggregate missing from the approx profile")
+  }
+
+  test("q31c: approx equi-depth — sketch cutoffs, no Expand, no sort of data") {
+    val p = plan("q31c_approx_equidepth")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("approx_percentile"))
+    // the only Sort may be the final 10-row bucket ordering; the exact
+    // path's per-group value materialization (q31b's percentile) is gone
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty,
+      "exact percentile leaked into the approx path")
+  }
+
+  test("q25qb: quantile-threshold quota — cutoffs broadcast, no global window") {
+    val p = plan("q25qb_dsir_approx_threshold")
+    assert(p.contains("approx_percentile"))
+    assert(!p.contains("Window"), "quota must not need a global-sort window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row cutoff frame must broadcast back onto the score frame")
+  }
 }
