@@ -90,6 +90,7 @@ object ReplayPipelineCli {
   private val usage =
     "usage: graft.ReplayPipelineCli --input <csv> --output <parquetDir> " +
       "[--speedFactor 1..5 | --perEvent true] " +
+      "[--wallclock true [--minuteMs <ms>]] " +
       "[--topic <name> --subscription <name> [--channelRoot <dir>]]"
 
   /** Slice count for a data span and speedFactor, bounded to [1, 96] so a
@@ -100,13 +101,25 @@ object ReplayPipelineCli {
   def main(args: Array[String]): Unit = {
     val kv = CliArgs.parse(args,
       Set("input", "output", "speedFactor", "perEvent", "topic", "subscription",
-        "channelRoot"),
+        "channelRoot", "wallclock", "minuteMs"),
       usage)
     val input = CliArgs.require(kv, "input", usage)
     val output = CliArgs.require(kv, "output", usage)
     val perEvent = kv.get("perEvent").exists(_.toBoolean)
     if (perEvent && kv.contains("speedFactor")) sys.error(
       s"--perEvent and --speedFactor are mutually exclusive\n$usage")
+    // --wallclock: consume on a REAL ProcessingTime trigger, one firing per
+    // simulated publishing minute (the reference demo's cadence,
+    // simulate_session_stream.py:89-93) — quantile-slice pacing only (the
+    // per-event variant's cadence is commit order by design)
+    val wallclock = kv.get("wallclock").exists(_.toBoolean)
+    if (wallclock && perEvent) sys.error(
+      s"--wallclock applies to speed-factor pacing; not with --perEvent\n$usage")
+    // the length of one simulated publishing minute in real ms: 60000 is
+    // the reference's literal demo cadence; tests/demos compress it
+    val minuteMs = kv.getOrElse("minuteMs", "60000").toLong
+    require(minuteMs >= 50 && minuteMs <= 600000,
+      s"--minuteMs must be 50..600000, got $minuteMs\n$usage")
     val speed = kv.getOrElse("speedFactor", "5").toInt
     require(speed >= 1 && speed <= 5, s"--speedFactor must be 1..5, got $speed\n$usage")
     val spark = GraftSession.get()
@@ -171,11 +184,19 @@ object ReplayPipelineCli {
     }
     val transformed =
       EcommerceOps.streamTransform(EcommercePipelines.decodeWire(stream))
-    val sink = StreamRunner.toParquet(spark, transformed, "cli_sink", cursor)
+    val sink =
+      if (wallclock) {
+        val (df, fired) = StreamRunner.toParquetWallclock(
+          spark, transformed, "cli_sink", minuteMs, nBatches, cursor)
+        println(s"[replay] wall-clock trigger: $fired non-empty micro-batches " +
+          s"at $minuteMs ms per publishing minute")
+        df
+      } else StreamRunner.toParquet(spark, transformed, "cli_sink", cursor)
     sink.write.mode("overwrite").parquet(output)
     val pacing =
       if (perEvent) "per-event Δt"
-      else f"span ${span / 3600.0}%.1f h, speedFactor $speed"
+      else f"span ${span / 3600.0}%.1f h, speedFactor $speed" +
+        (if (wallclock) s", wall-clock $minuteMs ms/min" else "")
     println(s"[replay] $nBatches micro-batches ($pacing); " +
       s"wrote ${spark.read.parquet(output).count()} rows to $output")
   }

@@ -319,6 +319,16 @@ object StreamRunner {
     }
   }
 
+  /** Last EXECUTED micro-batch plan per tag, captured at termination: a
+    * streaming frame explained before `start()` shows only source
+    * placeholders — the incremental shapes that matter (stateful operators,
+    * append-mode eviction, the stream-static join) exist only in the
+    * micro-batch execution, so `graft.Explain` reads them from here after
+    * running the query. Session-lifetime, last run wins. */
+  private val lastPlans = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def lastStreamingPlan(tag: String): Option[String] = lastPlans.get(tag)
+
   /** Await a started query with a bounded wait (a wedged stream must fail
     * the one query, not hang the whole verification round), then unload the
     * terminated query's state-store providers — in a `finally`, so even a
@@ -332,7 +342,18 @@ object StreamRunner {
         q.stop()
         throw new IllegalStateException(s"streaming query $tag timed out")
       }
-    } finally StateStore.stop()
+    } finally {
+      // best-effort plan capture (q.explain() prints the last micro-batch's
+      // physical plan; throws if no batch ever executed) before the state
+      // stores unload
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(q.explain())
+        val p = bos.toString("UTF-8")
+        if (p.nonEmpty) lastPlans.put(tag, p)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      StateStore.stop()
+    }
 
   /** Read a finished stream's sink dir back. An empty replay (zero
     * micro-batches, or batches that emitted no rows) leaves no data files,
@@ -405,5 +426,47 @@ object StreamRunner {
       awaitAndUnload(q, tag)
     }
     readSink(spark, out, sdf.schema)
+  }
+
+  /** Run an append-mode streaming frame on a REAL wall-clock trigger — the
+    * reference demo's pacing behavior (simulate_session_stream.py:89-93
+    * sleeps the inter-event gap; send_session_stream.py publishes one
+    * simulated minute per real minute): micro-batches FIRE every
+    * `intervalMs` of wall time instead of AvailableNow draining the backlog
+    * as fast as it can. With the source slice-committed and opened at
+    * `maxFilesPerTrigger=1`, each firing consumes exactly one publishing
+    * minute of data. A ProcessingTime query never self-terminates, so the
+    * run is bounded: poll progress until `expectBatches` NON-EMPTY batches
+    * have fired (or `timeoutMs`, a flake bound for CI hosts — partial
+    * progress is returned, never an exception), then stop and unload state.
+    * Returns (sink frame, observed non-empty batch count). Correctness is
+    * identical to [[toParquet]] — event-time semantics don't depend on
+    * arrival pacing (SURVEY §3.2) — this mode exists because the demo
+    * cadence itself is reference behavior a user may want to reproduce. */
+  def toParquetWallclock(spark: SparkSession, sdf: DataFrame, tag: String,
+                         intervalMs: Long, expectBatches: Int,
+                         checkpoint: Option[String] = None,
+                         timeoutMs: Long = 120000L): (DataFrame, Int) = {
+    val out = tempDir(s"sink_$tag")
+    var nonEmpty = 0
+    withStateParts(spark, flush = false) {
+      val q = sdf.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint.getOrElse(tempDir(s"chk_$tag")))
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(intervalMs))
+        .start()
+      try {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        while (nonEmpty < expectBatches && System.nanoTime() < deadline) {
+          Thread.sleep(math.max(20L, intervalMs / 4))
+          nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+        }
+      } finally {
+        try q.stop() finally StateStore.stop()
+      }
+    }
+    (readSink(spark, out, sdf.schema), nonEmpty)
   }
 }

@@ -108,6 +108,36 @@ class PipelineCliSpec extends SparkSpec {
     assert(outStream.toString("UTF-8").contains("5 micro-batches (per-event Δt)"))
   }
 
+  test("replay CLI --wallclock fires real ProcessingTime micro-batches") {
+    // VERDICT r8 #6: the reference demo's wall-clock cadence as a CLI mode.
+    // 14.5 h fixture at speedFactor 5 → 3 publishing minutes; each minute
+    // compressed to 300 ms real time. Flake-bounded like StreamingSpec's
+    // ProcessingTime smoke: the assertion is ≥2 non-empty wall-clock
+    // firings (the third can land after the bounded poll on a loaded
+    // host), plus the full row count — completeness never depends on
+    // pacing.
+    val out = TempDirs.create("graft_cli_wallclock_out_")
+    val outStream = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outStream, true, "UTF-8")) {
+      ReplayPipelineCli.main(Array(
+        "--input", csvPath, "--output", out, "--speedFactor", "5",
+        "--wallclock", "true", "--minuteMs", "300"))
+    }
+    assert(spark.read.parquet(out).count() === 5)
+    val receipt = outStream.toString("UTF-8")
+    val fired = "wall-clock trigger: (\\d+) non-empty".r
+      .findFirstMatchIn(receipt).map(_.group(1).toInt)
+    assert(fired.exists(_ >= 2), s"expected >=2 wall-clock micro-batches, receipt:\n$receipt")
+  }
+
+  test("replay CLI rejects --wallclock together with --perEvent") {
+    val out = TempDirs.create("graft_cli_wallclock_bad_")
+    val e = intercept[RuntimeException](ReplayPipelineCli.main(Array(
+      "--input", csvPath, "--output", out,
+      "--perEvent", "true", "--wallclock", "true")))
+    assert(e.getMessage.contains("--wallclock applies to speed-factor"))
+  }
+
   test("replay CLI rejects --perEvent together with --speedFactor") {
     val out = TempDirs.create("graft_cli_pevent_bad_")
     val e = intercept[RuntimeException](ReplayPipelineCli.main(Array(
