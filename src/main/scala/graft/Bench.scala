@@ -102,9 +102,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    // Shuffle parallelism decoupled from thread count for scale-stress runs:
+    // a cluster sizes partitions to the DATA (so per-partition agg/join state
+    // stays roughly constant as data grows), while the pinned-32 default
+    // models this host. The ×10/×20 growth captures set this to
+    // 32 × factor to measure the cluster-realistic configuration
+    // (BASELINE.md round 9) — same JVM, same 32 threads, more waves.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // static conf, must be set before the session exists: the default
       // 100-entry whole-stage-codegen cache thrashes across this suite's
       // 110 distinct plans (several hundred codegen stages over two

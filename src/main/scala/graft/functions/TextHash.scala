@@ -210,6 +210,60 @@ object TextHash {
   def sqlHamming(a: String, b: String): String = s"bit_count(xor($a, $b))"
 
   // -----------------------------------------------------------------------
+  // Content-defined chunking (rolling-window boundary rule)
+  // -----------------------------------------------------------------------
+
+  /** CDC boundary rule: a chunk boundary lands after byte position p iff the
+    * Horner hash (base CdcB mod Mod) of the CdcW-byte window ending at p is
+    * ≡ 0 (mod CdcDiv) — expected chunk length ≈ CdcDiv bytes. Boundaries
+    * depend only on the local window, so an insertion re-aligns at most the
+    * chunks that straddle the edit; every boundary downstream of it
+    * re-synchronizes because the window CONTENT at the old boundary is
+    * unchanged. Fixed-stride framing (q26c) shifts every later frame
+    * instead. No max-chunk cap here: a divisor-unlucky doc degrades to one
+    * whole-doc chunk (still correct — recall falls back to exact-dup, never
+    * wrong pairs); production adds a cap by forcing a boundary every
+    * MaxChunk bytes.
+    *
+    * Deliberately INTEGER hashing, not [[hash32]]: CDC evaluates a window
+    * hash at every byte position, and an md5 per position is ~40 µs
+    * interpreted (measured; see [[CdcChunkFps]]) — the engine side runs the
+    * whole rule in one codegen'd pass ([[CdcChunkFps.compute]]), and these
+    * SQL fragments replay the identical 64-bit arithmetic over an `ascii()`
+    * codepoint array (exact: acc < 2^31, acc*CdcB + 255 < 2^40, acc*FpMult
+    * + 255 < 2^52 — no overflow in either engine). */
+  val CdcW = 8
+  val CdcDiv = 64L
+
+  /** Window-hash Horner base (any small prime > 255 mixes bytes). */
+  val CdcB = 257L
+
+  /** `text` must be a simple column reference. */
+  def sqlCdcCodes(text: String): String =
+    s"list_transform(string_split($text, ''), ch -> ascii(ch))"
+
+  /** Boundary positions (1-based byte index of each chunk's last byte),
+    * strictly inside the text. `codes`/`n` must be simple column references
+    * holding [[sqlCdcCodes]] and `length(text)`. */
+  def sqlCdcBoundaries(codes: String, n: String): String =
+    s"list_filter(generate_series($CdcW, greatest($n, $CdcW)), " +
+      s"i -> i < $n AND list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"$codes[i-${CdcW - 1}:i]), (a, x) -> (a*$CdcB + x) % $Mod) % $CdcDiv = 0)"
+
+  /** Distinct fingerprints of the chunks delimited by `bnds`: chunk j spans
+    * (prev boundary + 1) .. boundary j, the last chunk runs to end-of-text;
+    * fingerprint = Horner fold base [[FpMult]] mod [[Mod]] (the empty
+    * string folds to 0 — one empty chunk, same as the engine side).
+    * `codes`, `n`, `bnds` must be simple column references. */
+  def sqlCdcChunkFps(codes: String, n: String, bnds: String): String = {
+    val start = s"CASE WHEN j = 1 THEN 1 ELSE $bnds[j-1] + 1 END"
+    val stop = s"CASE WHEN j = len($bnds) + 1 THEN $n ELSE $bnds[j] END"
+    s"list_distinct(list_transform(generate_series(1, len($bnds) + 1), j -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $codes[($start):($stop)]), " +
+      s"(a, x) -> (a*$FpMult + x) % $Mod)))"
+  }
+
+  // -----------------------------------------------------------------------
   // Rolling-hash document fingerprint
   // -----------------------------------------------------------------------
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.VectorDot
+import graft.functions.{CdcChunkFps, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_might_contain"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunk_fps"),
+      new ExpressionInfo(classOf[CdcChunkFps].getName, "cdc_chunk_fps"),
+      (exprs: Seq[Expression]) => CdcChunkFps(exprs.head)))
   }
 }

@@ -51,7 +51,13 @@ object Joins {
 
     // J2/Q10 — multi-way join chain; the only big-big join is
     // lineitem ⋈ orders (SMJ/shuffled-hash on orderkey), everything after is
-    // broadcast.
+    // broadcast. Lineitem is pre-aggregated to ORDER grain before that join:
+    // the one big shuffle now moves one row per order (partial agg combines
+    // map-side) instead of every lineitem row, the join inherits the
+    // pre-agg's hash partitioning on the key so only orders re-shuffles,
+    // and countDistinct(o_orderkey) degenerates to count(*) — no Expand
+    // pass in the final aggregate. Decimal sums are associative, so the
+    // two-level sum is bit-identical to the single-level one.
     QueryDef(
       "q10_region_revenue",
       s"""SELECT r_name, n_name, ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -62,15 +68,19 @@ object Joins {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
-      Tables.lineitem(s, dir)
+      val orderRev = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).as("order_rev"))
+      orderRev
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("order_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy("r_name", "n_name")
     },
 

@@ -124,6 +124,59 @@ object MultimodalQueries {
         .select(col("media_a"), col("media_b"), col("shared"),
           col("nf_a"), col("nf_b"), jacc.as("frame_jaccard"))
         .orderBy("media_a", "media_b")
+    },
+
+    // X5+/Q26d — q26c's named production upgrade: CONTENT-DEFINED chunk
+    // boundaries (rolling-window rule) instead of fixed 64-byte frames. A
+    // boundary lands where the integer Horner hash of the local 8-byte
+    // window is ≡ 0 (mod 64), so an inserted/deleted prefix re-aligns
+    // only the chunk that straddles the edit — every later boundary
+    // re-synchronizes on unchanged content (MultimodalSpec pins this:
+    // byte-shifted payloads keep most CDC fingerprints, lose all fixed
+    // frames). The per-row work is ONE codegen'd pass over the payload
+    // bytes (functions.CdcChunkFps — a per-position interpreted-HOF
+    // formulation measured ~100 ms/doc, the expression runs at memory
+    // speed); the oracle replays the identical 64-bit arithmetic over an
+    // ascii() codepoint array. Plan shape is identical to q26c and linear
+    // at 100 TB: fingerprint arrays ride the scan as per-row expressions,
+    // the pair producer is the same blocked equi-join on chunk hash.
+    QueryDef(
+      "q26d_cdc_neardup",
+      s"""WITH c AS (SELECT doc_id AS media_id,
+         |  ${TextHash.sqlCdcCodes("text")} AS codes, length(text) AS n FROM documents),
+         |b AS (SELECT media_id, codes, n,
+         |  ${TextHash.sqlCdcBoundaries("codes", "n")} AS bnds FROM c),
+         |f AS (SELECT media_id, ${TextHash.sqlCdcChunkFps("codes", "n", "bnds")} AS fps FROM b),
+         |s AS (SELECT media_id, len(fps) AS nc FROM f),
+         |e AS (SELECT media_id, unnest(fps) AS fp FROM f),
+         |p AS (SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS shared
+         |      FROM e a JOIN e b ON a.fp = b.fp AND a.media_id < b.media_id
+         |      GROUP BY 1, 2)
+         |SELECT media_a, media_b, shared, sa.nc AS nc_a, sb.nc AS nc_b,
+         |  shared / (sa.nc + sb.nc - shared) AS chunk_jaccard
+         |FROM p JOIN s sa ON sa.media_id = media_a
+         |       JOIN s sb ON sb.media_id = media_b
+         |WHERE shared / (sa.nc + sb.nc - shared) >= 0.5
+         |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
+      graft.functions.CdcFunctions.register(s)
+      val f = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          array_distinct(graft.functions.CdcFunctions.cdcChunkFps(col("text"))).as("fps"))
+      val sizes = f.select(col("media_id"), size(col("fps")).cast("long").as("nc"))
+      val e = f.select(col("media_id"), explode(col("fps")).as("fp"))
+      val pairs = e.as("a")
+        .join(e.as("b"),
+          col("a.fp") === col("b.fp") && col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+        .agg(count(lit(1)).as("shared"))
+      val jacc = col("shared") / (col("nc_a") + col("nc_b") - col("shared"))
+      pairs
+        .join(sizes.select(col("media_id").as("media_a"), col("nc").as("nc_a")), "media_a")
+        .join(sizes.select(col("media_id").as("media_b"), col("nc").as("nc_b")), "media_b")
+        .filter(jacc >= 0.5)
+        .select(col("media_a"), col("media_b"), col("shared"),
+          col("nc_a"), col("nc_b"), jacc.as("chunk_jaccard"))
+        .orderBy("media_a", "media_b")
     }
   )
 }

@@ -48,6 +48,35 @@ class MultimodalSpec extends SparkSpec {
     resized.collect().foreach(m => assert(m.payload.length <= inSizes(m.media_id)))
   }
 
+  test("cdc chunk fingerprints survive a byte-shift; fixed frames do not") {
+    import graft.functions.TextHash
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    // The CDC property q26d exists for: prepend 14 bytes to every payload
+    // and the content-defined chunks after the first boundary are unchanged
+    // (the boundary windows' CONTENT is unchanged), while every fixed
+    // 64-byte frame shifts and re-hashes.
+    graft.functions.CdcFunctions.register(spark)
+    def cdcFps(t: Column) = array_distinct(graft.functions.CdcFunctions.cdcChunkFps(t))
+    def frameFps(t: Column) = array_distinct(transform(
+      sequence(lit(1), length(t), lit(64)), p => TextHash.hash32(t.substr(p, lit(64)))))
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 200)
+      .orderBy(col("doc_id")).limit(20)
+      .select(col("doc_id"), col("text"),
+        concat(lit("PREFIX-SHIFT: "), col("text")).as("shifted"))
+    val jac = docs.select(
+      TextHash.jaccard(cdcFps(col("text")), cdcFps(col("shifted"))).as("cdc_j"),
+      TextHash.jaccard(frameFps(col("text")), frameFps(col("shifted"))).as("frame_j"))
+      .collect()
+    val cdcAvg = jac.map(_.getDouble(0)).sum / jac.length
+    val frameAvg = jac.map(_.getDouble(1)).sum / jac.length
+    assert(jac.length === 20)
+    assert(cdcAvg >= 0.4, s"cdc chunks should mostly re-sync, got avg $cdcAvg")
+    assert(frameAvg <= 0.1, s"fixed frames should all shift, got avg $frameAvg")
+    assert(cdcAvg > frameAvg * 4)
+  }
+
   test("media schema round-trips through parquet with binary payload intact") {
     val dir = TempDirs.create("graft_media_")
     import spark.implicits._

@@ -31,6 +31,9 @@ class PlanSpec extends SparkSpec {
   test("q10: the 5-table chain broadcasts every dim (no shuffle join at this SF)") {
     val p = plan("q10_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    // order-grain pre-agg: countDistinct degenerated to count — no Expand,
+    // and the one big shuffle carries per-order partial sums, not lineitems
+    assert(!p.contains("Expand"), s"countDistinct Expand survived the pre-agg:\n$p")
   }
 
   test("q24: query side broadcast; corpus streams through one nested-loop pass") {
