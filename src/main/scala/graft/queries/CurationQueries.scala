@@ -27,6 +27,9 @@ object CurationQueries {
   private val ChunkLen = 64
   private val ChunkStride = 48
 
+  /** q25s per-source document cap (docs kept per source, best-first). */
+  private val SourceQuota = 10
+
   /** Quality score in [0,1] (same formula as q25, shared constants):
     * 0.5·min(1, tokens/100) + 0.3·stopword_ratio + 0.2·(1-punct_ratio). */
   private def qualityCol(text: org.apache.spark.sql.Column,
@@ -406,6 +409,36 @@ object CurationQueries {
           floor(lit(1000) * least(lit(1.0), lit(100.0) / col("cnt"))).cast("long"))
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")
+    },
+
+    // X4+/Q25s — per-source quota cap: keep at most SourceQuota docs per
+    // source, best-first (n_chars as the quality proxy, doc_id tiebreak) —
+    // the "max N pages per domain" guard every web-scale curation run
+    // applies so no single domain dominates the mixture. Differs from
+    // q25f (stratified RATE sampling: keeps a fraction) in being an
+    // absolute per-group top-k. Scale shape: the rank-≤-k filter compiles
+    // to a WindowGroupLimit below the source-partitioned exchange
+    // (plan-pinned), so each map task forwards at most k rows per source
+    // into the shuffle — a mega-domain contributes k rows per task, not
+    // its full page count; the window itself then ranks ≤ k × tasks rows
+    // per source. Same mechanism q22b pins for rank-1, generalized to the
+    // quota.
+    QueryDef(
+      "q25s_source_quota",
+      s"""WITH r AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |                     ORDER BY n_chars DESC, doc_id) AS rnk
+         |  FROM documents)
+         |SELECT doc_id, source, rnk FROM r WHERE rnk <= $SourceQuota
+         |ORDER BY source, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= SourceQuota)
+        .select(col("doc_id"), col("source"), col("rnk"))
+        .orderBy("source", "rnk")
     }
   )
 

@@ -101,6 +101,14 @@ object DedupQueries {
   /** Confirmed near-dup pair CTEs (band-bucket candidates → exact-Jaccard
     * confirm) — the pair set q23e canonicalizes one hop over and q23g
     * closes into full components. Appended after [[sqlSigCtes]]. */
+  /** q23i's deterministic recall-sample rule: every doc with
+    * doc_id % 10 == 0 is a monitored query point. Fixed RATE (not fixed
+    * count) keeps the eval's cost profile constant per unit data while the
+    * sample stays representative; a production run monitoring a 100 TB
+    * corpus would pin a fixed COUNT instead (mod chosen from the footer row
+    * count) to cap the eval at a constant absolute cost. */
+  private val RecallSampleMod = 10
+
   private val sqlPairCtes =
     s"""bands AS (
        |  SELECT doc_id, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
@@ -316,6 +324,75 @@ object DedupQueries {
           col("doc_id"),
           coalesce(least(col("doc_id"), col("mn")), col("doc_id")).as("canon"),
           (col("mn").isNotNull && col("mn") < col("doc_id")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
+    // X2+/Q23i — LSH recall eval: q24g's measured-quality rigor for the
+    // TEXT near-dup family. Per sampled doc (deterministic doc_id % 10
+    // sample — what a production dedup run monitors continuously), recall
+    // of the band-bucket candidate producer (q23b/q23e/q23g's `pairs`)
+    // against EXACT ground truth at the same Jaccard-0.2 confirm
+    // threshold. Ground truth is NOT an all-pairs scan: exact-Jaccard
+    // neighbors of the sampled docs come from the shingle INVERTED INDEX
+    // (explode + equi-join + per-pair shared count — q22c's linear shape;
+    // sh/(na+nb−sh) over distinct shingle sets IS exact Jaccard), so the
+    // eval scales: fixed sample size, postings join touches only pairs
+    // sharing ≥1 shingle. found ⊆ truth by construction (confirmed pairs
+    // pass the same threshold), so recall ∈ [0,1] and quantifies ONLY
+    // banding misses — the r=2/b=8 S-curve (P(candidate|j) = 1−(1−j²)⁸:
+    // ≈0.28 at j=0.2, →1 as j→1): true near-dups are caught, borderline
+    // pairs are the probabilistic tail the threshold's operator reads off
+    // this table.
+    QueryDef(
+      "q23i_lsh_recall_eval",
+      s"""WITH $sqlSigCtes,
+         |$sqlPairCtes,
+         |sizes AS (SELECT doc_id, len(shash) AS nsh FROM sig),
+         |post AS (SELECT doc_id, unnest(shash) AS h FROM sig),
+         |qpost AS (SELECT doc_id AS qid, h FROM post
+         |          WHERE doc_id % $RecallSampleMod = 0),
+         |shared AS (
+         |  SELECT qid, p.doc_id AS did, COUNT(*) AS sh
+         |  FROM qpost q JOIN post p ON q.h = p.h AND p.doc_id <> q.qid
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT qid, COUNT(*) AS truth_pairs
+         |  FROM shared JOIN sizes a ON a.doc_id = qid
+         |              JOIN sizes b ON b.doc_id = did
+         |  WHERE sh::DOUBLE / (a.nsh + b.nsh - sh) >= 0.2
+         |  GROUP BY 1),
+         |found AS (
+         |  SELECT qid, COUNT(*) AS found_pairs
+         |  FROM (SELECT unnest([da, db]) AS qid FROM pairs)
+         |  WHERE qid % $RecallSampleMod = 0 GROUP BY 1)
+         |SELECT t.qid AS doc_id, truth_pairs,
+         |  COALESCE(found_pairs, 0) AS found_pairs,
+         |  COALESCE(found_pairs, 0)::DOUBLE / truth_pairs AS recall
+         |FROM truth t LEFT JOIN found f ON f.qid = t.qid
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sigs = sigTable(s, dir)
+      val sizes = sigs.select(col("doc_id"), size(col("shash")).as("nsh"))
+      val post = sigs.select(col("doc_id"), explode(col("shash")).as("h"))
+      val qpost = post.filter(col("doc_id") % RecallSampleMod === 0)
+        .select(col("doc_id").as("qid"), col("h"))
+      val shared = qpost.join(post, Seq("h"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id").as("did"))
+        .agg(count(lit(1)).as("sh"))
+      val truth = shared
+        .join(sizes.select(col("doc_id").as("qid"), col("nsh").as("na")), "qid")
+        .join(sizes.select(col("doc_id").as("did"), col("nsh").as("nb")), "did")
+        .filter(col("sh").cast("double") / (col("na") + col("nb") - col("sh")) >= 0.2)
+        .groupBy(col("qid")).agg(count(lit(1)).as("truth_pairs"))
+      val found = confirmedPairs(s, dir)
+        .select(explode(array(col("da"), col("db"))).as("qid"))
+        .filter(col("qid") % RecallSampleMod === 0)
+        .groupBy(col("qid")).agg(count(lit(1)).as("found_pairs"))
+      truth.join(found, Seq("qid"), "left")
+        .select(col("qid").as("doc_id"), col("truth_pairs"),
+          coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
+          (coalesce(col("found_pairs"), lit(0L)).cast("double") / col("truth_pairs"))
+            .as("recall"))
         .orderBy("doc_id")
     },
 

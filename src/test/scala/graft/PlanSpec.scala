@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
       "dup_rank = 1 must prune groups pre-shuffle, not post-window")
   }
 
+  test("q25s: quota rank filter becomes a WindowGroupLimit before the shuffle") {
+    val p = plan("q25s_source_quota")
+    assert(p.contains("WindowGroupLimit"),
+      "rnk <= quota must bound per-source rows map-side, not post-window")
+  }
+
   test("q25e: vocabulary (df) and corpus-size frames broadcast onto the tf rows") {
     val p = plan("q25e_tfidf_keywords")
     assert(p.contains("BroadcastHashJoin"))
