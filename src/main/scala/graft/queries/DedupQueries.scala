@@ -101,6 +101,12 @@ object DedupQueries {
   /** Confirmed near-dup pair CTEs (band-bucket candidates → exact-Jaccard
     * confirm) — the pair set q23e canonicalizes one hop over and q23g
     * closes into full components. Appended after [[sqlSigCtes]]. */
+  /** q22e span geometry: fixed 8-token non-overlapping segments (the span
+    * unit standing in for paragraphs on this newline-free corpus) removed
+    * corpus-wide once they appear in ≥ BoilerplateDf distinct docs. */
+  private val SpanLen = 8
+  private val BoilerplateDf = 3
+
   /** q23i's deterministic recall-sample rule: every doc with
     * doc_id % 10 == 0 is a monitored query point. Fixed RATE (not fixed
     * count) keeps the eval's cost profile constant per unit data while the
@@ -740,7 +746,70 @@ object DedupQueries {
         |                  WHERE h.doc_id % 5 <> 0
         |                    AND lower(trim(h.text)) = lower(trim(d.text)))
         |ORDER BY doc_id""".stripMargin)(
-      (s, dir) => incrementalDedup(s, dir, fpp = 0.01))
+      (s, dir) => incrementalDedup(s, dir, fpp = 0.01)),
+
+    // X1+/Q22e — SPAN-level dedup (CCNet-style paragraph/boilerplate
+    // removal): the transform between doc-level dedup (q22: whole doc gone)
+    // and the dup-fraction SIGNAL (q22c): repeated spans are REMOVED from
+    // otherwise-unique docs and the cleaned text reassembled — headers,
+    // footers, navigation chrome at web scale. Span unit here = fixed
+    // 8-token segments (this corpus has no newline structure; with real
+    // paragraphs the split expression changes, nothing else does). Shape at
+    // 100 TB: segment slicing + hashing rides the scan (one md5 per ~8
+    // tokens — q25p's chunk geometry, not CDC's per-byte rule); corpus df
+    // is ONE explode + count-distinct-doc agg; the boilerplate list
+    // (df ≥ 3) is df-filtered TINY (17 segments of 3.4k at sf0.01) and
+    // broadcasts into a LEFT ANTI join, so the corpus never shuffles for
+    // the removal; reassembly is a per-doc sort of surviving (position,
+    // segment) pairs. Docs whose every span is boilerplate survive with
+    // clean_text = '' (the downstream length filter kills them — this
+    // operator never silently drops rows).
+    QueryDef(
+      "q22e_span_dedup",
+      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |segs AS (SELECT doc_id, j,
+         |    array_to_string(toks[(j*$SpanLen+1):(j*$SpanLen+$SpanLen)], ' ') AS stext
+         |  FROM src, unnest(generate_series(0,
+         |    CAST(ceil(len(toks)/$SpanLen.0) AS BIGINT) - 1)) AS t(j)),
+         |h AS (SELECT doc_id, j, stext, ${sqlHash32("stext")} AS hh FROM segs),
+         |bp AS (SELECT hh FROM (SELECT hh, COUNT(DISTINCT doc_id) AS df
+         |                       FROM h GROUP BY 1) WHERE df >= $BoilerplateDf),
+         |kept AS (SELECT doc_id, j, stext FROM h
+         |         WHERE hh NOT IN (SELECT hh FROM bp)),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |          string_agg(stext, ' ' ORDER BY j) AS clean_text
+         |        FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM h GROUP BY 1)
+         |SELECT t.doc_id, t.n_segments,
+         |  t.n_segments - COALESCE(agg.n_kept, 0) AS n_removed,
+         |  COALESCE(agg.clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN agg ON t.doc_id = agg.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val segs = src.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("toks")) / lit(SpanLen.toDouble)).cast("int") - 1),
+          j => concat_ws(" ", slice(col("toks"), j * SpanLen + 1, lit(SpanLen)))))
+          .as(Seq("j", "stext")))
+      val h = segs.withColumn("hh", hash32(col("stext")))
+      val bp = h.groupBy(col("hh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= BoilerplateDf)
+        .select(col("hh"))
+      val kept = h.join(broadcast(bp), Seq("hh"), "left_anti")
+      val agg = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("j"), col("stext")))),
+          _.getField("stext"))).as("clean_text"))
+      val tot = h.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segments"))
+      tot.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segments"),
+          (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    }
   )
 
   /** q22d's pipeline with the bloom false-positive rate exposed so the spec

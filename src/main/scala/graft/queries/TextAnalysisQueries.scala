@@ -533,6 +533,94 @@ object TextAnalysisQueries {
         .agg(sum(col("tf")).as("c_pair"), count(lit(1)).as("n_pos"))
         .orderBy(col("c_pair").desc, col("pair"))
         .limit(20)
+    },
+
+    // X4/Q25t — BPE tokenizer TRAINING as three unrolled declarative merge
+    // rounds (q25r is one round's pair-counting stage; q42/q24f are the
+    // iterative-plan precedent). State between rounds is the weighted word
+    // inventory with each word as a bracket-delimited symbol string
+    // ("<h><e><l><l><o>", sentinels can't occur in the lowercase corpus), so
+    // GREEDY left-to-right merge application is plain `replace`:
+    // "<a><a><a><a>" + merge (a,a) → "<aa><aa>" because scanning resumes
+    // after each replacement — the bracket encoding makes non-overlapping
+    // string replace EXACTLY the BPE merge rule, identically in both
+    // engines, with no sequential fold needed. Each round = one pair-count
+    // aggregation over the VOCABULARY (distinct words × tf — corpus text is
+    // never re-scanned after the first tf pass), one 1-row argmax broadcast
+    // back, one scan-riding replace. At 100 TB: round cost is vocabulary-
+    // not corpus-sized — the same collapse q25r measured flat on 20× data;
+    // real trainers run thousands of rounds by iterating this exact plan
+    // (driver loop, one tiny argmax read per round — q23g's convergence
+    // pattern). Deterministic argmax tiebreak: count DESC, pair ASC.
+    QueryDef(
+      "q25t_bpe_train",
+      s"""WITH toks AS (
+         |  SELECT unnest(${sqlTokens("lower(text)")}) AS tok FROM documents),
+         |tf AS (SELECT tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY tok),
+         |w0 AS (SELECT '<' || array_to_string(list_transform(
+         |    generate_series(1, length(tok)), i -> substring(tok, i, 1)), '><')
+         |    || '>' AS w, tf FROM tf),
+         |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(tf) AS BIGINT) AS c
+         |  FROM (SELECT regexp_extract_all(w, '<([^>]*)>', 1) AS syms, tf FROM w0),
+         |       unnest(generate_series(1, greatest(len(syms) - 1, 1))) AS t(i)
+         |  WHERE i <= len(syms) - 1 GROUP BY 1, 2),
+         |m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+         |w1 AS (SELECT replace(w, '<'||a||'><'||b||'>', '<'||a||b||'>') AS w, tf
+         |       FROM w0, m1),
+         |p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(tf) AS BIGINT) AS c
+         |  FROM (SELECT regexp_extract_all(w, '<([^>]*)>', 1) AS syms, tf FROM w1),
+         |       unnest(generate_series(1, greatest(len(syms) - 1, 1))) AS t(i)
+         |  WHERE i <= len(syms) - 1 GROUP BY 1, 2),
+         |m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+         |w2 AS (SELECT replace(w, '<'||a||'><'||b||'>', '<'||a||b||'>') AS w, tf
+         |       FROM w1, m2),
+         |p3 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(tf) AS BIGINT) AS c
+         |  FROM (SELECT regexp_extract_all(w, '<([^>]*)>', 1) AS syms, tf FROM w2),
+         |       unnest(generate_series(1, greatest(len(syms) - 1, 1))) AS t(i)
+         |  WHERE i <= len(syms) - 1 GROUP BY 1, 2),
+         |m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)
+         |SELECT * FROM (
+         |  SELECT 1 AS round, a AS p1, b AS p2, c AS pair_count FROM m1
+         |  UNION ALL SELECT 2, a, b, c FROM m2
+         |  UNION ALL SELECT 3, a, b, c FROM m3)
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      def pairsOf(words: DataFrame): DataFrame =
+        words
+          .select(regexp_extract_all(col("w"), lit("<([^>]*)>"), lit(1)).as("syms"),
+            col("tf"))
+          .select(col("syms"), col("tf"),
+            explode(sequence(lit(1), greatest(size(col("syms")) - 1, lit(1)),
+              lit(1))).as("i"))
+          .filter(col("i") <= size(col("syms")) - 1)
+          .select(element_at(col("syms"), col("i")).as("a"),
+            element_at(col("syms"), col("i") + 1).as("b"), col("tf"))
+          .groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c"))
+      def top1(p: DataFrame): DataFrame =
+        p.orderBy(col("c").desc, col("a"), col("b")).limit(1)
+      def applyMerge(words: DataFrame, m: DataFrame): DataFrame =
+        words.crossJoin(broadcast(m))
+          .select(
+            call_function("replace", col("w"),
+              concat(lit("<"), col("a"), lit("><"), col("b"), lit(">")),
+              concat(lit("<"), col("a"), col("b"), lit(">"))).as("w"),
+            col("tf"))
+      val w0 = Tables.documents(s, dir)
+        .select(explode(tokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .select(concat(lit("<"),
+          concat_ws("><", transform(sequence(lit(1), length(col("tok"))),
+            i => col("tok").substr(i, lit(1)))),
+          lit(">")).as("w"), col("tf"))
+      val m1 = top1(pairsOf(w0))
+      val w1 = applyMerge(w0, m1)
+      val m2 = top1(pairsOf(w1))
+      val w2 = applyMerge(w1, m2)
+      val m3 = top1(pairsOf(w2))
+      def out(m: DataFrame, r: Int): DataFrame =
+        m.select(lit(r).as("round"), col("a").as("p1"), col("b").as("p2"),
+          col("c").as("pair_count"))
+      out(m1, 1).unionAll(out(m2, 2)).unionAll(out(m3, 3)).orderBy("round")
     }
   )
 }
