@@ -104,6 +104,64 @@ object BehaviorQueries {
         .orderBy(col("n_orders").desc, col("pa"), col("pb"))
     },
 
+    // Q32b — association rules over the q32 pairs: both directions of every
+    // supported pair scored by confidence(A→B) = n(A,B)/n(A) and
+    // lift(A→B) = conf / (n(B)/N), top 100 by lift. Fixed-point millionths
+    // (integer //) keep the ranking hash-identical across engines. Scale
+    // shape: the pair mining is q32's single basket shuffle; the two item-
+    // count lookups are broadcast joins against the parts-sized count table
+    // (dim-sized at any corpus scale), N is a 1-row broadcast, and the
+    // top-k is TakeOrderedAndProject — no new corpus-sized exchange beyond
+    // q32's own.
+    QueryDef(
+      "q32b_assoc_rules",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+        |ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY l_partkey),
+        |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_pair
+        |       FROM op a JOIN op b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY pa, pb HAVING COUNT(*) >= 3),
+        |r AS (SELECT pa AS antecedent, pb AS consequent, n_pair FROM pc
+        |      UNION ALL SELECT pb, pa, n_pair FROM pc)
+        |SELECT r.antecedent, r.consequent, r.n_pair,
+        |  (r.n_pair * 1000000) // ia.n_item AS conf_fp,
+        |  (r.n_pair * 1000000 * n.n_orders) // (ia.n_item * ib.n_item) AS lift_fp
+        |FROM r JOIN ic ia ON r.antecedent = ia.l_partkey
+        |       JOIN ic ib ON r.consequent = ib.l_partkey
+        |       CROSS JOIN n
+        |ORDER BY lift_fp DESC, antecedent, consequent LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val ic = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val pc = op
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .select(posexplode(col("parts")).as(Seq("i", "pa")), col("parts"))
+        .select(col("i"), col("pa"), posexplode(col("parts")).as(Seq("j", "pb")))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 3)
+      val rules = pc.select(col("pa").as("antecedent"), col("pb").as("consequent"),
+          col("n_pair"))
+        .unionAll(pc.select(col("pb").as("antecedent"), col("pa").as("consequent"),
+          col("n_pair")))
+      rules
+        .join(broadcast(ic.select(col("l_partkey").as("antecedent"),
+          col("n_item").as("n_a"))), Seq("antecedent"))
+        .join(broadcast(ic.select(col("l_partkey").as("consequent"),
+          col("n_item").as("n_b"))), Seq("consequent"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("antecedent"), col("consequent"), col("n_pair"),
+          expr("(n_pair * 1000000) div n_a").as("conf_fp"),
+          expr("(n_pair * 1000000 * n_orders) div (n_a * n_b)").as("lift_fp"))
+        .orderBy(col("lift_fp").desc, col("antecedent"), col("consequent"))
+        .limit(100)
+    },
+
     // Q33 — batch sessionization (gaps-and-islands): flag rows whose gap
     // from the previous event exceeds the threshold, running-sum the flags
     // into session ids, then aggregate per session. Two windows + one
@@ -297,6 +355,89 @@ object BehaviorQueries {
       val wr = Window.partitionBy(col("user_id")).orderBy(col("run"))
       runs.select(
           col("user_id"), col("run"), col("event_type"), col("valid_from"),
+          lead(col("valid_from"), 1).over(wr).as("valid_to"),
+          lead(col("valid_from"), 1).over(wr).isNull.as("is_current"),
+          col("n_events"))
+        .orderBy("user_id", "run")
+    },
+
+    // Q36c — incremental SCD2 maintenance (q36's MERGE twin, the q34b
+    // pattern applied to interval history): segment the pre-cutoff history
+    // and the post-cutoff delta into runs INDEPENDENTLY, then stitch at the
+    // per-user boundary — if a user's first delta run continues the type of
+    // their open base run the two fuse (base valid_from kept, counts
+    // summed), otherwise the delta runs renumber after the base tail. The
+    // oracle is q36's direct SQL over the full history: the contract IS
+    // merge(scd2(t<T), delta(t≥T)) ≡ scd2(all), exact because run
+    // segmentation is local to each half except at the single boundary row
+    // per user. At 100 TB this is the nightly-batch shape: the base history
+    // is never re-windowed — the delta windows over one day, the boundary
+    // stitch moves ONE compacted row per active user, and every join/window
+    // shares the user_id partitioning. (Full-table valid_to recompute here
+    // is output-contract only; a production MERGE rewrites just the per-user
+    // tail rows this plan touches.)
+    QueryDef(
+      "q36c_scd2_merge",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM g),
+        |runs AS (
+        |  SELECT user_id, run, event_type, MIN(ts) AS valid_from,
+        |    COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run, event_type)
+        |SELECT user_id, run, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+        |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
+        |  n_events
+        |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      def runsOf(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("event_type"), 1).over(w)
+        df.withColumn("brk", when(!(prev <=> col("event_type")), 1L).otherwise(0L))
+          .withColumn("run",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("run"), col("event_type"))
+          .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      }
+      val base = runsOf(evs.filter(col("ts") < cutoff))
+      val delta = runsOf(evs.filter(col("ts") >= cutoff))
+      // one compacted row per user: the open (last) base run's id and type
+      val lastB = base.groupBy(col("user_id"))
+        .agg(max(struct(col("run"), col("event_type"))).as("lb"))
+        .select(col("user_id"), col("lb.run").as("lb_run"),
+          col("lb.event_type").as("lb_type"))
+      val deltaJ = delta.join(lastB, Seq("user_id"), "left")
+      // stitch set: users whose first delta run continues the open base run
+      val stitch = deltaJ
+        .filter(col("run") === 1 && col("event_type") === col("lb_type"))
+        .select(col("user_id"), col("lb_run").as("run"),
+          col("n_events").as("add_n"))
+      val baseAdj = base.join(stitch, Seq("user_id", "run"), "left")
+        .withColumn("n_events", col("n_events") + coalesce(col("add_n"), lit(0L)))
+        .select(col("user_id"), col("run"), col("event_type"),
+          col("valid_from"), col("n_events"))
+      val deltaAdj = deltaJ
+        .withColumn("st",
+          max(when(col("run") === 1 && col("event_type") === col("lb_type"), 1L)
+            .otherwise(0L)).over(Window.partitionBy(col("user_id"))))
+        .filter(!(col("run") === 1 && col("st") === 1L))
+        .select(col("user_id"),
+          (col("run") + coalesce(col("lb_run"), lit(0L)) - col("st")).as("run"),
+          col("event_type"), col("valid_from"), col("n_events"))
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("run"))
+      baseAdj.unionByName(deltaAdj)
+        .select(col("user_id"), col("run"), col("event_type"), col("valid_from"),
           lead(col("valid_from"), 1).over(wr).as("valid_to"),
           lead(col("valid_from"), 1).over(wr).isNull.as("is_current"),
           col("n_events"))

@@ -621,6 +621,105 @@ object TextAnalysisQueries {
         m.select(lit(r).as("round"), col("a").as("p1"), col("b").as("p2"),
           col("c").as("pair_count"))
       out(m1, 1).unionAll(out(m2, 2)).unionAll(out(m3, 3)).orderBy("round")
+    },
+
+    // X4/Q25u — BPE tokenizer APPLICATION, closing the q25t loop: re-derive
+    // the same three merges (same corpus → same argmax chain), apply them to
+    // the VOCABULARY (tok → encoded symbol count), then score every document
+    // by joining its per-token counts against that encoded vocab. The
+    // per-doc deliverable is tokenizer fertility — BPE units per 10k
+    // whitespace tokens — the metric tokenizer teams actually track. At
+    // 100 TB the shape is the q25t collapse plus one broadcast: merge
+    // training never re-scans text after the single tf pass, the encoded
+    // vocab is vocabulary-sized and broadcasts, and the per-doc aggregation
+    // rides the same shuffle that built the doc×token counts — corpus text
+    // is scanned exactly once end-to-end.
+    QueryDef(
+      "q25u_bpe_encode",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS tok FROM documents),
+         |tfd AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks
+         |        WHERE tok <> '' GROUP BY doc_id, tok),
+         |tf AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS tf FROM tfd GROUP BY tok),
+         |w0 AS (SELECT tok, '<' || array_to_string(list_transform(
+         |    generate_series(1, length(tok)), i -> substring(tok, i, 1)), '><')
+         |    || '>' AS w, tf FROM tf),
+         |p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(tf) AS BIGINT) AS c
+         |  FROM (SELECT regexp_extract_all(w, '<([^>]*)>', 1) AS syms, tf FROM w0),
+         |       unnest(generate_series(1, greatest(len(syms) - 1, 1))) AS t(i)
+         |  WHERE i <= len(syms) - 1 GROUP BY 1, 2),
+         |m1 AS (SELECT a, b FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+         |w1 AS (SELECT tok, replace(w, '<'||a||'><'||b||'>', '<'||a||b||'>') AS w, tf
+         |       FROM w0, m1),
+         |p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(tf) AS BIGINT) AS c
+         |  FROM (SELECT regexp_extract_all(w, '<([^>]*)>', 1) AS syms, tf FROM w1),
+         |       unnest(generate_series(1, greatest(len(syms) - 1, 1))) AS t(i)
+         |  WHERE i <= len(syms) - 1 GROUP BY 1, 2),
+         |m2 AS (SELECT a, b FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+         |w2 AS (SELECT tok, replace(w, '<'||a||'><'||b||'>', '<'||a||b||'>') AS w, tf
+         |       FROM w1, m2),
+         |p3 AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(tf) AS BIGINT) AS c
+         |  FROM (SELECT regexp_extract_all(w, '<([^>]*)>', 1) AS syms, tf FROM w2),
+         |       unnest(generate_series(1, greatest(len(syms) - 1, 1))) AS t(i)
+         |  WHERE i <= len(syms) - 1 GROUP BY 1, 2),
+         |m3 AS (SELECT a, b FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+         |w3 AS (SELECT tok, replace(w, '<'||a||'><'||b||'>', '<'||a||b||'>') AS w
+         |       FROM w2, m3),
+         |enc AS (SELECT tok,
+         |    CAST(len(regexp_extract_all(w, '<([^>]*)>', 1)) AS BIGINT) AS n_units
+         |  FROM w3)
+         |SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(d.cnt * e.n_units) AS BIGINT) AS n_units,
+         |  (CAST(SUM(d.cnt * e.n_units) AS BIGINT) * 10000)
+         |    // CAST(SUM(d.cnt) AS BIGINT) AS fert_fp
+         |FROM tfd d JOIN enc e USING (tok)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      // Same local helpers as q25t, with `tok` carried through the merge
+      // chain so the trained inventory doubles as the tok→units encoder.
+      def pairsOf(words: DataFrame): DataFrame =
+        words
+          .select(regexp_extract_all(col("w"), lit("<([^>]*)>"), lit(1)).as("syms"),
+            col("tf"))
+          .select(col("syms"), col("tf"),
+            explode(sequence(lit(1), greatest(size(col("syms")) - 1, lit(1)),
+              lit(1))).as("i"))
+          .filter(col("i") <= size(col("syms")) - 1)
+          .select(element_at(col("syms"), col("i")).as("a"),
+            element_at(col("syms"), col("i") + 1).as("b"), col("tf"))
+          .groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c"))
+      def top1(p: DataFrame): DataFrame =
+        p.orderBy(col("c").desc, col("a"), col("b")).limit(1).select("a", "b")
+      def applyMerge(words: DataFrame, m: DataFrame): DataFrame =
+        words.crossJoin(broadcast(m))
+          .select(col("tok"),
+            call_function("replace", col("w"),
+              concat(lit("<"), col("a"), lit("><"), col("b"), lit(">")),
+              concat(lit("<"), col("a"), col("b"), lit(">"))).as("w"),
+            col("tf"))
+      val tfd = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val w0 = tfd
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
+        .select(col("tok"),
+          concat(lit("<"),
+            concat_ws("><", transform(sequence(lit(1), length(col("tok"))),
+              i => col("tok").substr(i, lit(1)))),
+            lit(">")).as("w"), col("tf"))
+      val w1 = applyMerge(w0, top1(pairsOf(w0)))
+      val w2 = applyMerge(w1, top1(pairsOf(w1)))
+      val w3 = applyMerge(w2, top1(pairsOf(w2)))
+      val enc = w3.select(col("tok"),
+        size(regexp_extract_all(col("w"), lit("<([^>]*)>"), lit(1)))
+          .cast("long").as("n_units"))
+      tfd.join(broadcast(enc), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("n_units")).as("n_units"))
+        .select(col("doc_id"), col("n_tokens"), col("n_units"),
+          expr("(n_units * 10000) div n_tokens").as("fert_fp"))
+        .orderBy("doc_id")
     }
   )
 }

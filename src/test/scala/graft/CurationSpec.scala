@@ -24,6 +24,28 @@ class CurationSpec extends SparkSpec {
     perLang.foreach { case (lang, n) => assert(n <= 200, s"stratum $lang: $n") }
   }
 
+  test("BPE encode: unit counts sit between token and character counts") {
+    val docTokChars = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("toks"), sum(length(col("tok"))).as("chars"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = graft.queries.TextAnalysisQueries.defs
+      .find(_.name == "q25u_bpe_encode").get.df(spark, sf)
+      .select("doc_id", "n_tokens", "n_units", "fert_fp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === docTokChars.size)
+    rows.foreach { case (doc, nTok, nUnits, fert) =>
+      val (toks, chars) = docTokChars(doc)
+      assert(nTok === toks, s"doc $doc token count")
+      // ≥: every token is at least one unit; ≤: 3 merges can only shrink
+      // the all-singletons encoding, never below one unit per token
+      assert(nUnits >= nTok && nUnits <= chars, s"doc $doc units $nUnits")
+      assert(fert === nUnits * 10000 / nTok, s"doc $doc fertility")
+    }
+  }
+
   test("LM familiarity: bounded scores, keep tracks the bar, both classes occur") {
     val rows = graft.queries.TextAnalysisQueries.defs
       .find(_.name == "q25n_lm_familiarity").get.df(spark, sf)

@@ -66,6 +66,28 @@ class ReshapeBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q32b rules: bounded confidence, q32-consistent support, both directions scored") {
+    val pairSupport = byName("q32_copurchase_pairs")(spark, sf)
+      .select("pa", "pb", "n_orders").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val rules = byName("q32b_assoc_rules")(spark, sf)
+      .select("antecedent", "consequent", "n_pair", "conf_fp", "lift_fp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rules.nonEmpty)
+    rules.foreach { case (a, b, n, conf, lift) =>
+      val key = if (a < b) (a, b) else (b, a)
+      assert(pairSupport.get(key).contains(n), s"rule $a→$b support $n not in q32")
+      assert(conf > 0 && conf <= 1000000L, s"rule $a→$b confidence $conf out of range")
+      assert(lift > 0, s"rule $a→$b lift $lift")
+    }
+  }
+
+  test("q36c incremental SCD2 merge reproduces the full-history q36 table") {
+    val full = byName("q36_scd2_history")(spark, sf).collect().toSeq
+    val merged = byName("q36c_scd2_merge")(spark, sf).collect().toSeq
+    assert(merged === full)
+  }
+
   test("q33 sessionize: sessions conserve events; ids dense per user") {
     val sess = byName("q33_sessionize")(spark, sf)
       .select("user_id", "sid", "n_events").as[(Long, Long, Long)].collect()
