@@ -33,7 +33,12 @@ class OracleSqlSpec extends AnyFunSuite {
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
     // emitted as `score_fp / 1000000.0` (DOUBLE division) and ORDER BY
     ("q25k_bm25_search", "total_tok"),
-    ("q25k_bm25_search", "score_fp")
+    ("q25k_bm25_search", "score_fp"),
+    // q24i: each conditional SUM in the ADC chain sees exactly ONE row
+    // (a (qid, vec_id) group has one entry per subspace m), so the value
+    // is a fixed-order 16-term double chain — deterministic by design,
+    // and the same expression order runs on the Spark side.
+    ("q24i_pq_topk", "dotv")
   )
 
   private case class RawSum(alias: String, snippet: String)
