@@ -210,6 +210,43 @@ object BehaviorQueries {
         .limit(20)
     },
 
+    // Q33c — session Markov transition matrix: P(next event type | current
+    // event type), counted over consecutive within-session event pairs.
+    // The successor columns ride the SAME per-user window sort sessionize
+    // already pays (lead over the user_id partition, then a next-sid guard
+    // drops cross-session pairs) — one shuffle total, like q33. The
+    // transition counts collapse to an |event_types|² frame, so the
+    // per-source normalization window and the division run on kilobytes at
+    // any corpus size. Counts are exact integers; the probability is one
+    // bigint→double division on identical operands in both engines.
+    QueryDef(
+      "q33c_markov_transitions",
+      s"""WITH $sqlSessionCtes,
+         |n AS (SELECT user_id, sid, event_type AS src,
+         |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+         |  LEAD(sid) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nsid
+         |  FROM s),
+         |c AS (SELECT src, dst, COUNT(*) AS n FROM n
+         |      WHERE dst IS NOT NULL AND nsid = sid GROUP BY src, dst)
+         |SELECT src, dst, n,
+         |  round(n::DOUBLE /
+         |    CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT)::DOUBLE, 6) AS p
+         |FROM c ORDER BY src, dst""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = sessionized(s, dir)
+        .select(
+          col("sid"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"),
+          lead(col("sid"), 1).over(w).as("nsid"))
+        .filter(col("dst").isNotNull && col("nsid") === col("sid"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("p",
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"), 6))
+        .orderBy("src", "dst")
+    },
+
     // Q34 — latest-state compaction (the CDC/upsert-view pattern: one
     // current row per key from an append-only history). max(struct(...))
     // keys the comparison on (ts, event_id) — unique, so the trailing

@@ -439,6 +439,53 @@ object CurationQueries {
         .filter(col("rnk") <= SourceQuota)
         .select(col("doc_id"), col("source"), col("rnk"))
         .orderBy("source", "rnk")
+    },
+
+    // X4+/Q25v — temperature-scaled language-mixture sampling weights: the
+    // multilingual-pretraining recipe (exponentiate the native token share
+    // p_l to α < 1, renormalize) that upsamples low-resource languages.
+    // α = 1/2 EXACTLY, so the exponentiation is sqrt — IEEE 754 requires
+    // sqrt to be correctly rounded, which makes the weight bit-identical
+    // across engines where a libm pow(p, 0.3) would not be. Shapes: one
+    // corpus scan feeding a per-language token-count hash aggregate (#langs
+    // rows), then all arithmetic happens on that broadcast-sized frame —
+    // the two 1-row totals join back by broadcast cross join, and the
+    // order-dependent double sum over languages goes through the exact
+    // decimal accumulator (Det rationale, at weight precision). At 100 TB
+    // this is the whole computation: scan-riding token counts, kilobytes
+    // after. `boost` = w/p is the resulting per-language duplication
+    // factor a sampler applies (>1 ⇒ upsampled).
+    QueryDef(
+      "q25v_mixture_weights",
+      s"""WITH lt AS (SELECT lang,
+         |  CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot FROM lt),
+         |p AS (SELECT lang, n_tok,
+         |  n_tok::DOUBLE / t.tot::DOUBLE AS pn,
+         |  sqrt(n_tok::DOUBLE / t.tot::DOUBLE) AS wr FROM lt, t),
+         |d AS (SELECT CAST(SUM(CAST(wr AS DECIMAL(28,12))) AS DOUBLE) AS wd
+         |  FROM p)
+         |SELECT lang, n_tok, round(pn, 6) AS p_native,
+         |  round(wr / d.wd, 6) AS w_sample,
+         |  round((wr / d.wd) / pn, 6) AS boost
+         |FROM p, d ORDER BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val lt = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tok"))
+      val tot = lt.agg(sum(col("n_tok")).as("tot"))
+      val p = lt.crossJoin(broadcast(tot))
+        .withColumn("pn", col("n_tok").cast("double") / col("tot").cast("double"))
+        .withColumn("wr", sqrt(col("pn")))
+      val d = p.agg(sum(col("wr").cast(DecimalType(28, 12))).cast("double").as("wd"))
+      p.crossJoin(broadcast(d))
+        .select(
+          col("lang"), col("n_tok"),
+          round(col("pn"), 6).as("p_native"),
+          round(col("wr") / col("wd"), 6).as("w_sample"),
+          round((col("wr") / col("wd")) / col("pn"), 6).as("boost"))
+        .orderBy("lang")
     }
   )
 

@@ -27,6 +27,15 @@ object SimilarityQueries {
   private val NQueries = 10
   private val Probes = 2
 
+  /** q24j MMR geometry: rerank the top-`MmrPool` relevance shortlist down
+    * to `MmrK` diversified picks; score = λ·rel − (1−λ)·max-sim-to-chosen.
+    * λ and 1−λ are spelled as separate literals so both engines parse the
+    * identical decimal strings (1.0 − 0.7 in binary is NOT 0.3). */
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+  private val MmrDiv = 0.3
+
   /** k-means configuration (q24f/q24h): cluster count and unrolled Lloyd
     * iterations — shared by the DataFrame loop and the generated SQL. */
   private val KmK = 8
@@ -776,6 +785,121 @@ object SimilarityQueries {
           (vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")))
             .as("cos"))
       topK(pairs)
+    },
+
+    // X3/Q24j — MMR-diversified top-k (maximal marginal relevance): rerank
+    // a bounded relevance shortlist so the k results are relevant AND
+    // mutually dissimilar — the retrieval-side dual of SemDeDup (q24h
+    // dedups the corpus; MMR dedups one query's result list). Greedy
+    // selection, unrolled like the Lloyd loop: seed with the most relevant
+    // candidate, then MmrK-1 rounds of argmax over
+    //   λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+    // Scale shape: the ONLY corpus-sized work is the q24-style relevance
+    // pass (broadcast queries, bounded TopKByScore partial agg — at most
+    // MmrPool rows per (query, map task) reach the shuffle) plus one
+    // broadcast-hash fetch of the MmrPool winners' vectors from the normed
+    // corpus table; everything after — the pool×pool sim matrix and the
+    // greedy rounds — runs on an NQueries×MmrPool frame measured in
+    // kilobytes at ANY corpus size, because MMR's per-query cost is
+    // O(pool²·k) by construction, independent of n. The pool and sim
+    // frames materialize once so the unrolled rounds read tiny parquet
+    // instead of re-deriving the shortlist per round. Determinism: rel and
+    // sim reuse the exact q24 dot/norm arithmetic, the λ-blend is the same
+    // two-literal expression tree on both engines, and every argmax
+    // tie-breaks on vec_id.
+    QueryDef(
+      "q24j_mmr_topk", {
+      val steps = (2 to MmrK).map { t =>
+        s"""mx$t AS (SELECT si.qid, si.va AS vec_id, MAX(si.sim) AS msim
+           |  FROM sim si JOIN st${t - 1} v ON si.qid = v.qid AND si.vb = v.vec_id
+           |  GROUP BY si.qid, si.va),
+           |sel$t AS (SELECT qid, vec_id, rel FROM (
+           |  SELECT c.qid, c.vec_id, c.rel,
+           |    ROW_NUMBER() OVER (PARTITION BY c.qid
+           |      ORDER BY ($MmrLambda * c.rel - $MmrDiv * m.msim) DESC, c.vec_id) AS rn
+           |  FROM cand c
+           |  JOIN mx$t m ON c.qid = m.qid AND c.vec_id = m.vec_id
+           |  LEFT JOIN st${t - 1} x ON c.qid = x.qid AND c.vec_id = x.vec_id
+           |  WHERE x.vec_id IS NULL) WHERE rn = 1),
+           |st$t AS (SELECT * FROM st${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+      }.mkString(",\n")
+      val branches = (1 to MmrK).map(t =>
+        s"SELECT qid, vec_id, rel, CAST($t AS BIGINT) AS mmr_rank FROM sel$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $sqlBaseCte,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |      FROM base WHERE vec_id < $NQueries),
+         |rel AS (
+         |  SELECT q.qid, b.vec_id, ${sqlDot("b.embedding", "q.qemb")} / (b.nrm * q.qnrm) AS rel
+         |  FROM base b, q WHERE b.vec_id <> q.qid),
+         |cand AS (SELECT qid, vec_id, rel FROM (
+         |  SELECT qid, vec_id, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+         |  FROM rel) WHERE rn <= $MmrPool),
+         |ce AS (SELECT c.qid, c.vec_id, c.rel, b.embedding, b.nrm
+         |       FROM cand c JOIN base b ON c.vec_id = b.vec_id),
+         |sim AS (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         |  ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |  FROM ce a JOIN ce b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT qid, vec_id, rel FROM (
+         |  SELECT qid, vec_id, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |st1 AS (SELECT * FROM sel1),
+         |$steps
+         |SELECT qid, mmr_rank, vec_id, round(rel, 6) AS rel FROM (
+         |  $branches)
+         |ORDER BY qid, mmr_rank""".stripMargin
+      }) { (s, dir) =>
+      import VecFunctions.vecDot
+      val topPool = udaf(new TopKByScore(MmrPool))
+      val candIds = brutePairs(s, dir)
+        .groupBy(col("qid"))
+        .agg(topPool(col("cos"), col("vec_id")).as("top"))
+        .select(col("qid"), explode(col("top")).as("c"))
+        .select(col("qid"), col("c").getField("_2").as("vec_id"),
+          col("c").getField("_1").as("rel"))
+      val ce = Materialize(s, dir, "q24j_cand")(
+        base(s, dir).select(col("vec_id"), col("embedding"), col("nrm"))
+          .join(broadcast(candIds), Seq("vec_id")))
+      val cand = ce.select(col("qid"), col("vec_id"), col("rel"))
+      val simDf = Materialize(s, dir, "q24j_sim")(
+        ce.select(col("qid"), col("vec_id").as("va"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+          .join(
+            ce.select(col("qid"), col("vec_id").as("vb"),
+              col("embedding").as("eb"), col("nrm").as("nb")),
+            Seq("qid"))
+          .filter(col("va") =!= col("vb"))
+          .select(col("qid"), col("va"), col("vb"),
+            (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim")))
+      import org.apache.spark.sql.expressions.Window
+      val wq = Window.partitionBy(col("qid"))
+      var selected = cand
+        .withColumn("rn",
+          row_number().over(wq.orderBy(col("rel").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel"), lit(1L).as("mmr_rank"))
+      for (t <- 2 to MmrK) {
+        val mx = simDf
+          .join(selected.select(col("qid"), col("vec_id").as("vb")), Seq("qid", "vb"))
+          .groupBy(col("qid"), col("va").as("vec_id"))
+          .agg(max(col("sim")).as("msim"))
+        val step = cand
+          .join(mx, Seq("qid", "vec_id"))
+          .join(selected.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+          .withColumn("rn",
+            row_number().over(wq.orderBy(
+              (lit(MmrLambda) * col("rel") - lit(MmrDiv) * col("msim")).desc,
+              col("vec_id"))))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id"), col("rel"), lit(t.toLong).as("mmr_rank"))
+        selected = selected.unionByName(step)
+      }
+      selected
+        .select(col("qid"), col("mmr_rank"), col("vec_id"),
+          round(col("rel"), 6).as("rel"))
+        .orderBy("qid", "mmr_rank")
     }
   )
 }

@@ -173,4 +173,32 @@ class CurationSpec extends SparkSpec {
         s"doc $doc scores not non-increasing")
     }
   }
+
+  test("q25v mixture weights: distribution sums to 1, sqrt-temperature flattens") {
+    val rows = byName("q25v_mixture_weights")(spark, sf)
+      .select("lang", "n_tok", "p_native", "w_sample", "boost")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.size >= 2, "need a multilingual corpus")
+    // both the native shares and the sampling weights are distributions
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    // α = 1/2 flattening: sampling keeps the ORDER of the native mixture
+    // but compresses the ratios, and the boost (duplication factor) is
+    // strictly anti-monotone in corpus share — the lowest-resource
+    // language is upsampled the hardest
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.map(_._4).toSeq === bySize.map(_._4).sorted.toSeq,
+      "weights must preserve the native ordering")
+    bySize.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo._5 >= hi._5, s"boost must favor the smaller language: $lo vs $hi")
+      if (lo._2 != hi._2) {
+        assert(lo._4 / lo._3 > hi._4 / hi._3 - 1e-9,
+          "relative lift must shrink as share grows")
+      }
+    }
+    val smallest = bySize.head
+    val largest = bySize.last
+    assert(smallest._5 > 1.0, "lowest-resource language must be upsampled")
+    assert(largest._5 < 1.0, "highest-resource language must be downsampled")
+  }
 }

@@ -75,4 +75,47 @@ class RecallSpec extends SparkSpec {
         s"($canon,$dup) flagged but not a true τ-pair")
     }
   }
+
+  test("MMR reranking matches an independent in-Scala greedy recomputation") {
+    // q24j's geometry, restated here (pool 20, k 5, λ 0.7/0.3): the spec
+    // recomputes the ENTIRE greedy selection sequence from raw embeddings
+    // with plain Scala loops — same index-order double dot as VectorDot,
+    // same (-score, id) tie-breaks — and demands the exact pick order, not
+    // just set overlap. Any drift in the shortlist cut, the λ blend, or
+    // the selected-set max would reorder some query's sequence.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def cos(a: Long, b: Long): Double = dot(emb(a), emb(b)) / (nrm(a) * nrm(b))
+    val got = SimilarityQueries.defs.find(_.name == "q24j_mmr_topk").get
+      .df(spark, sf).select("qid", "mmr_rank", "vec_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val qids = emb.keys.filter(_ < 10).toSeq.sorted
+    assert(got.keySet === qids.toSet)
+    qids.foreach { q =>
+      val pool = emb.keys.filter(_ != q).toSeq
+        .map(c => c -> cos(c, q))
+        .sortBy { case (id, r) => (-r, id) }.take(20)
+      val rel = pool.toMap
+      var selected = Vector(pool.head._1)
+      while (selected.size < 5) {
+        val pick = pool.map(_._1).filterNot(selected.contains)
+          .map { c =>
+            val msim = selected.map(s0 => cos(c, s0)).max
+            c -> (0.7 * rel(c) - 0.3 * msim)
+          }
+          .minBy { case (id, sc) => (-sc, id) }._1
+        selected :+= pick
+      }
+      assert(got(q) === selected,
+        s"query $q: engine picked ${got(q)}, reference greedy picked $selected")
+    }
+  }
 }

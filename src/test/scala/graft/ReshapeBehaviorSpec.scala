@@ -97,6 +97,23 @@ class ReshapeBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q33c transition matrix: pair conservation and per-source distributions") {
+    // every within-session consecutive pair is counted exactly once, so the
+    // matrix total must equal Σ(session length − 1) = total events − total
+    // sessions — a cross-query invariant against q33's sessionization
+    val sess = byName("q33_sessionize")(spark, sf)
+      .select("n_events").as[Long].collect()
+    val expectedPairs = sess.sum - sess.length
+    val rows = byName("q33c_markov_transitions")(spark, sf)
+      .select("src", "dst", "n", "p").as[(String, String, Long, Double)].collect()
+    assert(rows.map(_._3).sum === expectedPairs)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val total = rs.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"source $src rows sum to $total")
+      rs.foreach { case (_, _, n, p) => assert(p > 0.0 && n > 0L) }
+    }
+  }
+
   test("q34 latest-state compaction matches the window formulation, without a Window") {
     val compact = byName("q34_latest_state")(spark, sf)
     // independent formulation: explicit row_number over the history
