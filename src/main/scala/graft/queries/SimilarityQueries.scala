@@ -894,7 +894,12 @@ object SimilarityQueries {
               col("vec_id"))))
           .filter(col("rn") === 1)
           .select(col("qid"), col("vec_id"), col("rel"), lit(t.toLong).as("mmr_rank"))
-        selected = selected.unionByName(step)
+        // checkpoint each round (≤ NQueries·t rows): without this the
+        // round-t plan re-derives every earlier round's windows and joins
+        // inside its anti-join branch, and planning cost compounds with
+        // unroll depth — the same reason the Lloyd loop materializes its
+        // per-iteration assignments
+        selected = Materialize(s, dir, s"q24j_sel$t")(selected.unionByName(step))
       }
       selected
         .select(col("qid"), col("mmr_rank"), col("vec_id"),

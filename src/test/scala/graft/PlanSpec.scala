@@ -373,4 +373,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the 1-row cutoff frame must broadcast back onto the score frame")
   }
+
+  test("q25v: mixture weights — both corpus totals broadcast, no sort of data") {
+    val p = plan("q25v_mixture_weights")
+    // the token totals and the weight normalizer are 1-row/|langs|-row
+    // frames that must come back as broadcasts, never a shuffle join
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q33c: transitions ride the sessionize window sort — one data shuffle") {
+    val p = plan("q33c_markov_transitions")
+    // exchanges: user_id (the one window sort), src/dst agg, per-src
+    // normalization window, final order — only the FIRST carries event
+    // rows; everything after runs on the event-type² frame
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected at most 3 hash exchanges, got $exchanges\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("q24j: MMR rounds are checkpointed — the final plan reads only the tiny result") {
+    // the greedy rounds run eagerly through per-round Materialize
+    // checkpoints (the relevance pass itself is q24's already-pinned
+    // broadcast+bounded-agg shape); what must hold HERE is that the final
+    // consumer plan is a kilobyte parquet read plus the output sort — no
+    // join and no corpus re-derivation may survive into it
+    val p = plan("q24j_mmr_topk")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Scan parquet"), p)
+  }
 }
