@@ -40,6 +40,53 @@ object BehaviorQueries {
        |  FROM p${k - 1} d LEFT JOIN i$k i USING (node))""".stripMargin
   }.mkString(",\n")
 
+  /** q42b synchronous label-propagation rounds. */
+  private val LpaIters = 3
+
+  /** Shared co-purchase graph CTEs (q42 / q42b): symmetric edge list `sym`
+    * from q32's pair mining at support ≥ 2. */
+  private val sqlGraphCtes =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |      FROM op a JOIN op b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY pa, pb HAVING COUNT(*) >= 2),
+      |sym AS (SELECT pa AS src, pb AS dst FROM e
+      |        UNION ALL SELECT pb, pa FROM e)""".stripMargin
+
+  /** Spark twin of [[sqlGraphCtes]] plus per-node degree/constants, both
+    * materialized once per session (tags shared with q42 so PageRank and
+    * LPA build the graph a single time). Fresh parquet reads per call:
+    * every iteration joins the same node set, and reusing one DataFrame
+    * instance across its own lineage would make each round a self-join on
+    * shared attribute ids. */
+  private def coGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sym = Materialize(s, dir, "q42_sym") {
+      val e = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .select(posexplode(col("parts")).as(Seq("i", "pa")), col("parts"))
+        .select(col("pa"), posexplode(col("parts")).as(Seq("j", "pb")))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+    }
+    val nodes = Materialize(s, dir, "q42_nodes") {
+      val deg = sym
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+      val consts = deg.agg(count(lit(1)).as("n"))
+        .select(expr(s"${PrScale}L DIV n").as("pr0"))
+        .select(col("pr0"), expr("pr0 * 15 DIV 100").as("base"))
+      deg.crossJoin(broadcast(consts))
+    }
+    (sym, nodes)
+  }
+
   /** Shared sessionization CTEs (gap flag → running-sum session id), ending
     * in `s(user_id, ts, event_id, event_type, value, sid)`. */
   private val sqlSessionCtes =
@@ -581,13 +628,7 @@ object BehaviorQueries {
     // have on disk anyway, and each round is one shuffle on dst).
     QueryDef(
       "q42_pagerank",
-      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-         |      FROM op a JOIN op b
-         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |      GROUP BY pa, pb HAVING COUNT(*) >= 2),
-         |sym AS (SELECT pa AS src, pb AS dst FROM e
-         |        UNION ALL SELECT pb, pa FROM e),
+      s"""WITH $sqlGraphCtes,
          |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
          |c AS (SELECT $PrScale // COUNT(*) AS pr0,
          |             (($PrScale // COUNT(*)) * 15) // 100 AS base FROM deg),
@@ -595,39 +636,10 @@ object BehaviorQueries {
          |${sqlPrIterCtes}
          |SELECT node, deg, pr AS pr_int FROM p$PrIters
          |ORDER BY pr_int DESC, node""".stripMargin) { (s, dir) =>
-      def graph(): (DataFrame, DataFrame) = {
-        // fresh parquet reads per call: every iteration joins the same node
-        // set, and reusing one DataFrame instance across its own lineage
-        // would make each round a self-join on shared attribute ids
-        val sym = Materialize(s, dir, "q42_sym") {
-          val e = Tables.lineitem(s, dir)
-            .select(col("l_orderkey"), col("l_partkey")).distinct()
-            .groupBy(col("l_orderkey"))
-            .agg(collect_set(col("l_partkey")).as("parts"))
-            .select(posexplode(col("parts")).as(Seq("i", "pa")), col("parts"))
-            .select(col("pa"), posexplode(col("parts")).as(Seq("j", "pb")))
-            .filter(col("pa") < col("pb"))
-            .groupBy(col("pa"), col("pb"))
-            .agg(count(lit(1)).as("n"))
-            .filter(col("n") >= 2)
-          e.select(col("pa").as("src"), col("pb").as("dst"))
-            .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-        }
-        val nodes = Materialize(s, dir, "q42_nodes") {
-          val deg = sym
-            .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-            .select(col("src").as("node"), col("deg"))
-          val consts = deg.agg(count(lit(1)).as("n"))
-            .select(expr(s"${PrScale}L DIV n").as("pr0"))
-            .select(col("pr0"), expr("pr0 * 15 DIV 100").as("base"))
-          deg.crossJoin(broadcast(consts))
-        }
-        (sym, nodes)
-      }
-      var pr = graph()._2
+      var pr = coGraph(s, dir)._2
         .select(col("node"), col("deg"), col("base"), col("pr0").as("pr"))
       for (_ <- 1 to PrIters) {
-        val (sym, nodes) = graph()
+        val (sym, nodes) = coGraph(s, dir)
         val inflow = sym
           .join(pr.select(col("node"), expr("pr DIV deg").as("c")),
             col("src") === col("node"))
@@ -641,6 +653,56 @@ object BehaviorQueries {
       }
       pr.select(col("node"), col("deg"), col("pr").as("pr_int"))
         .orderBy(col("pr_int").desc, col("node"))
+    },
+
+    // Q42b — community detection via synchronous label propagation over the
+    // same co-purchase graph (the second classic Pregel workload next to
+    // q42; LPA is the standard cheap community pass over an item graph
+    // before e.g. per-community recommendation or sampling). Every node
+    // starts as its own label; each of the LpaIters unrolled rounds gives
+    // each node the most frequent label among its neighbors, ties to the
+    // SMALLEST label — fully deterministic, integer-only, so both engines
+    // walk identical label sequences. Round shape at scale: one edge⋈label
+    // equi-join shuffled on dst, a (node, label) count aggregate, and a
+    // per-node argmax window over that count frame (bounded by degree, not
+    // corpus size) — the q24f row_number-argmax shape. Like q42, the
+    // materialized edge table is re-read per round so lineage stays flat.
+    QueryDef(
+      "q42b_label_propagation", {
+      val rounds = (1 to LpaIters).map { k =>
+        s"""n$k AS (SELECT s.dst AS node, p.lab, COUNT(*) AS n
+           |  FROM sym s JOIN l${k - 1} p ON s.src = p.node
+           |  GROUP BY s.dst, p.lab),
+           |l$k AS (SELECT node, lab FROM (
+           |  SELECT node, lab,
+           |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, lab) AS rn
+           |  FROM n$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlGraphCtes,
+         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+         |$rounds,
+         |sz AS (SELECT lab, COUNT(*) AS community_size FROM l$LpaIters GROUP BY lab)
+         |SELECT l.node, l.lab AS community, sz.community_size
+         |FROM l$LpaIters l JOIN sz ON l.lab = sz.lab
+         |ORDER BY node""".stripMargin
+      }) { (s, dir) =>
+      var lab = coGraph(s, dir)._2.select(col("node"), col("node").as("lab"))
+      for (_ <- 1 to LpaIters) {
+        val (sym, _) = coGraph(s, dir)
+        val votes = sym
+          .join(lab, col("src") === col("node"))
+          .groupBy(col("dst"), col("lab"))
+          .agg(count(lit(1)).as("n"))
+        lab = votes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("dst")).orderBy(col("n").desc, col("lab"))))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("node"), col("lab"))
+      }
+      val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+      lab.join(sz, Seq("lab"))
+        .select(col("node"), col("lab").as("community"), col("community_size"))
+        .orderBy("node")
     }
   )
 }

@@ -27,6 +27,15 @@ object SimilarityQueries {
   private val NQueries = 10
   private val Probes = 2
 
+  /** q24k ranking-metric discounts, precomputed ONCE here so neither engine
+    * ever evaluates log2 at query time: libm logs are not required to be
+    * correctly rounded and may differ across engines in the last ulp,
+    * while both engines parsing the same shortest-round-trip decimal
+    * literal yields the identical double. Index i (1-based rank) →
+    * 1/log2(i+1). */
+  private val NdcgDiscounts: Seq[Double] =
+    Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163)
+
   /** q24j MMR geometry: rerank the top-`MmrPool` relevance shortlist down
     * to `MmrK` diversified picks; score = λ·rel − (1−λ)·max-sim-to-chosen.
     * λ and 1−λ are spelled as separate literals so both engines parse the
@@ -905,6 +914,88 @@ object SimilarityQueries {
         .select(col("qid"), col("mmr_rank"), col("vec_id"),
           round(col("rel"), 6).as("rel"))
         .orderBy("qid", "mmr_rank")
+    },
+
+    // X3/Q24k — ranking-quality evaluation (NDCG@k + MRR) of the cosine
+    // top-k against the corpus `label` as binary relevance — the metric
+    // layer every retrieval pipeline runs next to its recall eval (q24g
+    // measures overlap with exact search; q24k measures usefulness of the
+    // ranking itself). Scale shape: the result list under evaluation is
+    // NQueries×K rows, so metric math is broadcast-sized; the corpus
+    // contributes the same one brute/bounded-top-k pass q24 already makes
+    // plus ONE per-label count aggregate (|labels| rows, broadcast) for
+    // the ideal-DCG normalizer — nothing pairwise, nothing resorted.
+    // Determinism: log2 discounts are shared literal constants (see
+    // NdcgDiscounts), and both DCG and IDCG go through the exact decimal
+    // accumulator, so the only float ops are divisions of identical
+    // operands.
+    QueryDef(
+      "q24k_ndcg_eval", {
+      val discCase = NdcgDiscounts.zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+      s"""WITH $sqlBaseCte,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+         |             label AS qlabel
+         |      FROM base WHERE vec_id < $NQueries),
+         |pairs AS (
+         |  SELECT q.qid, b.vec_id, ${sqlDot("b.embedding", "q.qemb")} / (b.nrm * q.qnrm) AS cos
+         |  FROM base b, q WHERE b.vec_id <> q.qid),
+         |res AS (SELECT qid, vec_id, rank FROM (
+         |  SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pairs) WHERE rank <= $K),
+         |lc AS (SELECT label, COUNT(*) AS c FROM base GROUP BY label),
+         |rcount AS (SELECT q.qid, CAST(COALESCE(lc.c - 1, 0) AS BIGINT) AS n_rel
+         |  FROM q LEFT JOIN lc ON q.qlabel = lc.label),
+         |rws AS (SELECT r.qid, r.rank,
+         |    CASE r.rank $discCase END AS disc,
+         |    CASE WHEN b.label = q.qlabel THEN 1 ELSE 0 END AS rel
+         |  FROM res r JOIN base b ON r.vec_id = b.vec_id
+         |  JOIN q ON r.qid = q.qid),
+         |agg AS (SELECT rw.qid,
+         |    CAST(SUM(CAST(rw.rel * rw.disc AS DECIMAL(28,12))) AS DOUBLE) AS dcg,
+         |    CAST(SUM(CAST(CASE WHEN rw.rank <= LEAST(rc.n_rel, $K)
+         |      THEN rw.disc ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE) AS idcg,
+         |    MIN(CASE WHEN rw.rel = 1 THEN rw.rank END) AS fr
+         |  FROM rws rw JOIN rcount rc ON rw.qid = rc.qid GROUP BY rw.qid)
+         |SELECT a.qid, rc.n_rel,
+         |  round(CASE WHEN a.idcg > 0.0 THEN a.dcg / a.idcg ELSE 0.0 END, 6) AS ndcg5,
+         |  round(COALESCE(1.0 / a.fr, 0.0), 6) AS mrr
+         |FROM agg a JOIN rcount rc ON a.qid = rc.qid
+         |ORDER BY a.qid""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val qs = base(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      val res = topK(brutePairs(s, dir)).select(col("qid"), col("rank"), col("vec_id"))
+      val lc = base(s, dir).groupBy(col("label")).agg(count(lit(1)).as("c"))
+      val rcount = qs.join(broadcast(lc), col("qlabel") === col("label"), "left")
+        .select(col("qid"), coalesce(col("c") - 1, lit(0L)).cast("long").as("n_rel"))
+      val disc = NdcgDiscounts.zipWithIndex.tail.foldLeft(
+        when(col("rank") === 1, lit(NdcgDiscounts.head))) {
+        case (acc, (d, i)) => acc.when(col("rank") === (i + 1), lit(d))
+      }
+      val rws = base(s, dir).select(col("vec_id"), col("label"))
+        .join(broadcast(res), Seq("vec_id"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("rank"), disc.as("disc"),
+          when(col("label") === col("qlabel"), 1).otherwise(0).as("rel"))
+      val agg = rws.join(broadcast(rcount), Seq("qid"))
+        .groupBy(col("qid"))
+        .agg(
+          sum((col("rel") * col("disc")).cast(DecimalType(28, 12)))
+            .cast("double").as("dcg"),
+          sum(when(col("rank") <= least(col("n_rel"), lit(K.toLong)), col("disc"))
+            .otherwise(lit(0.0)).cast(DecimalType(28, 12)))
+            .cast("double").as("idcg"),
+          min(when(col("rel") === 1, col("rank"))).as("fr"))
+      agg.join(broadcast(rcount), Seq("qid"))
+        .select(
+          col("qid"), col("n_rel"),
+          round(when(col("idcg") > 0.0, col("dcg") / col("idcg"))
+            .otherwise(lit(0.0)), 6).as("ndcg5"),
+          round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr"))
+        .orderBy("qid")
     }
   )
 }

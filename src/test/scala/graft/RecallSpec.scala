@@ -118,4 +118,41 @@ class RecallSpec extends SparkSpec {
         s"query $q: engine picked ${got(q)}, reference greedy picked $selected")
     }
   }
+
+  test("NDCG/MRR eval matches an independent in-Scala recomputation") {
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Long)].collect()
+    val emb = df.map(r => r._1 -> r._2).toMap
+    val lbl = df.map(r => r._1 -> r._3).toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val disc = Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163)
+    val got = SimilarityQueries.defs.find(_.name == "q24k_ndcg_eval").get
+      .df(spark, sf).select("qid", "n_rel", "ndcg5", "mrr")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val qids = emb.keys.filter(_ < 10).toSeq.sorted
+    assert(got.keySet === qids.toSet)
+    qids.foreach { q =>
+      val top5 = emb.keys.filter(_ != q).toSeq
+        .map(c => c -> dot(emb(c), emb(q)) / (nrm(c) * nrm(q)))
+        .sortBy { case (id, r) => (-r, id) }.take(5).map(_._1)
+      val rels = top5.map(v => if (lbl(v) == lbl(q)) 1 else 0)
+      val nRel = lbl.count { case (id, l) => id != q && l == lbl(q) }
+      val dcg = rels.zip(disc).map { case (r, d) => r * d }.sum
+      val idcg = disc.take(math.min(nRel, 5)).sum
+      val ndcg = if (idcg > 0) dcg / idcg else 0.0
+      val mrr = rels.indexOf(1) match { case -1 => 0.0; case i => 1.0 / (i + 1) }
+      val (_, gotNRel, gotNdcg, gotMrr) = got(q)
+      assert(gotNRel === nRel.toLong, s"query $q n_rel")
+      assert(math.abs(gotNdcg - ndcg) < 1e-5, s"query $q ndcg $gotNdcg vs $ndcg")
+      assert(math.abs(gotMrr - mrr) < 1e-5, s"query $q mrr $gotMrr vs $mrr")
+    }
+  }
 }

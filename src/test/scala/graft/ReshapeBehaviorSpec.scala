@@ -114,6 +114,40 @@ class ReshapeBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q42b label propagation matches an independent in-Scala recomputation") {
+    // rebuild the co-purchase graph and run the same 3 synchronous LPA
+    // rounds (most-frequent neighbor label, ties to the smallest) with
+    // plain Scala collections — the full final labeling must agree exactly
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val pairCounts = op.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val edges = pairCounts.collect { case ((a, b), n) if n >= 2 => Seq((a, b), (b, a)) }
+      .flatten.toSeq
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (node, nbrs) =>
+        val votes = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+        node -> votes.toSeq.minBy { case (lb, n) => (-n, lb) }._1
+      }
+    }
+    val got = BehaviorQueries.defs.find(_.name == "q42b_label_propagation").get
+      .df(spark, sf).select("node", "community")
+      .as[(Long, Long)].collect().toMap
+    assert(got === labels)
+    // and community sizes are consistent with the labeling itself
+    val sizes = BehaviorQueries.defs.find(_.name == "q42b_label_propagation").get
+      .df(spark, sf).select("community", "community_size")
+      .as[(Long, Long)].collect().toMap
+    labels.values.groupBy(identity).foreach { case (lb, ms) =>
+      assert(sizes(lb) === ms.size.toLong)
+    }
+  }
+
   test("q34 latest-state compaction matches the window formulation, without a Window") {
     val compact = byName("q34_latest_state")(spark, sf)
     // independent formulation: explicit row_number over the history
