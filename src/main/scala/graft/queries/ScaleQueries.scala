@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleQueries {
 
+  /** q38b file-stat model: estimated bytes per row, and the compaction
+    * target size each output bin packs toward. */
+  private val RowBytes = 64L
+  private val TargetBytes = 16384L
+
   val defs: Seq[QueryDef] = Seq(
     // Salted two-stage aggregation: per-user counts where one hot user
     // would otherwise bottleneck a single reducer's partial state. Stage 1
@@ -89,6 +94,49 @@ object ScaleQueries {
         .withColumn("bbox_area",
           (col("x_max") - col("x_min") + 1) * (col("y_max") - col("y_min") + 1))
         .orderBy("layout", "block")
+    },
+
+    // Q38b — compaction planning (the OPTIMIZE/bin-packing step of every
+    // lakehouse maintenance loop): given per-file stats — here one
+    // micro-file per (day, hour) with an estimated byte size — assign
+    // files to target-sized compaction bins WITHOUT crossing the day
+    // partition (compaction never merges across partitions). The rule is
+    // a per-day exclusive prefix sum over file order, floor-divided by the
+    // target size — deterministic integers, no greedy driver loop. Scale
+    // shape: the planner's real input at 100 TB is the table's FILE-STATS
+    // log (metadata scale, like a Delta add-file log), so everything after
+    // the one stats aggregate runs on a frame with one row per file; the
+    // per-day planning window is bounded by files-per-partition, never
+    // corpus size. The same prefix-sum shape as q25o's sequence packing,
+    // re-expressed at the storage-layout layer.
+    QueryDef(
+      "q38b_compaction_plan",
+      s"""WITH f AS (SELECT CAST(ts AS DATE) AS d,
+         |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) * $RowBytes AS BIGINT) AS est_bytes
+         |  FROM events GROUP BY d, h),
+         |c AS (SELECT d, h, n_rows, est_bytes,
+         |  CAST(COALESCE(SUM(est_bytes) OVER (PARTITION BY d ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_excl
+         |  FROM f)
+         |SELECT d, h, n_rows, est_bytes, cum_excl // $TargetBytes AS bin
+         |FROM c ORDER BY d, h""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("est_bytes", col("n_rows") * RowBytes)
+      f.withColumn("cum_excl",
+          coalesce(
+            sum(col("est_bytes")).over(
+              Window.partitionBy(col("d")).orderBy(col("h"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("d"), col("h"), col("n_rows"), col("est_bytes"),
+          expr(s"cum_excl DIV $TargetBytes").as("bin"))
+        .orderBy("d", "h")
     },
 
     // Q41 — Hive-partitioned layout + partition-pruned scan: events laid

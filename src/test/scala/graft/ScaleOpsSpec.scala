@@ -129,4 +129,29 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q38b compaction plan: conservation, partition isolation, exact bin rule") {
+    val rows = graft.queries.ScaleQueries.defs
+      .find(_.name == "q38b_compaction_plan").get
+      .df(spark, sf)
+      .select("d", "h", "n_rows", "est_bytes", "bin")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    // every event lands in exactly one planned file
+    assert(rows.map(_._3).sum === Tables.events(spark, sf).count())
+    rows.groupBy(_._1).foreach { case (d, fs) =>
+      val inOrder = fs.sortBy(_._2)
+      // bins are dense-from-zero per day and never decrease along file order
+      assert(inOrder.head._5 === 0L, s"$d first bin")
+      inOrder.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 <= b._5, s"$d bins decrease")
+        case _ => ()
+      }
+      // the bin id IS floor(exclusive-prefix-bytes / target), recomputed here
+      var cum = 0L
+      inOrder.foreach { case (_, h, _, bytes, bin) =>
+        assert(bin === cum / 16384L, s"$d h=$h bin rule")
+        cum += bytes
+      }
+    }
+  }
 }
