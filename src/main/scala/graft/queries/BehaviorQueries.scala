@@ -700,7 +700,7 @@ object BehaviorQueries {
           .select(col("dst").as("node"), col("lab"))
       }
       val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
-      lab.join(sz, Seq("lab"))
+      lab.join(broadcast(sz), Seq("lab"))
         .select(col("node"), col("lab").as("community"), col("community_size"))
         .orderBy("node")
     }

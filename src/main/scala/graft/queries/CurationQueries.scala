@@ -471,9 +471,13 @@ object CurationQueries {
          |  round((wr / d.wd) / pn, 6) AS boost
          |FROM p, d ORDER BY lang""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
-      val lt = Tables.documents(s, dir)
-        .groupBy(col("lang"))
-        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tok"))
+      // the |langs|-row count frame feeds three consumers (shares, the
+      // normalizer, the output) — materialize it so the corpus tokenize
+      // pass runs ONCE, not once per consumer branch
+      val lt = Materialize(s, dir, "q25v_lt")(
+        Tables.documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tok")))
       val tot = lt.agg(sum(col("n_tok")).as("tot"))
       val p = lt.crossJoin(broadcast(tot))
         .withColumn("pn", col("n_tok").cast("double") / col("tot").cast("double"))
