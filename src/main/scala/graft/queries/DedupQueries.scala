@@ -128,6 +128,23 @@ object DedupQueries {
        |  JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id
        |  WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2)""".stripMargin
 
+  /** One-hop canonical assignment over the confirmed pair graph (q23e's
+    * result frame, unordered): (doc_id, canon, is_dup) with canon = min of
+    * self and min-neighbor. Shared by q23e and q22f's cluster-keyed split. */
+  private def canonFrame(s: SparkSession, dir: String): DataFrame = {
+    val pairs = confirmedPairs(s, dir)
+    val nbrs = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
+      .union(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
+    val m = nbrs.groupBy(col("doc_id")).agg(min(col("nbr")).as("mn"))
+      .withColumnRenamed("doc_id", "mid")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(m, col("doc_id") === col("mid"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(least(col("doc_id"), col("mn")), col("doc_id")).as("canon"),
+        (col("mn").isNotNull && col("mn") < col("doc_id")).as("is_dup"))
+  }
+
   /** Spark twin of [[sqlPairCtes]]: confirmed (da < db) near-dup pairs off
     * the shared materialized signature table. */
   private def confirmedPairs(s: SparkSession, dir: String): DataFrame = {
@@ -319,17 +336,46 @@ object DedupQueries {
          |  (m.mn IS NOT NULL AND m.mn < d.doc_id) AS is_dup
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val pairs = confirmedPairs(s, dir)
-      val nbrs = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
-        .union(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
-      val m = nbrs.groupBy(col("doc_id")).agg(min(col("nbr")).as("mn"))
-        .withColumnRenamed("doc_id", "mid")
-      Tables.documents(s, dir).select(col("doc_id"))
-        .join(m, col("doc_id") === col("mid"), "left")
+      canonFrame(s, dir).orderBy("doc_id")
+    },
+
+    // X2+/Q22f — leakage-safe split assignment: q25j's deterministic
+    // 90/5/5 hash split re-keyed on the near-dup CANONICAL id instead of
+    // the document id, so every member of a duplicate cluster lands in the
+    // SAME split — the eval-contamination guard a training pipeline needs
+    // (hash-splitting raw doc ids puts near-identical texts on both sides
+    // of the train/test fence; Lee et al. 2022's motivating leak). Reuses
+    // q23e's one-hop canonicalization off the shared materialized pair
+    // table (q23g's fixpoint is the full-CC upgrade, same key swap); the
+    // split rule, salt, and thresholds are LITERALLY q25j's constants, so
+    // non-duplicated docs keep their q25j assignment and only dup-cluster
+    // members move (onto their canonical's bucket). Scale shape: one
+    // broadcast-ish left join of the min-neighbor frame onto the corpus
+    // plus scan-riding hash arithmetic — the split itself adds no shuffle.
+    QueryDef(
+      "q22f_cluster_split",
+      s"""WITH $sqlSigCtes,
+         |$sqlPairCtes,
+         |nbrs AS (SELECT da AS doc_id, db AS nbr FROM pairs
+         |         UNION ALL SELECT db, da FROM pairs),
+         |m AS (SELECT doc_id, MIN(nbr) AS mn FROM nbrs GROUP BY doc_id),
+         |canon AS (SELECT d.doc_id,
+         |  COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS canon
+         |  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id)
+         |SELECT doc_id, canon,
+         |  ${sqlHash32("concat('split:', canon)")} % 100 AS bucket,
+         |  CASE WHEN ${sqlHash32("concat('split:', canon)")} % 100 >= ${QualityQueries.TestFrom} THEN 'test'
+         |       WHEN ${sqlHash32("concat('split:', canon)")} % 100 >= ${QualityQueries.ValFrom} THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket = hash32(concat(lit("split:"), col("canon"))) % 100
+      canonFrame(s, dir)
         .select(
-          col("doc_id"),
-          coalesce(least(col("doc_id"), col("mn")), col("doc_id")).as("canon"),
-          (col("mn").isNotNull && col("mn") < col("doc_id")).as("is_dup"))
+          col("doc_id"), col("canon"),
+          bucket.as("bucket"),
+          when(bucket >= QualityQueries.TestFrom, "test")
+            .when(bucket >= QualityQueries.ValFrom, "val")
+            .otherwise("train").as("split"))
         .orderBy("doc_id")
     },
 

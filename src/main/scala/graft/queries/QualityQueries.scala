@@ -25,8 +25,8 @@ object QualityQueries {
   private val MaxTopBigramFrac = 0.07
 
   /** Split assignment: hash32("split:" + doc_id) mod 100 → 90/5/5. */
-  private val ValFrom = 90
-  private val TestFrom = 95
+  private[queries] val ValFrom = 90
+  private[queries] val TestFrom = 95
 
   val defs: Seq[QueryDef] = Seq(
     // X4+/Q25h — repetition/quality filter rules: per document, mean word

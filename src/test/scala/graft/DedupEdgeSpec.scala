@@ -193,4 +193,26 @@ class DedupEdgeSpec extends SparkSpec {
       s"expected the native bloom probe expression in the plan, got:\n$plan")
     assert(!plan.contains("UDF"), s"scalar UDF survived in the q22d plan:\n$plan")
   }
+
+  test("q22f cluster split: dup clusters never straddle splits; singletons keep q25j's assignment") {
+    val q22f = DedupQueries.defs.find(_.name == "q22f_cluster_split").get
+      .df(spark, sf).select("doc_id", "canon", "split")
+      .as[(Long, Long, String)].collect()
+    // every member of a cluster carries its canonical's split — equal
+    // canon must mean equal split, including across confirmed pairs
+    q22f.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length === 1, s"cluster $c straddles splits")
+    }
+    // docs untouched by dedup (their own canonical) keep the q25j split
+    val q25j = graft.queries.QualityQueries.defs.find(_.name == "q25j_split_assign").get
+      .df(spark, sf).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val singletons = q22f.filter(r => r._2 == r._1)
+    assert(singletons.nonEmpty)
+    singletons.foreach { case (d, _, sp) =>
+      assert(sp === q25j(d), s"singleton $d moved from its q25j split")
+    }
+    // the guard is exercised: the corpus has real dup clusters to re-key
+    assert(q22f.exists(r => r._2 != r._1), "corpus has no dup clusters")
+  }
 }
