@@ -57,7 +57,8 @@ object Explain {
     "q33c_markov_transitions", // lead rides sessionize sort; event-type² agg
     "q24k_ndcg_eval", // literal discounts; per-label count broadcast; decimal DCG
     "q42b_label_propagation", // per-round edge⋈label join + degree-bounded argmax
-    "q38b_compaction_plan") // file-stats agg + per-day bounded prefix-sum window
+    "q38b_compaction_plan", // file-stats agg + per-day bounded prefix-sum window
+    "q24l_ivfpq_topk") // IVF-routed ADC: probe map + codebooks broadcast
 
   /** The streaming members of the BENCH_r08 heavy tail (VERDICT r8 #4):
     * their incremental shapes (append-mode eviction, the stream-static band

@@ -311,6 +311,93 @@ object SimilarityQueries {
         (vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cos"))
   }
 
+  /** PQ build shared by q24i and q24l: per-subspace codebooks (PqKsub
+    * codewords, KmIters Lloyd rounds, per-round materialized assignments —
+    * tags shared so the two queries train ONE set of codebooks per
+    * session) → (`codes` = (vec_id, m, cid), `qtab` = per-query ADC lookup
+    * table (qid, m, cid, d)). */
+  private def pqArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import VecFunctions.vecDot
+    val subs = base(s, dir)
+      .select(col("vec_id"), explode(sequence(lit(1), lit(PqM))).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(embedding, (m - 1) * $PqSubDim + 1, $PqSubDim)").as("sv"))
+    def withN2(df: DataFrame): DataFrame =
+      df.withColumn("cn2", vecDot(col("cvec"), col("cvec")))
+    // per-subspace centroids: decimalCentroids keyed by (m, cid)
+    def pqCentroids(asg: DataFrame): DataFrame =
+      asg.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("p", "v")))
+        .groupBy(col("m"), col("cid"), (col("p") + 1).as("i"))
+        .agg(dmean12(col("v").cast("double")).as("cval"))
+        .groupBy(col("m"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("cval")))),
+          x => x.getField("cval").cast("float")).as("cvec"))
+    var cent = withN2(subs.filter(col("vec_id") < PqKsub)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cvec")))
+    var lastAsg: DataFrame = null
+    for (t <- 1 to KmIters) {
+      val scored = subs.join(broadcast(cent), Seq("m"))
+        .withColumn("dist",
+          col("cn2") - lit(2.0) * vecDot(col("sv"), col("cvec")))
+      // same lineage-truncation discipline as kmFinalAssignments: each
+      // round's (vec, subspace) assignment is materialized once
+      lastAsg = Materialize(s, dir, s"q24i_asg$t")(scored
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("cid"), col("sv"))).as("x"))
+        .select(col("vec_id"), col("m"), col("x.sv").as("sv"),
+          col("x.cid").as("cid")))
+      cent = withN2(pqCentroids(lastAsg))
+    }
+    val codes = lastAsg.select(col("vec_id"), col("m"), col("cid"))
+    val qtab = subs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+      .join(cent.select(col("m"), col("cid"), col("cvec")), Seq("m"))
+      .select(col("qid"), col("m"), col("cid"),
+        vecDot(col("qsv"), col("cvec")).as("d"))
+    (codes, qtab)
+  }
+
+  /** ADC scoring + shortlist + exact re-rank over a pre-joined
+    * (qid, vec_id, m, d) candidate frame — the second half of the PQ
+    * pipeline, shared by q24i (all codes) and q24l (IVF-routed codes).
+    * Fixed-order addition (each per-subspace conditional sum holds exactly
+    * one value): the ADC sum is order-pinned on both sides, no float-agg
+    * nondeterminism; the shortlist cut reuses the bounded TopKByScore
+    * partial-agg shape so the shuffle carries ≤ PqShortlist rows per
+    * (query, map task). */
+  private def pqAdcSearch(s: SparkSession, dir: String,
+                          cand: DataFrame): DataFrame = {
+    import VecFunctions.vecDot
+    val adcSums = (1 to PqM).map(m =>
+      sum(when(col("m") === m, col("d"))).as(s"d$m"))
+    val adc = cand
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(adcSums.head, adcSums.tail: _*)
+      .select(col("qid"), col("vec_id"),
+        (1 to PqM).map(m => col(s"d$m")).reduce(_ + _).as("dotv"))
+    val shortCut = udaf(new TopKByScore(PqShortlist))
+    val short = adc
+      .groupBy(col("qid"))
+      .agg(shortCut(col("dotv"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s").getField("_2").as("vec_id"))
+    val raw = base(s, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val qf = raw.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"))
+    val pairs = short
+      .join(raw, Seq("vec_id"))
+      .join(broadcast(qf), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")))
+          .as("cos"))
+    topK(pairs)
+  }
+
   /** (qid, cos, vec_id) frame → top-K rows per qid via the bounded
     * aggregator, exploded back to (qid, rank, vec_id, cos). */
   private def topK(pairs: DataFrame): DataFrame = {
@@ -725,75 +812,8 @@ object SimilarityQueries {
          |  FROM rr)
          |SELECT qid, rank, vec_id, round(pcos, 6) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin) { (s, dir) =>
-      import VecFunctions.vecDot
-      val subs = base(s, dir)
-        .select(col("vec_id"), explode(sequence(lit(1), lit(PqM))).as("m"),
-          col("embedding"))
-        .select(col("vec_id"), col("m"),
-          expr(s"slice(embedding, (m - 1) * $PqSubDim + 1, $PqSubDim)").as("sv"))
-      def withN2(df: DataFrame): DataFrame =
-        df.withColumn("cn2", vecDot(col("cvec"), col("cvec")))
-      // per-subspace centroids: decimalCentroids keyed by (m, cid)
-      def pqCentroids(asg: DataFrame): DataFrame =
-        asg.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("p", "v")))
-          .groupBy(col("m"), col("cid"), (col("p") + 1).as("i"))
-          .agg(dmean12(col("v").cast("double")).as("cval"))
-          .groupBy(col("m"), col("cid"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("cval")))),
-            x => x.getField("cval").cast("float")).as("cvec"))
-      var cent = withN2(subs.filter(col("vec_id") < PqKsub)
-        .select(col("m"), col("vec_id").as("cid"), col("sv").as("cvec")))
-      var lastAsg: DataFrame = null
-      for (t <- 1 to KmIters) {
-        val scored = subs.join(broadcast(cent), Seq("m"))
-          .withColumn("dist",
-            col("cn2") - lit(2.0) * vecDot(col("sv"), col("cvec")))
-        // same lineage-truncation discipline as kmFinalAssignments: each
-        // round's (vec, subspace) assignment is materialized once
-        lastAsg = Materialize(s, dir, s"q24i_asg$t")(scored
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min(struct(col("dist"), col("cid"), col("sv"))).as("x"))
-          .select(col("vec_id"), col("m"), col("x.sv").as("sv"),
-            col("x.cid").as("cid")))
-        cent = withN2(pqCentroids(lastAsg))
-      }
-      val codes = lastAsg.select(col("vec_id"), col("m"), col("cid"))
-      val qtab = subs.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
-        .join(cent.select(col("m"), col("cid"), col("cvec")), Seq("m"))
-        .select(col("qid"), col("m"), col("cid"),
-          vecDot(col("qsv"), col("cvec")).as("d"))
-      // fixed-order addition (each per-subspace sum holds exactly one
-      // value): the ADC sum is order-pinned on both sides, no float-agg
-      // nondeterminism; the shortlist cut reuses the bounded TopKByScore
-      // partial-agg shape so the shuffle carries 50 rows per (query, task)
-      val adcSums = (1 to PqM).map(m =>
-        sum(when(col("m") === m, col("d"))).as(s"d$m"))
-      val adc = codes.join(broadcast(qtab), Seq("m", "cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(adcSums.head, adcSums.tail: _*)
-        .select(col("qid"), col("vec_id"),
-          (1 to PqM).map(m => col(s"d$m")).reduce(_ + _).as("dotv"))
-      val shortCut = udaf(new TopKByScore(PqShortlist))
-      val short = adc
-        .groupBy(col("qid"))
-        .agg(shortCut(col("dotv"), col("vec_id")).as("top"))
-        .select(col("qid"), explode(col("top")).as("s"))
-        .select(col("qid"), col("s").getField("_2").as("vec_id"))
-      val raw = base(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val qf = raw.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-          col("nrm").as("qnrm"))
-      val pairs = short
-        .join(raw, Seq("vec_id"))
-        .join(broadcast(qf), Seq("qid"))
-        .select(col("qid"), col("vec_id"),
-          (vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")))
-            .as("cos"))
-      topK(pairs)
+      val (codes, qtab) = pqArtifacts(s, dir)
+      pqAdcSearch(s, dir, codes.join(broadcast(qtab), Seq("m", "cid")))
     },
 
     // X3/Q24j — MMR-diversified top-k (maximal marginal relevance): rerank
@@ -996,6 +1016,120 @@ object SimilarityQueries {
             .otherwise(lit(0.0)), 6).as("ndcg5"),
           round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr"))
         .orderBy("qid")
+    },
+
+    // X3/Q24l — IVF-PQ composed search, executing the composition q24i's
+    // comment promises: route each query to its `Probes` nearest coarse
+    // centroids (q24b's IVF half), ADC-score ONLY the code rows of vectors
+    // in the probed cells (q24i's PQ half), then the exact re-rank. This
+    // is the full production ANN serving recipe (FAISS IVFPQ): at 100 TB
+    // the codes table is partitioned by cell, unprobed partitions are
+    // never read, each probed cell's scan reads 16 code bytes per vector,
+    // and codebooks + per-query lookup tables + the probe map all
+    // broadcast at kilobyte size. Both engines train identical codebooks
+    // (shared per-round materialized assignments on the Spark side, the
+    // identical unrolled CTE chain in the oracle) and route with the same
+    // centroid-cosine argmax, so the candidate sets — and after the
+    // order-pinned ADC chain, the scores — agree exactly.
+    QueryDef(
+      "q24l_ivfpq_topk",
+      s"""WITH $sqlBaseCte,
+         |ms AS (SELECT unnest(generate_series(1, $PqM)) AS m),
+         |subs AS (SELECT vec_id, m,
+         |  embedding[(m-1)*$PqSubDim+1 : m*$PqSubDim] AS sv FROM base, ms),
+         |sdims AS (SELECT unnest(generate_series(1, $PqSubDim)) AS i),
+         |c0 AS (SELECT m, vec_id AS cid, sv AS cvec, ${sqlDot("sv", "sv")} AS cn2
+         |  FROM subs WHERE vec_id < $PqKsub),
+         |s1 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+         |  c.cn2 - 2 * ${sqlDot("s.sv", "c.cvec")} AS dist
+         |  FROM subs s JOIN c0 c ON s.m = c.m),
+         |a1 AS (SELECT vec_id, m, sv, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist, cid) AS rn FROM s1) WHERE rn = 1),
+         |c1 AS (SELECT m, cid, cvec, ${sqlDot("cvec", "cvec")} AS cn2 FROM (
+         |  SELECT m, cid, list_transform(list(cval ORDER BY i), x -> x::FLOAT) AS cvec
+         |  FROM (SELECT m, cid, i, ${sqlDmean12("sv[i]::DOUBLE")} AS cval
+         |        FROM a1, sdims GROUP BY m, cid, i)
+         |  GROUP BY m, cid)),
+         |s2 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+         |  c.cn2 - 2 * ${sqlDot("s.sv", "c.cvec")} AS dist
+         |  FROM subs s JOIN c1 c ON s.m = c.m),
+         |a2 AS (SELECT vec_id, m, sv, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist, cid) AS rn FROM s2) WHERE rn = 1),
+         |c2 AS (SELECT m, cid, cvec FROM (
+         |  SELECT m, cid, list_transform(list(cval ORDER BY i), x -> x::FLOAT) AS cvec
+         |  FROM (SELECT m, cid, i, ${sqlDmean12("sv[i]::DOUBLE")} AS cval
+         |        FROM a2, sdims GROUP BY m, cid, i)
+         |  GROUP BY m, cid)),
+         |codes AS (SELECT vec_id, m, cid FROM a2),
+         |qs AS (SELECT vec_id AS qid, m, sv AS qsv FROM subs WHERE vec_id < $NQueries),
+         |qtab AS (SELECT q.qid, c.m, c.cid, ${sqlDot("q.qsv", "c.cvec")} AS d
+         |  FROM qs q JOIN c2 c ON q.m = c.m),
+         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |  FROM base WHERE vec_id < $NQueries),
+         |cdims AS (SELECT unnest(generate_series(1,
+         |  (SELECT max(len(embedding)) FROM embeddings))) AS i),
+         |cent AS (
+         |  SELECT label, list(cval ORDER BY i) AS cvec
+         |  FROM (SELECT label, i, ${sqlDmean12("embedding[i]::DOUBLE")} AS cval
+         |        FROM base, cdims GROUP BY label, i)
+         |  GROUP BY label),
+         |centf AS (SELECT label, list_transform(cvec, x -> x::FLOAT) AS cvec,
+         |  sqrt(${sqlDot("list_transform(cvec, x -> x::FLOAT)",
+                          "list_transform(cvec, x -> x::FLOAT)")}) AS cnrm FROM cent),
+         |probe AS (
+         |  SELECT qid, label FROM (
+         |    SELECT q.qid, c.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        ${sqlDot("c.cvec", "q.qemb")} / (c.cnrm * q.qnrm) DESC, c.label) AS pr
+         |    FROM qv q, centf c) WHERE pr <= $Probes),
+         |lblv AS (SELECT vec_id, label FROM base),
+         |adc AS (SELECT t.qid, cd.vec_id, $sqlAdcSum AS dotv
+         |  FROM codes cd
+         |  JOIN lblv v ON v.vec_id = cd.vec_id
+         |  JOIN probe p ON p.label = v.label
+         |  JOIN qtab t ON t.qid = p.qid AND t.m = cd.m AND t.cid = cd.cid
+         |  WHERE cd.vec_id <> t.qid
+         |  GROUP BY t.qid, cd.vec_id),
+         |short AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY dotv DESC, vec_id) AS rk FROM adc) WHERE rk <= $PqShortlist),
+         |qf AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |  FROM base WHERE vec_id < $NQueries),
+         |rr AS (SELECT sh.qid, sh.vec_id,
+         |  ${sqlDot("b.embedding", "q.qemb")} / (b.nrm * q.qnrm) AS pcos
+         |  FROM short sh JOIN base b ON sh.vec_id = b.vec_id
+         |       JOIN qf q ON sh.qid = q.qid),
+         |ranked AS (SELECT qid, vec_id, pcos,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rank
+         |  FROM rr)
+         |SELECT qid, rank, vec_id, round(pcos, 6) AS cos
+         |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      import VecFunctions.vecDot
+      import org.apache.spark.sql.expressions.Window
+      val (codes, qtab) = pqArtifacts(s, dir)
+      // coarse routing: q24b's centroid table (shared materialization tag)
+      val cent = Materialize(s, dir, "q24b_cent")(
+        decimalCentroids(base(s, dir), "label")
+          .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec")))))
+      val qs = base(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("nrm").as("qnrm"))
+      val probe = broadcast(qs).crossJoin(broadcast(cent))
+        .withColumn("csim",
+          vecDot(col("cvec"), col("qemb")) / (col("cnrm") * col("qnrm")))
+        .withColumn("pr",
+          row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("csim").desc, col("label"))))
+        .filter(col("pr") <= Probes)
+        .select(col("qid"), col("label").as("plabel"))
+      val cand = codes
+        .join(base(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(broadcast(probe), col("label") === col("plabel"))
+        .join(broadcast(qtab), Seq("qid", "m", "cid"))
+        .select(col("qid"), col("vec_id"), col("m"), col("d"))
+      pqAdcSearch(s, dir, cand)
     }
   )
 }

@@ -38,7 +38,9 @@ class OracleSqlSpec extends AnyFunSuite {
     // (a (qid, vec_id) group has one entry per subspace m), so the value
     // is a fixed-order 16-term double chain — deterministic by design,
     // and the same expression order runs on the Spark side.
-    ("q24i_pq_topk", "dotv")
+    ("q24i_pq_topk", "dotv"),
+    // q24l: the identical fixed-order ADC chain, over the IVF-routed subset
+    ("q24l_ivfpq_topk", "dotv")
   )
 
   private case class RawSum(alias: String, snippet: String)

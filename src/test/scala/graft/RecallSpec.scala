@@ -58,6 +58,20 @@ class RecallSpec extends SparkSpec {
     assert(meanRecall(exact, ivf) >= 0.2)
   }
 
+  test("IVF-PQ composition is bounded by its IVF routing and returns full k lists") {
+    // q24l scores only the probed cells' codes, then re-ranks exactly —
+    // so against IVF's own exact-within-probed-cells results (q24b, the
+    // same candidate universe) the composition's misses are ONLY PQ
+    // shortlist misses, and recall vs q24b must be near-perfect even
+    // though recall vs the global exact search is probe-bounded
+    val ivf = topk("q24b_ivf_topk")
+    val ivfpq = topk("q24l_ivfpq_topk")
+    assert(ivfpq.keySet === ivf.keySet)
+    assert(ivfpq.values.forall(_.size === 5))
+    assert(meanRecall(ivf, ivfpq) >= 0.85,
+      "PQ shortlist inside the probed cells lost too much of IVF's ranking")
+  }
+
   test("semantic dedup is sound vs the all-pairs ground truth and finds dups") {
     // q24c is the exhaustive τ-neighbor list; every (dup, canonical) pair
     // q24h reports must appear there (SOUNDNESS — clustering can only lose
