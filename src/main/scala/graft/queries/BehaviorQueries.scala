@@ -43,6 +43,32 @@ object BehaviorQueries {
   /** q42b synchronous label-propagation rounds. */
   private val LpaIters = 3
 
+  /** q36d AS-OF instant (mid-corpus; events span 2024-01). */
+  private val AsOfCutoff = "2024-01-15 00:00:00"
+
+  /** Shared q36/q36d SCD2 validity-interval frame:
+    * (user_id, run, event_type, valid_from, valid_to, is_current,
+    * n_events) — change-flag islands, three windows sharing one
+    * user-partitioned sort. */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // null-safe inequality: the first row's NULL lag starts run 1
+      .withColumn("brk", when(!(prev <=> col("event_type")), 1L).otherwise(0L))
+      .withColumn("run",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    runs.select(
+      col("user_id"), col("run"), col("event_type"), col("valid_from"),
+      lead(col("valid_from"), 1).over(wr).as("valid_to"),
+      lead(col("valid_from"), 1).over(wr).isNull.as("is_current"),
+      col("n_events"))
+  }
+
   /** Shared co-purchase graph CTEs (q42 / q42b): symmetric edge list `sym`
     * from q32's pair mining at support ≥ 2. */
   private val sqlGraphCtes =
@@ -426,23 +452,53 @@ object BehaviorQueries {
         |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
         |  n_events
         |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val prev = lag(col("event_type"), 1).over(w)
-      val runs = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        // null-safe inequality: the first row's NULL lag starts run 1
-        .withColumn("brk", when(!(prev <=> col("event_type")), 1L).otherwise(0L))
-        .withColumn("run",
-          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("run"), col("event_type"))
-        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
-      val wr = Window.partitionBy(col("user_id")).orderBy(col("run"))
-      runs.select(
-          col("user_id"), col("run"), col("event_type"), col("valid_from"),
-          lead(col("valid_from"), 1).over(wr).as("valid_to"),
-          lead(col("valid_from"), 1).over(wr).isNull.as("is_current"),
-          col("n_events"))
-        .orderBy("user_id", "run")
+      scd2History(s, dir).orderBy("user_id", "run")
+    },
+
+    // Q36d — time-travel (AS OF) read over the q36 SCD2 history: the state
+    // every user was in at one instant T — the query a validity-interval
+    // table exists to answer (Delta/Iceberg AS OF re-expressed at row
+    // grain: interval containment instead of snapshot selection). One
+    // filter over the shared history frame — half-open containment
+    // `valid_from <= T < valid_to` (open current rows qualify via NULL) —
+    // so the read COSTS a filter riding q36's plan; at 100 TB the history
+    // table is stored partitioned/clustered on the validity interval and
+    // this filter is the min/max-stats pruning predicate. Users whose
+    // first state begins after T are absent, exactly as they were absent
+    // then.
+    QueryDef(
+      "q36d_asof_read",
+      s"""WITH g AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, ts, event_type,
+         |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+         |  FROM g),
+         |runs AS (
+         |  SELECT user_id, run, event_type, MIN(ts) AS valid_from,
+         |    COUNT(*) AS n_events
+         |  FROM r GROUP BY user_id, run, event_type),
+         |h AS (
+         |  SELECT user_id, run, event_type, valid_from,
+         |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+         |  FROM runs)
+         |SELECT user_id, run, event_type AS state_at_cutoff, valid_from, valid_to
+         |FROM h
+         |WHERE valid_from <= TIMESTAMP '$AsOfCutoff'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$AsOfCutoff')
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val t = lit(AsOfCutoff).cast("timestamp")
+      scd2History(s, dir)
+        .filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select(col("user_id"), col("run"),
+          col("event_type").as("state_at_cutoff"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("user_id")
     },
 
     // Q36c — incremental SCD2 maintenance (q36's MERGE twin, the q34b

@@ -114,6 +114,23 @@ class ReshapeBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q36d AS-OF read equals the direct last-event-before-T state") {
+    // the SCD2 interval row containing T must carry exactly the event_type
+    // of each user's LAST event at/before T (computed here directly from
+    // raw events, no intervals), and users with no events by T are absent
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val direct = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .filter(!_._2.after(cutoff))
+      .groupBy(_._1).view
+      .mapValues(_.maxBy(r => (r._2.getTime, r._3))._4).toMap
+    val asof = byName("q36d_asof_read")(spark, sf)
+      .select("user_id", "state_at_cutoff")
+      .as[(Long, String)].collect().toMap
+    assert(asof === direct)
+  }
+
   test("q42b label propagation matches an independent in-Scala recomputation") {
     // rebuild the co-purchase graph and run the same 3 synchronous LPA
     // rounds (most-frequent neighbor label, ties to the smallest) with
