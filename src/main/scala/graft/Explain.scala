@@ -58,7 +58,9 @@ object Explain {
     "q24k_ndcg_eval", // literal discounts; per-label count broadcast; decimal DCG
     "q42b_label_propagation", // per-round edge⋈label join + degree-bounded argmax
     "q38b_compaction_plan", // file-stats agg + per-day bounded prefix-sum window
-    "q24l_ivfpq_topk") // IVF-routed ADC: probe map + codebooks broadcast
+    "q24l_ivfpq_topk", // IVF-routed ADC: probe map + codebooks broadcast
+    "q22f_cluster_split", // canon left-join + scan-riding hash split
+    "q36d_asof_read") // interval containment filter riding the q36 frame
 
   /** The streaming members of the BENCH_r08 heavy tail (VERDICT r8 #4):
     * their incremental shapes (append-mode eviction, the stream-static band
