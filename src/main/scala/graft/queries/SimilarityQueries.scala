@@ -35,6 +35,9 @@ object SimilarityQueries {
     * 1/log2(i+1). */
   private val NdcgDiscounts: Seq[Double] =
     Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163)
+  require(NdcgDiscounts.length >= K,
+    s"q24k discount table covers ${NdcgDiscounts.length} ranks but K = $K — " +
+      "extend it before raising K or both engines silently drop the tail")
 
   /** q24j MMR geometry: rerank the top-`MmrPool` relevance shortlist down
     * to `MmrK` diversified picks; score = λ·rel − (1−λ)·max-sim-to-chosen.
