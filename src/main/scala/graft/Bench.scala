@@ -79,6 +79,10 @@ object Bench {
     }
   }
 
+  /** The capture's `"sf":"…"` field (empty if absent — legacy captures). */
+  private[graft] def parseSfField(line: String): String =
+    """"sf":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+
   /** Regression tripwire (VERDICT r8 #5): the min(mid, warm) protocol
     * intentionally discards one-pass spikes, so nothing used to alarm when a
     * query was elevated in BOTH post-JIT passes — a true bimodal/plan
@@ -259,9 +263,19 @@ object Bench {
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench/reference.json")
     val reference = try {
       val p = java.nio.file.Paths.get(refPath)
-      if (java.nio.file.Files.exists(p))
-        parseQueriesJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      else Map.empty[String, Double]
+      if (java.nio.file.Files.exists(p)) {
+        val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // the reference is only meaningful at ITS scale factor: a growth
+        // run at x10/x20 data against the sf0.1 capture would flag nearly
+        // every query, drowning a genuine regression in expected growth —
+        // skip the tripwire (loudly) when the scales disagree
+        val refSf = parseSfField(raw)
+        if (refSf.nonEmpty && refSf != sfDir) {
+          System.err.println(s"[bench] tripwire SKIPPED: reference captured at " +
+            s"sf=$refSf but this run is sf=$sfDir")
+          Map.empty[String, Double]
+        } else parseQueriesJson(raw)
+      } else Map.empty[String, Double]
     } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
     val reportedByKey = names.map(n => key(n) -> warm(n)).toMap
     val tripped = tripwire(reportedByKey, reference)

@@ -113,6 +113,26 @@ object BehaviorQueries {
     (sym, nodes)
   }
 
+  /** Shared SCD2 segmentation CTEs (q36 / q36c oracle / q36d): change-flag
+    * islands ending in `runs(user_id, run, event_type, valid_from,
+    * n_events)` — ONE definition so the three validity-interval oracles
+    * can never desynchronize on the break rule or window ordering. */
+  private val sqlScd2Ctes =
+    """g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts, event_type,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM g),
+      |runs AS (
+      |  SELECT user_id, run, event_type, MIN(ts) AS valid_from,
+      |    COUNT(*) AS n_events
+      |  FROM r GROUP BY user_id, run, event_type)""".stripMargin
+
   /** Shared sessionization CTEs (gap flag → running-sum session id), ending
     * in `s(user_id, ts, event_id, event_type, value, sid)`. */
   private val sqlSessionCtes =
@@ -433,25 +453,12 @@ object BehaviorQueries {
     // history never moves through more than the single user_id shuffle.
     QueryDef(
       "q36_scd2_history",
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, ts, event_type,
-        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
-        |  FROM g),
-        |runs AS (
-        |  SELECT user_id, run, event_type, MIN(ts) AS valid_from,
-        |    COUNT(*) AS n_events
-        |  FROM r GROUP BY user_id, run, event_type)
-        |SELECT user_id, run, event_type, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
-        |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
-        |  n_events
-        |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
+      s"""WITH $sqlScd2Ctes
+         |SELECT user_id, run, event_type, valid_from,
+         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+         |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
+         |  n_events
+         |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
       scd2History(s, dir).orderBy("user_id", "run")
     },
 
@@ -468,20 +475,7 @@ object BehaviorQueries {
     // then.
     QueryDef(
       "q36d_asof_read",
-      s"""WITH g AS (
-         |  SELECT user_id, ts, event_id, event_type,
-         |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-         |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
-         |  FROM events),
-         |r AS (
-         |  SELECT user_id, ts, event_type,
-         |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
-         |  FROM g),
-         |runs AS (
-         |  SELECT user_id, run, event_type, MIN(ts) AS valid_from,
-         |    COUNT(*) AS n_events
-         |  FROM r GROUP BY user_id, run, event_type),
+      s"""WITH $sqlScd2Ctes,
          |h AS (
          |  SELECT user_id, run, event_type, valid_from,
          |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
@@ -518,25 +512,12 @@ object BehaviorQueries {
     // tail rows this plan touches.)
     QueryDef(
       "q36c_scd2_merge",
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, ts, event_type,
-        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
-        |  FROM g),
-        |runs AS (
-        |  SELECT user_id, run, event_type, MIN(ts) AS valid_from,
-        |    COUNT(*) AS n_events
-        |  FROM r GROUP BY user_id, run, event_type)
-        |SELECT user_id, run, event_type, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
-        |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
-        |  n_events
-        |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
+      s"""WITH $sqlScd2Ctes
+         |SELECT user_id, run, event_type, valid_from,
+         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+         |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
+         |  n_events
+         |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
       val cutoff = lit("2024-01-16").cast("timestamp")
       val evs = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))

@@ -191,23 +191,28 @@ object ReshapeQueries {
         |FROM generate_series(1, 10) g(g) CROSS JOIN t
         |ORDER BY bucket""".stripMargin) { (s, dir) =>
       val events = Tables.events(s, dir)
-      val cuts = events.agg(
+      // ONE global aggregate carries the sketch cutoffs AND the
+      // count/min/max totals, and the SAME 1-row frame broadcasts into
+      // both consumers (identical broadcast plans → ReuseExchange dedups
+      // the build): two corpus scans total where cutoffs/totals/buckets
+      // as three separate aggs cost three — a full redundant fact-table
+      // read per run at the scale this query exists for
+      val stats = events.agg(
         expr(s"approx_percentile(value, array(${(1 to 9).map(i => s"0.$i").mkString(",")}), 10000)")
-          .as("c"))
-      val counted = events.crossJoin(broadcast(cuts))
+          .as("c"),
+        count(lit(1)).as("n_rows"),
+        round(min(col("value")), 6).as("lo_global"),
+        round(max(col("value")), 6).as("hi_global"))
+      val counted = events.crossJoin(broadcast(stats))
         .withColumn("bucket",
           ((1 to 9).map(i => when(col("value") > element_at(col("c"), i), 1).otherwise(0))
             .reduce(_ + _) + 1).cast("long"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("cnt"))
-      val tot = events.agg(
-        count(lit(1)).as("n_rows"),
-        round(min(col("value")), 6).as("lo_global"),
-        round(max(col("value")), 6).as("hi_global"))
       s.range(1, 11).select(col("id").as("bucket"))
         .join(broadcast(counted), Seq("bucket"), "left")
         .na.fill(0, Seq("cnt"))
-        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(stats))
         .select(
           col("bucket"), col("n_rows"), col("lo_global"), col("hi_global"),
           (abs(col("cnt") - col("n_rows") / 10.0) <= col("n_rows") * 0.02 + 1.0)
@@ -349,7 +354,12 @@ object ReshapeQueries {
             col(s"mx_$c").as("max_s"))
         }: _*)).as("p"))
         .select(col("p.*"))
-        .join(broadcast(exact), Seq("col_name"))
+        // LEFT join + coalesce: an all-NULL column has no row in the exact
+        // frame (isNotNull precedes its groupBy) and an inner join would
+        // silently drop exactly the pathological column a profiler exists
+        // to surface, while the oracle still emits it with n_distinct = 0
+        .join(broadcast(exact), Seq("col_name"), "left")
+        .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
         .select(
           col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
           col("min_s"), col("max_s"),

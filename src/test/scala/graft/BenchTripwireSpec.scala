@@ -51,4 +51,15 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(m.size > 100, s"reference capture should cover the suite, got ${m.size}")
     assert(m.values.forall(_ >= 0))
   }
+
+  test("the reference capture declares its scale factor (the tripwire's SF guard reads it)") {
+    // a growth run at x10/x20 data must not be compared against the sf0.1
+    // reference — the guard keys off this field, so it must be present
+    val p = java.nio.file.Paths.get("bench/reference.json")
+    assume(java.nio.file.Files.exists(p))
+    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    assert(Bench.parseSfField(raw) === "/root/testdata/sf0.1")
+    assert(Bench.parseSfField("""{"queries":{}}""") === "")
+    assert(Bench.parseSfField("""{"sf":"/tmp/sfx10"}""") === "/tmp/sfx10")
+  }
 }
