@@ -59,29 +59,49 @@ object CdcChunkFps {
 
   import TextHash.{CdcB, CdcDiv, CdcW, FpMult, Mod}
 
+  /** CdcB^(CdcW-1) mod Mod — the weight of the byte leaving the rolling
+    * window. All products stay < 2^40 (Mod < 2^31, bytes < 2^8, CdcB < 2^9),
+    * so the rolling update never overflows a long. */
+  private val OutW: Long = {
+    var p = 1L
+    var k = 1
+    while (k < CdcW) { p = (p * CdcB) % Mod; k += 1 }
+    p
+  }
+
   /** Ordered chunk fingerprints of `s` under the CDC boundary rule: chunk
     * ends after 1-based byte position p (CdcW ≤ p < n) iff the Horner hash
     * of bytes p-CdcW+1..p is ≡ 0 mod CdcDiv; the final chunk runs to
     * end-of-string (fingerprint 0 for the empty string — one empty chunk,
     * matching the oracle's fold over an empty slice). Single pass; the
     * chunk fingerprint accumulates as bytes stream by and resets at each
-    * boundary, which is exactly the per-chunk Horner fold. */
+    * boundary (exactly the per-chunk Horner fold), and the WINDOW hash
+    * ROLLS Rabin-Karp style — subtract the leaving byte's OutW weight,
+    * shift, add the entering byte, all mod Mod — which is byte-for-byte
+    * the same value the from-scratch 8-multiply inner loop produced
+    * (congruence is preserved by each step) at 1/CdcW of the arithmetic.
+    * The boundary hash is NEVER reset at a chunk cut: the window is over
+    * raw byte positions, exactly as the oracle's per-position
+    * [[TextHash.sqlCdcBoundaries]] computes it. */
   def compute(s: UTF8String): ArrayData = {
     val b = s.getBytes
     val n = b.length
     val fps = new Array[Long](n + 1)
     var cnt = 0
     var acc = 0L
+    var h = 0L
     var i = 0
     while (i < n) {
-      acc = (acc * FpMult + (b(i) & 0xff)) % Mod
+      val in = b(i) & 0xff
+      acc = (acc * FpMult + in) % Mod
+      h =
+        if (i < CdcW) (h * CdcB + in) % Mod
+        else {
+          val dropped = (h - (b(i - CdcW) & 0xff) * OutW) % Mod
+          ((if (dropped < 0) dropped + Mod else dropped) * CdcB + in) % Mod
+        }
       val p = i + 1
-      if (p >= CdcW && p < n) {
-        var h = 0L
-        var k = p - CdcW
-        while (k <= i) { h = (h * CdcB + (b(k) & 0xff)) % Mod; k += 1 }
-        if (h % CdcDiv == 0) { fps(cnt) = acc; cnt += 1; acc = 0L }
-      }
+      if (p >= CdcW && p < n && h % CdcDiv == 0) { fps(cnt) = acc; cnt += 1; acc = 0L }
       i += 1
     }
     fps(cnt) = acc
