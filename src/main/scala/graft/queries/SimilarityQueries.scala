@@ -314,6 +314,46 @@ object SimilarityQueries {
         (vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cos"))
   }
 
+  /** Shared q24i/q24l PQ oracle CTE chain: per-subspace codebook training
+    * (2 unrolled Lloyd rounds keyed by subspace) ending in
+    * `codes(vec_id, m, cid)` and `qtab(qid, m, cid, d)` — ONE definition so
+    * the two PQ oracles can never desynchronize on the training rule
+    * (tiebreaks, PqKsub, round count), mirroring the Scala-side
+    * pqArtifacts sharing. */
+  private lazy val sqlPqCtes: String =
+    s"""ms AS (SELECT unnest(generate_series(1, $PqM)) AS m),
+       |subs AS (SELECT vec_id, m,
+       |  embedding[(m-1)*$PqSubDim+1 : m*$PqSubDim] AS sv FROM base, ms),
+       |sdims AS (SELECT unnest(generate_series(1, $PqSubDim)) AS i),
+       |c0 AS (SELECT m, vec_id AS cid, sv AS cvec, ${sqlDot("sv", "sv")} AS cn2
+       |  FROM subs WHERE vec_id < $PqKsub),
+       |s1 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+       |  c.cn2 - 2 * ${sqlDot("s.sv", "c.cvec")} AS dist
+       |  FROM subs s JOIN c0 c ON s.m = c.m),
+       |a1 AS (SELECT vec_id, m, sv, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist, cid) AS rn FROM s1) WHERE rn = 1),
+       |c1 AS (SELECT m, cid, cvec, ${sqlDot("cvec", "cvec")} AS cn2 FROM (
+       |  SELECT m, cid, list_transform(list(cval ORDER BY i), x -> x::FLOAT) AS cvec
+       |  FROM (SELECT m, cid, i, ${sqlDmean12("sv[i]::DOUBLE")} AS cval
+       |        FROM a1, sdims GROUP BY m, cid, i)
+       |  GROUP BY m, cid)),
+       |s2 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+       |  c.cn2 - 2 * ${sqlDot("s.sv", "c.cvec")} AS dist
+       |  FROM subs s JOIN c1 c ON s.m = c.m),
+       |a2 AS (SELECT vec_id, m, sv, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist, cid) AS rn FROM s2) WHERE rn = 1),
+       |c2 AS (SELECT m, cid, cvec FROM (
+       |  SELECT m, cid, list_transform(list(cval ORDER BY i), x -> x::FLOAT) AS cvec
+       |  FROM (SELECT m, cid, i, ${sqlDmean12("sv[i]::DOUBLE")} AS cval
+       |        FROM a2, sdims GROUP BY m, cid, i)
+       |  GROUP BY m, cid)),
+       |codes AS (SELECT vec_id, m, cid FROM a2),
+       |qs AS (SELECT vec_id AS qid, m, sv AS qsv FROM subs WHERE vec_id < $NQueries),
+       |qtab AS (SELECT q.qid, c.m, c.cid, ${sqlDot("q.qsv", "c.cvec")} AS d
+       |  FROM qs q JOIN c2 c ON q.m = c.m)""".stripMargin
+
   /** PQ build shared by q24i and q24l: per-subspace codebooks (PqKsub
     * codewords, KmIters Lloyd rounds, per-round materialized assignments —
     * tags shared so the two queries train ONE set of codebooks per
@@ -765,38 +805,7 @@ object SimilarityQueries {
     QueryDef(
       "q24i_pq_topk",
       s"""WITH $sqlBaseCte,
-         |ms AS (SELECT unnest(generate_series(1, $PqM)) AS m),
-         |subs AS (SELECT vec_id, m,
-         |  embedding[(m-1)*$PqSubDim+1 : m*$PqSubDim] AS sv FROM base, ms),
-         |sdims AS (SELECT unnest(generate_series(1, $PqSubDim)) AS i),
-         |c0 AS (SELECT m, vec_id AS cid, sv AS cvec, ${sqlDot("sv", "sv")} AS cn2
-         |  FROM subs WHERE vec_id < $PqKsub),
-         |s1 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
-         |  c.cn2 - 2 * ${sqlDot("s.sv", "c.cvec")} AS dist
-         |  FROM subs s JOIN c0 c ON s.m = c.m),
-         |a1 AS (SELECT vec_id, m, sv, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist, cid) AS rn FROM s1) WHERE rn = 1),
-         |c1 AS (SELECT m, cid, cvec, ${sqlDot("cvec", "cvec")} AS cn2 FROM (
-         |  SELECT m, cid, list_transform(list(cval ORDER BY i), x -> x::FLOAT) AS cvec
-         |  FROM (SELECT m, cid, i, ${sqlDmean12("sv[i]::DOUBLE")} AS cval
-         |        FROM a1, sdims GROUP BY m, cid, i)
-         |  GROUP BY m, cid)),
-         |s2 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
-         |  c.cn2 - 2 * ${sqlDot("s.sv", "c.cvec")} AS dist
-         |  FROM subs s JOIN c1 c ON s.m = c.m),
-         |a2 AS (SELECT vec_id, m, sv, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist, cid) AS rn FROM s2) WHERE rn = 1),
-         |c2 AS (SELECT m, cid, cvec FROM (
-         |  SELECT m, cid, list_transform(list(cval ORDER BY i), x -> x::FLOAT) AS cvec
-         |  FROM (SELECT m, cid, i, ${sqlDmean12("sv[i]::DOUBLE")} AS cval
-         |        FROM a2, sdims GROUP BY m, cid, i)
-         |  GROUP BY m, cid)),
-         |codes AS (SELECT vec_id, m, cid FROM a2),
-         |qs AS (SELECT vec_id AS qid, m, sv AS qsv FROM subs WHERE vec_id < $NQueries),
-         |qtab AS (SELECT q.qid, c.m, c.cid, ${sqlDot("q.qsv", "c.cvec")} AS d
-         |  FROM qs q JOIN c2 c ON q.m = c.m),
+         |$sqlPqCtes,
          |adc AS (SELECT t.qid, cd.vec_id, $sqlAdcSum AS dotv
          |  FROM codes cd JOIN qtab t ON t.m = cd.m AND t.cid = cd.cid
          |  WHERE cd.vec_id <> t.qid
@@ -1037,38 +1046,7 @@ object SimilarityQueries {
     QueryDef(
       "q24l_ivfpq_topk",
       s"""WITH $sqlBaseCte,
-         |ms AS (SELECT unnest(generate_series(1, $PqM)) AS m),
-         |subs AS (SELECT vec_id, m,
-         |  embedding[(m-1)*$PqSubDim+1 : m*$PqSubDim] AS sv FROM base, ms),
-         |sdims AS (SELECT unnest(generate_series(1, $PqSubDim)) AS i),
-         |c0 AS (SELECT m, vec_id AS cid, sv AS cvec, ${sqlDot("sv", "sv")} AS cn2
-         |  FROM subs WHERE vec_id < $PqKsub),
-         |s1 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
-         |  c.cn2 - 2 * ${sqlDot("s.sv", "c.cvec")} AS dist
-         |  FROM subs s JOIN c0 c ON s.m = c.m),
-         |a1 AS (SELECT vec_id, m, sv, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist, cid) AS rn FROM s1) WHERE rn = 1),
-         |c1 AS (SELECT m, cid, cvec, ${sqlDot("cvec", "cvec")} AS cn2 FROM (
-         |  SELECT m, cid, list_transform(list(cval ORDER BY i), x -> x::FLOAT) AS cvec
-         |  FROM (SELECT m, cid, i, ${sqlDmean12("sv[i]::DOUBLE")} AS cval
-         |        FROM a1, sdims GROUP BY m, cid, i)
-         |  GROUP BY m, cid)),
-         |s2 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
-         |  c.cn2 - 2 * ${sqlDot("s.sv", "c.cvec")} AS dist
-         |  FROM subs s JOIN c1 c ON s.m = c.m),
-         |a2 AS (SELECT vec_id, m, sv, cid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist, cid) AS rn FROM s2) WHERE rn = 1),
-         |c2 AS (SELECT m, cid, cvec FROM (
-         |  SELECT m, cid, list_transform(list(cval ORDER BY i), x -> x::FLOAT) AS cvec
-         |  FROM (SELECT m, cid, i, ${sqlDmean12("sv[i]::DOUBLE")} AS cval
-         |        FROM a2, sdims GROUP BY m, cid, i)
-         |  GROUP BY m, cid)),
-         |codes AS (SELECT vec_id, m, cid FROM a2),
-         |qs AS (SELECT vec_id AS qid, m, sv AS qsv FROM subs WHERE vec_id < $NQueries),
-         |qtab AS (SELECT q.qid, c.m, c.cid, ${sqlDot("q.qsv", "c.cvec")} AS d
-         |  FROM qs q JOIN c2 c ON q.m = c.m),
+         |$sqlPqCtes,
          |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
          |  FROM base WHERE vec_id < $NQueries),
          |cdims AS (SELECT unnest(generate_series(1,
