@@ -27,4 +27,12 @@ print(f"warm total {d['value']}s  cold {d['cold_total']}s  n={len(qs)}  failed={
 worst = sorted(qs.items(), key=lambda kv: -kv[1])[:10]
 print("worst:", " ".join(f"{k}={v}" for k, v in worst))
 EOF
-echo "[driver-protocol] wrote $OUT (+ bench/metrics_last.json)" >&2
+# Archive this run's per-query task metrics NEXT TO the seconds capture
+# (VERDICT r9 #6): metrics_last.json is overwritten by every run, which made
+# after-the-fact block-firing forensics (r9's q33–q34c) impossible once a
+# newer run had landed. The sibling file means any promoted reference
+# capture automatically has its metrics twin for the tripwire adjudicator.
+if [ -f bench/metrics_last.json ]; then
+  cp bench/metrics_last.json "${OUT%.json}.metrics.json"
+fi
+echo "[driver-protocol] wrote $OUT + ${OUT%.json}.metrics.json (+ bench/metrics_last.json)" >&2

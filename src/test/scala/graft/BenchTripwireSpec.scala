@@ -62,4 +62,78 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(Bench.parseSfField("""{"queries":{}}""") === "")
     assert(Bench.parseSfField("""{"sf":"/tmp/sfx10"}""") === "/tmp/sfx10")
   }
+
+  test("parseSfField reads the TRAILING sf field, not an embedded byte match (ADVICE r9)") {
+    // a failure message or query name containing the byte sequence must not
+    // shadow the real trailing top-level field
+    val line = """{"failed":["oops \"sf\":\"bogus\" inline"],"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseSfField(line) === "/root/testdata/sf0.1")
+  }
+
+  test("scale guard compares the trailing path token, not the raw path (ADVICE r9)") {
+    assert(Bench.scaleToken("/root/testdata/sf0.1") === "sf0.1")
+    assert(Bench.scaleToken("/mnt/moved/testdata/sf0.1/") === "sf0.1")
+    assert(Bench.scaleToken("/root/testdata/sfx10") === "sfx10")
+    // same scale under a moved root compares equal; different scales do not
+    assert(Bench.scaleToken("/a/sf0.1") === Bench.scaleToken("/b/sf0.1"))
+    assert(Bench.scaleToken("/a/sf0.1") !== Bench.scaleToken("/a/sfx10"))
+  }
+
+  // --- tripwire self-adjudication (VERDICT r9 #1) ---
+
+  private val metricsDump =
+    """{"cpus":32,"cols":["ms","shuffle_write_b","task_cpu_ms"],""" +
+      """"tripwire_ratios":{},"cold":{"q33":[1510,3000000,1400]},""" +
+      """"mid":{"q33":[510,3000000,480],"q34":[250,94000,230]},""" +
+      """"warm":{"q33":[530,3000000,500],"q34":[260,94000,240]},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+
+  test("parseMetricsPass extracts per-query rows; parseColsField names the columns") {
+    assert(Bench.parseColsField(metricsDump) === Seq("ms", "shuffle_write_b", "task_cpu_ms"))
+    val warm = Bench.parseMetricsPass(metricsDump, "warm")
+    assert(warm.keySet === Set("q33", "q34"))
+    assert(warm("q33").toSeq === Seq(530L, 3000000L, 500L))
+    assert(Bench.parseMetricsPass(metricsDump, "nope") === Map.empty)
+  }
+
+  private def row(ms: Long, bytes: Long, cpu: Long, run: Long,
+      spill: Long = 0, gc: Long = 0, janino: Long = 0, load: Long = 3100): Map[String, Long] =
+    Map("ms" -> ms, "shuffle_write_b" -> bytes, "task_cpu_ms" -> cpu,
+      "task_run_ms" -> run, "spill_mem_b" -> spill, "spill_disk_b" -> 0L,
+      "task_gc_ms" -> gc, "janino_compiles" -> janino, "load_x100" -> load)
+
+  test("classifyTrip: grown shuffle bytes => plan") {
+    val ref = row(ms = 500, bytes = 3L << 20, cpu = 480, run = 500)
+    val cur = row(ms = 1600, bytes = 9L << 20, cpu = 1500, run = 1550)
+    assert(Bench.classifyTrip(cur, ref, 32) === "plan")
+  }
+
+  test("classifyTrip: spill / warm recompile / heavy task GC => jvm") {
+    val ref = row(ms = 500, bytes = 3L << 20, cpu = 480, run = 500)
+    assert(Bench.classifyTrip(row(1600, 3L << 20, 1500, 1550, spill = 1L << 26), ref, 32) === "jvm")
+    assert(Bench.classifyTrip(row(1600, 3L << 20, 1500, 1550, janino = 2), ref, 32) === "jvm")
+    assert(Bench.classifyTrip(row(1600, 3L << 20, 1500, 1550, gc = 400), ref, 32) === "jvm")
+  }
+
+  test("classifyTrip: wall grew but CPU work did not (descheduled / out-of-task) => env") {
+    val ref = row(ms = 250, bytes = 94000, cpu = 230, run = 250)
+    // r9's q34 signature: 1.12s wall carrying 0.62s task time, cpu ~flat
+    assert(Bench.classifyTrip(row(1120, 94000, 240, 620), ref, 32) === "env")
+    // run >> cpu mid-task: threads descheduled by host contention
+    assert(Bench.classifyTrip(row(1120, 94000, 900, 2500), ref, 32) === "env")
+  }
+
+  test("classifyTrip: CPU grown at equal bytes, clean counters => cpi (rerun adjudicates)") {
+    // r9's q33 signature: cpu ≈ run BOTH inflated, bytes at reference, no
+    // spill/GC/recompiles — ambiguous, sent to bench/rerun_tripped.sh
+    val ref = row(ms = 510, bytes = 3L << 20, cpu = 480, run = 510)
+    assert(Bench.classifyTrip(row(1620, 3L << 20, 1550, 1600), ref, 32) === "cpi")
+    // same signature with host load far above our 32 threads: env
+    assert(Bench.classifyTrip(row(1620, 3L << 20, 1550, 1600, load = 5200), ref, 32) === "env")
+  }
+
+  test("classifyTrip: missing reference metrics row => noref") {
+    assert(Bench.classifyTrip(row(1620, 3L << 20, 1550, 1600), Map.empty, 32) === "noref")
+    assert(Bench.classifyTrip(Map.empty, row(510, 3L << 20, 480, 510), 32) === "noref")
+  }
 }
