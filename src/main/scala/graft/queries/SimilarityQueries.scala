@@ -1045,8 +1045,48 @@ object SimilarityQueries {
     // order-pinned ADC chain, the scores — agree exactly.
     QueryDef(
       "q24l_ivfpq_topk",
-      s"""WITH $sqlBaseCte,
-         |$sqlPqCtes,
+      sqlIvfPq) { (s, dir) =>
+      val (codes, qtab) = pqArtifacts(s, dir)
+      val cand = codes
+        .join(base(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(broadcast(probeMap(s, dir)), col("label") === col("plabel"))
+        .join(broadcast(qtab), Seq("qid", "m", "cid"))
+        .select(col("qid"), col("vec_id"), col("m"), col("d"))
+      pqAdcSearch(s, dir, cand)
+    },
+
+    // Q24M — q24l's serving LAYOUT executed (VERDICT r9 #2): the PQ codes
+    // table written ONE DIRECTORY PER COARSE CELL (partitionBy(cell)) and
+    // the probe routed as a LITERAL filter on the partition column, so the
+    // codes scan is STATICALLY partition-pruned at plan time — unprobed
+    // cells are never listed, opened, or read (PlanSpec pins
+    // partitionFilters + selected-partition count == probed-cell count,
+    // q41's mechanism applied to the ANN serving path). At 100 TB this is
+    // the FAISS/SPANN on-disk recipe: codes sharded by cell, a query's I/O
+    // proportional to its probed cells, independent of corpus size. The
+    // probed-cell list is collected driver-side — bounded by the coarse
+    // codebook size (NQueries × Probes pairs over ≤|cells| labels, router
+    // metadata a serving tier holds in memory), NOT corpus-sized. Results
+    // are identical to q24l by construction (same codebooks via shared
+    // Materialize tags, same probe map, same order-pinned ADC chain).
+    QueryDef(
+      "q24m_ivfpq_partitioned",
+      sqlIvfPq) { (s, dir) =>
+      val qtab = pqArtifacts(s, dir)._2
+      val cand = prunedCellCodes(s, dir)
+        .join(broadcast(probeMap(s, dir)), col("cell") === col("plabel"))
+        .join(broadcast(qtab), Seq("qid", "m", "cid"))
+        .select(col("qid"), col("vec_id"), col("m"), col("d"))
+      pqAdcSearch(s, dir, cand)
+    }
+  )
+
+  /** The q24l/q24m oracle: IVF-routed ADC over the shared PQ CTE chain —
+    * ONE text so the flat (q24l) and cell-partitioned (q24m) executions
+    * can never desynchronize from the oracle or from each other. */
+  private lazy val sqlIvfPq: String =
+    s"""WITH $sqlBaseCte,
+       |$sqlPqCtes,
          |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
          |  FROM base WHERE vec_id < $NQueries),
          |cdims AS (SELECT unnest(generate_series(1,
@@ -1086,31 +1126,47 @@ object SimilarityQueries {
          |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rank
          |  FROM rr)
          |SELECT qid, rank, vec_id, round(pcos, 6) AS cos
-         |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin) { (s, dir) =>
-      import VecFunctions.vecDot
-      import org.apache.spark.sql.expressions.Window
-      val (codes, qtab) = pqArtifacts(s, dir)
-      // coarse routing: q24b's centroid table (shared materialization tag)
-      val cent = Materialize(s, dir, "q24b_cent")(
-        decimalCentroids(base(s, dir), "label")
-          .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec")))))
-      val qs = base(s, dir).filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-          col("nrm").as("qnrm"))
-      val probe = broadcast(qs).crossJoin(broadcast(cent))
-        .withColumn("csim",
-          vecDot(col("cvec"), col("qemb")) / (col("cnrm") * col("qnrm")))
-        .withColumn("pr",
-          row_number().over(Window.partitionBy(col("qid"))
-            .orderBy(col("csim").desc, col("label"))))
-        .filter(col("pr") <= Probes)
-        .select(col("qid"), col("label").as("plabel"))
-      val cand = codes
-        .join(base(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
-        .join(broadcast(probe), col("label") === col("plabel"))
-        .join(broadcast(qtab), Seq("qid", "m", "cid"))
-        .select(col("qid"), col("vec_id"), col("m"), col("d"))
-      pqAdcSearch(s, dir, cand)
-    }
-  )
+         |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  /** IVF coarse-probe routing map (qid, plabel): each query's `Probes`
+    * nearest coarse cells by centroid cosine — q24b's centroid table
+    * (shared materialization tag), broadcast-sized. Shared by q24l (flat
+    * codes) and q24m (cell-partitioned codes) so the two executions route
+    * identically by construction. */
+  private def probeMap(s: SparkSession, dir: String): DataFrame = {
+    import VecFunctions.vecDot
+    import org.apache.spark.sql.expressions.Window
+    val cent = Materialize(s, dir, "q24b_cent")(
+      decimalCentroids(base(s, dir), "label")
+        .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec")))))
+    val qs = base(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"))
+    broadcast(qs).crossJoin(broadcast(cent))
+      .withColumn("csim",
+        vecDot(col("cvec"), col("qemb")) / (col("cnrm") * col("qnrm")))
+      .withColumn("pr",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("csim").desc, col("label"))))
+      .filter(col("pr") <= Probes)
+      .select(col("qid"), col("label").as("plabel"))
+  }
+
+  /** q24m's statically partition-pruned codes scan: the PQ codes laid out
+    * `partitionBy(cell)` (cell = IVF coarse label), filtered by a LITERAL
+    * IN over the session's probed-cell set. The filter resolves against
+    * directory names at planning time — unprobed cells' files are never
+    * listed or opened (PlanSpec pins selected-partition count ==
+    * probed-cell count). Exposed for the spec, like q41's prunedWeek. */
+  private[graft] def prunedCellCodes(s: SparkSession, dir: String): DataFrame = {
+    val codes = pqArtifacts(s, dir)._1
+    val byCell = Materialize.partitioned(s, dir, "q24m_codes_by_cell", Seq("cell"))(
+      codes.join(base(s, dir).select(col("vec_id"), col("label").as("cell")),
+        Seq("vec_id")))
+    // the probed-cell literal: distinct plabel of the broadcast-sized probe
+    // map — router metadata (≤ |coarse cells| values), collected once
+    val cells = probeMap(s, dir).select(col("plabel")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    byCell.filter(col("cell").isin(cells.map(Int.box): _*))
+  }
 }

@@ -217,6 +217,28 @@ class PlanSpec extends SparkSpec {
       "date filter must prune directories, not re-filter rows")
   }
 
+  test("q24m: the PQ codes scan prunes to exactly the probed cells at plan time") {
+    // the ANN serving layout (VERDICT r9 #2): codes partitionBy(cell), the
+    // probe routed as a literal partition-column filter — unprobed cells'
+    // directories are never listed, opened, or scanned
+    val pruned = graft.queries.SimilarityQueries.prunedCellCodes(spark, sf)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("expected a FileSourceScanExec over the cell-partitioned codes"))
+    // both counts derived from the data: the probed set is the frame's own
+    // distinct cells; the written set is the full coarse-label domain
+    val probed = pruned.select("cell").distinct().count()
+    val written = graft.sources.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(probed > 0 && probed < written,
+      s"fixture probes every cell ($probed of $written) — pruning unobservable")
+    assert(scan.selectedPartitions.partitionCount == probed,
+      s"expected $probed pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(scan.dataFilters.isEmpty,
+      "cell filter must prune directories, not re-filter rows")
+  }
+
   private def withConfs[T](pairs: (String, String)*)(f: => T): T =
     graft.Confs.withConfs(spark, pairs: _*)(f)
 
