@@ -110,10 +110,90 @@ object DedupQueries {
   /** q23i's deterministic recall-sample rule: every doc with
     * doc_id % 10 == 0 is a monitored query point. Fixed RATE (not fixed
     * count) keeps the eval's cost profile constant per unit data while the
-    * sample stays representative; a production run monitoring a 100 TB
-    * corpus would pin a fixed COUNT instead (mod chosen from the footer row
-    * count) to cap the eval at a constant absolute cost. */
+    * sample stays representative. The production fixed-COUNT form — mod
+    * derived from the footer row count so the eval's absolute cost is
+    * CONSTANT as the corpus grows — is q23j ([[recallSampleMod]];
+    * VERDICT r9 #3). */
   private val RecallSampleMod = 10
+
+  /** q23j's target sample SIZE: the monitored-query count a production
+    * recall monitor pins regardless of corpus scale. */
+  private val RecallSampleTarget = 50
+
+  /** q23j's corpus-derived sample modulus: ⌊n / target⌋ (≥1) from parquet
+    * footer metadata — no scan job; doc_id % mod == 0 then selects ~target
+    * docs at EVERY scale (the ×10/×20 growth rows measure the flat
+    * sample-side work). The same rule is spelled in the oracle's dialect
+    * ([[sqlRecallSampleMod]]) so both engines derive the identical mod
+    * from the identical table. */
+  private def recallSampleMod(s: SparkSession, dir: String): Long =
+    math.max(1L,
+      Tables.parquetRowCount(s, s"$dir/documents.parquet") / RecallSampleTarget)
+
+  private val sqlRecallSampleMod: String =
+    s"(SELECT GREATEST(COUNT(*) // $RecallSampleTarget, 1) FROM documents)"
+
+  /** Banding-recall eval oracle, parameterized on the sample-modulus
+    * expression — ONE text for q23i (literal rate) and q23j (corpus-derived
+    * fixed count) so the two monitors can never diverge on eval semantics. */
+  private def sqlRecallEval(modExpr: String): String =
+    s"""WITH $sqlSigCtes,
+       |$sqlPairCtes,
+       |sizes AS (SELECT doc_id, len(shash) AS nsh FROM sig),
+       |post AS (SELECT doc_id, unnest(shash) AS h FROM sig),
+       |qpost AS (SELECT doc_id AS qid, h FROM post
+       |          WHERE doc_id % $modExpr = 0),
+       |shared AS (
+       |  SELECT qid, p.doc_id AS did, COUNT(*) AS sh
+       |  FROM qpost q JOIN post p ON q.h = p.h AND p.doc_id <> q.qid
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT qid, COUNT(*) AS truth_pairs
+       |  FROM shared JOIN sizes a ON a.doc_id = qid
+       |              JOIN sizes b ON b.doc_id = did
+       |  WHERE sh::DOUBLE / (a.nsh + b.nsh - sh) >= 0.2
+       |  GROUP BY 1),
+       |found AS (
+       |  SELECT qid, COUNT(*) AS found_pairs
+       |  FROM (SELECT unnest([da, db]) AS qid FROM pairs)
+       |  WHERE qid % $modExpr = 0 GROUP BY 1)
+       |SELECT t.qid AS doc_id, truth_pairs,
+       |  COALESCE(found_pairs, 0) AS found_pairs,
+       |  COALESCE(found_pairs, 0)::DOUBLE / truth_pairs AS recall
+       |FROM truth t LEFT JOIN found f ON f.qid = t.qid
+       |ORDER BY doc_id""".stripMargin
+
+  /** The recall eval's DataFrame program, parameterized on the sample
+    * modulus — shared by q23i and q23j (see [[sqlRecallEval]]). Ground
+    * truth comes from the shingle inverted index (explode + equi-join +
+    * per-pair shared count — linear, never all-pairs); the sampled query
+    * side is ≤ ⌈n/mod⌉ docs, which q23j holds constant by scale. */
+  private def recallEvalFrame(s: SparkSession, dir: String, mod: Long): DataFrame = {
+    val sigs = sigTable(s, dir)
+    val sizes = sigs.select(col("doc_id"), size(col("shash")).as("nsh"))
+    val post = sigs.select(col("doc_id"), explode(col("shash")).as("h"))
+    val qpost = post.filter(col("doc_id") % mod === 0)
+      .select(col("doc_id").as("qid"), col("h"))
+    val shared = qpost.join(post, Seq("h"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id").as("did"))
+      .agg(count(lit(1)).as("sh"))
+    val truth = shared
+      .join(sizes.select(col("doc_id").as("qid"), col("nsh").as("na")), "qid")
+      .join(sizes.select(col("doc_id").as("did"), col("nsh").as("nb")), "did")
+      .filter(col("sh").cast("double") / (col("na") + col("nb") - col("sh")) >= 0.2)
+      .groupBy(col("qid")).agg(count(lit(1)).as("truth_pairs"))
+    val found = confirmedPairs(s, dir)
+      .select(explode(array(col("da"), col("db"))).as("qid"))
+      .filter(col("qid") % mod === 0)
+      .groupBy(col("qid")).agg(count(lit(1)).as("found_pairs"))
+    truth.join(found, Seq("qid"), "left")
+      .select(col("qid").as("doc_id"), col("truth_pairs"),
+        coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
+        (coalesce(col("found_pairs"), lit(0L)).cast("double") / col("truth_pairs"))
+          .as("recall"))
+      .orderBy("doc_id")
+  }
 
   private val sqlPairCtes =
     s"""bands AS (
@@ -397,55 +477,27 @@ object DedupQueries {
     // this table.
     QueryDef(
       "q23i_lsh_recall_eval",
-      s"""WITH $sqlSigCtes,
-         |$sqlPairCtes,
-         |sizes AS (SELECT doc_id, len(shash) AS nsh FROM sig),
-         |post AS (SELECT doc_id, unnest(shash) AS h FROM sig),
-         |qpost AS (SELECT doc_id AS qid, h FROM post
-         |          WHERE doc_id % $RecallSampleMod = 0),
-         |shared AS (
-         |  SELECT qid, p.doc_id AS did, COUNT(*) AS sh
-         |  FROM qpost q JOIN post p ON q.h = p.h AND p.doc_id <> q.qid
-         |  GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT qid, COUNT(*) AS truth_pairs
-         |  FROM shared JOIN sizes a ON a.doc_id = qid
-         |              JOIN sizes b ON b.doc_id = did
-         |  WHERE sh::DOUBLE / (a.nsh + b.nsh - sh) >= 0.2
-         |  GROUP BY 1),
-         |found AS (
-         |  SELECT qid, COUNT(*) AS found_pairs
-         |  FROM (SELECT unnest([da, db]) AS qid FROM pairs)
-         |  WHERE qid % $RecallSampleMod = 0 GROUP BY 1)
-         |SELECT t.qid AS doc_id, truth_pairs,
-         |  COALESCE(found_pairs, 0) AS found_pairs,
-         |  COALESCE(found_pairs, 0)::DOUBLE / truth_pairs AS recall
-         |FROM truth t LEFT JOIN found f ON f.qid = t.qid
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sigs = sigTable(s, dir)
-      val sizes = sigs.select(col("doc_id"), size(col("shash")).as("nsh"))
-      val post = sigs.select(col("doc_id"), explode(col("shash")).as("h"))
-      val qpost = post.filter(col("doc_id") % RecallSampleMod === 0)
-        .select(col("doc_id").as("qid"), col("h"))
-      val shared = qpost.join(post, Seq("h"))
-        .filter(col("doc_id") =!= col("qid"))
-        .groupBy(col("qid"), col("doc_id").as("did"))
-        .agg(count(lit(1)).as("sh"))
-      val truth = shared
-        .join(sizes.select(col("doc_id").as("qid"), col("nsh").as("na")), "qid")
-        .join(sizes.select(col("doc_id").as("did"), col("nsh").as("nb")), "did")
-        .filter(col("sh").cast("double") / (col("na") + col("nb") - col("sh")) >= 0.2)
-        .groupBy(col("qid")).agg(count(lit(1)).as("truth_pairs"))
-      val found = confirmedPairs(s, dir)
-        .select(explode(array(col("da"), col("db"))).as("qid"))
-        .filter(col("qid") % RecallSampleMod === 0)
-        .groupBy(col("qid")).agg(count(lit(1)).as("found_pairs"))
-      truth.join(found, Seq("qid"), "left")
-        .select(col("qid").as("doc_id"), col("truth_pairs"),
-          coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
-          (coalesce(col("found_pairs"), lit(0L)).cast("double") / col("truth_pairs"))
-            .as("recall"))
-        .orderBy("doc_id")
+      sqlRecallEval(RecallSampleMod.toString)) { (s, dir) =>
+      recallEvalFrame(s, dir, RecallSampleMod.toLong)
+    },
+
+    // X2+/Q23j — q23i's production form (VERDICT r9 #3): the recall
+    // monitor at FIXED SAMPLE SIZE. q23i's fixed-RATE sample makes the
+    // eval's total work O(corpus × rate) — at 100 TB that monitors ten
+    // billion docs. A production monitor pins a fixed COUNT instead: the
+    // modulus is derived from the corpus row count (parquet footer
+    // metadata — no scan job; the identical GREATEST(n // target, 1) rule
+    // as a 1-row subquery on the oracle side), so doc_id % mod == 0
+    // selects ~RecallSampleTarget monitored docs at EVERY scale and the
+    // query-side postings, truth join, and recall math stay CONSTANT-sized
+    // as the corpus grows (the ×10/×20 growth rows measure exactly this —
+    // flat sample-side work). Same eval semantics as q23i otherwise:
+    // banding recall vs exact-Jaccard ground truth from the inverted
+    // index, found ⊆ truth by construction.
+    QueryDef(
+      "q23j_lsh_recall_fixed_count",
+      sqlRecallEval(sqlRecallSampleMod)) { (s, dir) =>
+      recallEvalFrame(s, dir, recallSampleMod(s, dir))
     },
 
     // X2+/Q23g — FULL connected components over the confirmed near-dup
