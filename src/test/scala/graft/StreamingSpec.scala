@@ -93,6 +93,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 11:00:00.0") === 1L, rows.toString)
   }
 
+  test("q29c gate state is EVICTED behind the watermark, never corpus-sized") {
+    // VERDICT r9 #4: the in-flight-state claim, configured and measured.
+    // The gate's only stateful operator groups by (event-time window,
+    // doc_id) behind a watermark; once the watermark passes a window its
+    // groups leave the store. A long replay (4 slices, far apart in
+    // arrival time) must therefore end with state ~ one slice's docs in
+    // the horizon — NOT the 4-slice corpus a TTL-less per-doc count
+    // would have accumulated.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(50).toSeq
+    assert(docs.size == 50, s"fixture too small: ${docs.size}")
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.queries.DedupQueries.neardupGateStream(
+      spark, sf, mem.toDF().toDF("doc_id", "text"))
+    val q = gated.writeStream.format("memory").queryName("gate_state_test")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      var lastState = -1L
+      for (k <- 0 until 4) {
+        // fresh ids per slice, arrival times ~28 h apart — each slice is
+        // far outside the previous slices' watermark horizon
+        mem.addData(docs.map { case (id, text) => (id + k * 100000L, text) }: _*)
+        q.processAllAvailable()
+        lastState = q.recentProgress.toSeq.flatMap(_.stateOperators.headOption)
+          .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+      }
+      // every doc of every slice was gated exactly once...
+      val emitted = spark.table("gate_state_test")
+        .select($"doc_id").distinct().count()
+      assert(emitted === 200L, s"expected 200 gated docs, got $emitted")
+      // ...but the store holds only the horizon, not the corpus
+      assert(lastState >= 0, "no state-operator metrics reported")
+      assert(lastState < 100,
+        s"state not evicted: $lastState rows in store after 200 docs ingested")
+    } finally q.stop()
+  }
+
   test("streaming observe() surfaces per-batch health counters in query progress") {
     // the streaming half of runBatchObserved's zero-extra-scan monitoring:
     // observe() on an unbounded frame reports its aggregates PER MICRO-BATCH
