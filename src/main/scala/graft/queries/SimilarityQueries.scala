@@ -39,6 +39,23 @@ object SimilarityQueries {
     s"q24k discount table covers ${NdcgDiscounts.length} ranks but K = $K — " +
       "extend it before raising K or both engines silently drop the tail")
 
+  /** q24k IDCG prefix table, derived from [[NdcgDiscounts]] ALONE
+    * (ADVICE r9): index j = the ideal DCG of j relevant results in the
+    * top-K — the exact DECIMAL(28,12) accumulation both engines previously
+    * performed row-wise over the ACTUAL result list. Making IDCG a
+    * function of the discount literals (not of result rows) keeps NDCG
+    * correct even when the corpus has fewer than K+1 vectors and the
+    * result list comes up short. Shared as decimal STRINGS: each engine
+    * parses the identical literal, so the doubles agree by construction
+    * (and equal the old row-summed values whenever the list was full —
+    * verified by q24k's unchanged oracle hash). */
+  private val NdcgIdcgPrefix: Seq[String] =
+    NdcgDiscounts.take(K)
+      .scanLeft(java.math.BigDecimal.ZERO)((acc, d) =>
+        acc.add(java.math.BigDecimal.valueOf(d)
+          .setScale(12, java.math.RoundingMode.HALF_UP)))
+      .map(_.toPlainString)
+
   /** q24j MMR geometry: rerank the top-`MmrPool` relevance shortlist down
     * to `MmrK` diversified picks; score = λ·rel − (1−λ)·max-sim-to-chosen.
     * λ and 1−λ are spelled as separate literals so both engines parse the
@@ -958,13 +975,20 @@ object SimilarityQueries {
     // plus ONE per-label count aggregate (|labels| rows, broadcast) for
     // the ideal-DCG normalizer — nothing pairwise, nothing resorted.
     // Determinism: log2 discounts are shared literal constants (see
-    // NdcgDiscounts), and both DCG and IDCG go through the exact decimal
-    // accumulator, so the only float ops are divisions of identical
-    // operands.
+    // NdcgDiscounts), DCG goes through the exact decimal accumulator, and
+    // IDCG is a literal prefix table over those same constants
+    // (NdcgIdcgPrefix — never read off the actual result list, so a short
+    // list can't silently deflate it; ADVICE r9), leaving divisions of
+    // identical operands as the only float ops.
     QueryDef(
       "q24k_ndcg_eval", {
       val discCase = NdcgDiscounts.zipWithIndex
         .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+      // IDCG straight from the literal prefix table (ADVICE r9): the ideal
+      // ranking's DCG depends only on how many relevant results exist, so
+      // it must never be read off the actual (possibly short) result list
+      val idcgCase = NdcgIdcgPrefix.zipWithIndex
+        .map { case (p, j) => s"WHEN $j THEN CAST('$p' AS DOUBLE)" }.mkString(" ")
       s"""WITH $sqlBaseCte,
          |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
          |             label AS qlabel
@@ -986,14 +1010,15 @@ object SimilarityQueries {
          |  JOIN q ON r.qid = q.qid),
          |agg AS (SELECT rw.qid,
          |    CAST(SUM(CAST(rw.rel * rw.disc AS DECIMAL(28,12))) AS DOUBLE) AS dcg,
-         |    CAST(SUM(CAST(CASE WHEN rw.rank <= LEAST(rc.n_rel, $K)
-         |      THEN rw.disc ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE) AS idcg,
          |    MIN(CASE WHEN rw.rel = 1 THEN rw.rank END) AS fr
-         |  FROM rws rw JOIN rcount rc ON rw.qid = rc.qid GROUP BY rw.qid)
-         |SELECT a.qid, rc.n_rel,
-         |  round(CASE WHEN a.idcg > 0.0 THEN a.dcg / a.idcg ELSE 0.0 END, 6) AS ndcg5,
+         |  FROM rws rw GROUP BY rw.qid),
+         |ideal AS (SELECT qid, n_rel,
+         |    CASE LEAST(n_rel, $K) $idcgCase END AS idcg
+         |  FROM rcount)
+         |SELECT a.qid, i.n_rel,
+         |  round(CASE WHEN i.idcg > 0.0 THEN a.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg5,
          |  round(COALESCE(1.0 / a.fr, 0.0), 6) AS mrr
-         |FROM agg a JOIN rcount rc ON a.qid = rc.qid
+         |FROM agg a JOIN ideal i ON a.qid = i.qid
          |ORDER BY a.qid""".stripMargin
       }) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
@@ -1012,16 +1037,21 @@ object SimilarityQueries {
         .join(broadcast(qs), Seq("qid"))
         .select(col("qid"), col("rank"), disc.as("disc"),
           when(col("label") === col("qlabel"), 1).otherwise(0).as("rel"))
-      val agg = rws.join(broadcast(rcount), Seq("qid"))
+      val agg = rws
         .groupBy(col("qid"))
         .agg(
           sum((col("rel") * col("disc")).cast(DecimalType(28, 12)))
             .cast("double").as("dcg"),
-          sum(when(col("rank") <= least(col("n_rel"), lit(K.toLong)), col("disc"))
-            .otherwise(lit(0.0)).cast(DecimalType(28, 12)))
-            .cast("double").as("idcg"),
           min(when(col("rel") === 1, col("rank"))).as("fr"))
+      // IDCG from the shared literal prefix table keyed by min(n_rel, K) —
+      // independent of how many result rows actually came back (ADVICE r9)
+      val nIdeal = least(col("n_rel"), lit(K.toLong))
+      val idcg = NdcgIdcgPrefix.zipWithIndex.tail.foldLeft(
+        when(nIdeal === 0, lit(NdcgIdcgPrefix.head).cast("double"))) {
+        case (acc, (p, j)) => acc.when(nIdeal === j, lit(p).cast("double"))
+      }
       agg.join(broadcast(rcount), Seq("qid"))
+        .withColumn("idcg", idcg)
         .select(
           col("qid"), col("n_rel"),
           round(when(col("idcg") > 0.0, col("dcg") / col("idcg"))
