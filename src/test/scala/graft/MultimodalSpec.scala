@@ -77,6 +77,52 @@ class MultimodalSpec extends SparkSpec {
     assert(cdcAvg > frameAvg * 4)
   }
 
+  /** The q26d oracle's CDC rule replayed exactly as DuckDB computes it —
+    * Horner folds over the CODEPOINT array (TextHash.sqlCdcCodes uses
+    * ascii(ch)), window over codepoint positions — where the engine's
+    * CdcChunkFps folds UTF-8 BYTES. Identical on ASCII; divergent beyond. */
+  private def codepointCdcFps(s: String): Set[Long] = {
+    import graft.functions.TextHash.{CdcB, CdcDiv, CdcW, FpMult, Mod}
+    val codes = s.codePoints.toArray.map(_.toLong)
+    val n = codes.length
+    val bnds = (CdcW to math.max(n, CdcW)).filter(i => i < n &&
+      codes.slice(i - CdcW, i).foldLeft(0L)((a, x) => (a * CdcB + x) % Mod)
+        % CdcDiv == 0)
+    val cuts = 0 +: bnds :+ n
+    cuts.sliding(2).map { case Seq(a, b) =>
+      codes.slice(a, b).foldLeft(0L)((acc, x) => (acc * FpMult + x) % Mod)
+    }.toSet
+  }
+
+  private def engineCdcFps(s: String): Set[Long] =
+    graft.functions.CdcChunkFps
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      .toLongArray().toSet
+
+  test("non-ASCII text breaks CDC oracle parity — and the corpus tripwire catches it") {
+    // VERDICT r9 #7: the byte-vs-codepoint parity between CdcChunkFps and
+    // the DuckDB oracle holds ONLY on ASCII corpora. Pin both halves:
+    // (1) the divergence is real — a multibyte payload makes the two rules
+    // disagree, so this is a genuine landmine, not a theoretical one;
+    // (2) the tripwire — today's testdata is all-ASCII, so a regenerated
+    // corpus with multibyte text fails HERE with a pointer at q26d instead
+    // of surfacing as an inscrutable oracle hash mismatch.
+    val ascii = "the quick brown fox jumps over the lazy dog, twice over. " * 4
+    assert(engineCdcFps(ascii) === codepointCdcFps(ascii),
+      "byte and codepoint CDC folds must agree on pure ASCII")
+    val multibyte = "thé qüick brøwn fox jümps över the låzy dög, twice över. " * 4
+    assert(engineCdcFps(multibyte) !== codepointCdcFps(multibyte),
+      "expected byte-fold vs codepoint-fold divergence on multibyte text — " +
+        "if these now agree, the q26d oracle was changed; update this pin")
+    import org.apache.spark.sql.functions.col
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(!col("text").rlike("^[\\u0000-\\u007F]*$")).count()
+    assert(nonAscii === 0L,
+      s"$nonAscii documents carry non-ASCII text: q26d's (and q26c's) " +
+        "byte-oriented oracle parity no longer holds on this corpus — switch " +
+        "the oracle to byte-array folding before trusting their hash compare")
+  }
+
   test("media schema round-trips through parquet with binary payload intact") {
     val dir = TempDirs.create("graft_media_")
     import spark.implicits._
