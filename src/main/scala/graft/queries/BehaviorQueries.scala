@@ -165,6 +165,17 @@ object BehaviorQueries {
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** q32d's basket frame over the bucketed (order, part) projection: the
+    * scan of the CLUSTERED BY l_orderkey table carries
+    * HashPartitioning(l_orderkey), so this collect_set aggregation plans
+    * with NO exchange — the family's corpus-sized keying shuffle lives in
+    * the one-time layout job instead. Exposed for PlanSpec's pin. */
+  private[graft] def bucketedBaskets(s: SparkSession, dir: String): DataFrame =
+    Bucketed(s, dir, "q32d_op", 32, "l_orderkey")(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct())
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+
   val defs: Seq[QueryDef] = Seq(
     // Q32 — market-basket co-purchase pairs: parts appearing in the same
     // order, support ≥ 3 orders. Distinct (order, part) so multi-line items
@@ -253,6 +264,36 @@ object BehaviorQueries {
           expr("(n_pair * 1000000 * n_orders) div (n_a * n_b)").as("lift_fp"))
         .orderBy(col("lift_fp").desc, col("antecedent"), col("consequent"))
         .limit(100)
+    },
+
+    // Q32d — q32 over a BUCKETED basket table (VERDICT r9 #8): the heavy
+    // q32 family's one corpus-sized shuffle is the order-key exchange
+    // feeding the basket collect_set; this variant reads the distinct
+    // (order, part) projection from a table CLUSTERED BY l_orderkey
+    // (q28b-adjacent machinery, `Bucketed`), so the scan itself carries
+    // HashPartitioning(l_orderkey) and the basket aggregation starts
+    // MAP-SIDE — no exchange between scan and collect_set (PlanSpec pins
+    // zero ShuffleExchange in the basket subplan). The keying shuffle moved
+    // into the one-time layout job, which is the trade a 100 TB behavior
+    // store makes: every recurring basket/session/attribution query over
+    // the clustered table skips its first exchange. Results are q32's
+    // exactly (same oracle text): bucketing changes layout, never content.
+    QueryDef(
+      "q32d_copurchase_bucketed",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY pa, pb HAVING COUNT(*) >= 3
+        |ORDER BY n_orders DESC, pa, pb""".stripMargin) { (s, dir) =>
+      bucketedBaskets(s, dir)
+        .select(posexplode(col("parts")).as(Seq("i", "pa")), col("parts"))
+        .select(col("i"), col("pa"), posexplode(col("parts")).as(Seq("j", "pb")))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 3)
+        .orderBy(col("n_orders").desc, col("pa"), col("pb"))
     },
 
     // Q33 — batch sessionization (gaps-and-islands): flag rows whose gap

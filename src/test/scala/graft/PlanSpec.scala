@@ -217,6 +217,17 @@ class PlanSpec extends SparkSpec {
       "date filter must prune directories, not re-filter rows")
   }
 
+  test("q32d: the basket aggregation plans with NO exchange over the bucketed table") {
+    // VERDICT r9 #8: the q32 family's corpus-sized order-key shuffle moves
+    // into the one-time CLUSTERED BY layout job; the recurring basket
+    // aggregation must then start map-side — zero ShuffleExchange anywhere
+    // in its plan (the scan's bucketing satisfies the agg's distribution)
+    val baskets = graft.queries.BehaviorQueries.bucketedBaskets(spark, sf)
+    val plan = baskets.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(baskets.limit(1).count() === 1L, "bucketed basket table is empty")
+  }
+
   test("q24m: the PQ codes scan prunes to exactly the probed cells at plan time") {
     // the ANN serving layout (VERDICT r9 #2): codes partitionBy(cell), the
     // probe routed as a literal partition-column filter — unprobed cells'
