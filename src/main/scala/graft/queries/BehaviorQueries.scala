@@ -153,17 +153,36 @@ object BehaviorQueries {
   /** Spark twin of [[sqlSessionCtes]]: events with a per-user session id.
     * Both windows share one (user_id)-partitioned sort — a single shuffle
     * and a single per-partition sort at any scale. */
-  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+  private def sessionized(s: SparkSession, dir: String): DataFrame =
+    sessionizedFrame(Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value")))
+
+  /** The gap-flag → running-sum session program over an arbitrary event
+    * frame — shared by q33 (flat scan, one keying shuffle) and q33d
+    * (bucketed scan, zero shuffles). */
+  private def sessionizedFrame(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(unix_micros(col("ts")), 1).over(w)
-    Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    ev
       .withColumn("brk",
         when(unix_micros(col("ts")) - prev > GapMicros || prev.isNull, 1L)
           .otherwise(0L))
       .withColumn("sid",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** q33d's session frame over the user-bucketed events table: the
+    * CLUSTERED BY user_id scan carries HashPartitioning(user_id), which
+    * satisfies BOTH the session windows' partitioning AND the downstream
+    * (user_id, sid) aggregation's clustering (user_id is a subset of the
+    * group key), so the whole sessionize pipeline plans with ZERO
+    * exchanges — only the in-partition (ts, event_id) sort remains.
+    * Exposed for PlanSpec's pin. */
+  private[graft] def bucketedSessionized(s: SparkSession, dir: String): DataFrame =
+    sessionizedFrame(Bucketed(s, dir, "q33d_events", 32, "user_id")(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"))))
 
   /** q32d's basket frame over the bucketed (order, part) projection: the
     * scan of the CLUSTERED BY l_orderkey table carries
@@ -309,6 +328,34 @@ object BehaviorQueries {
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
       sessionized(s, dir)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"),
+          max(col("ts")).as("t_end"),
+          Det.dsum(col("value")).as("val_sum"))
+        .orderBy("user_id", "sid")
+    },
+
+    // Q33d — q33 over USER-BUCKETED events (q32d's trade on the session
+    // path): the behavior store laid out CLUSTERED BY user_id serves the
+    // whole sessionize family — the scan's HashPartitioning(user_id)
+    // satisfies the session windows AND the (user_id, sid) aggregation
+    // (user_id ⊂ group key), so the entire pipeline plans with ZERO
+    // exchanges (PlanSpec pin); only the per-partition (ts, event_id) sort
+    // remains, which bucketBy's sortBy cannot pre-pay (it sorts by the
+    // bucket key alone). At 100 TB: sessionization, Markov transitions
+    // (q33c), SCD2 (q36), and attribution all ride this one layout —
+    // every recurring run skips the corpus-sized user shuffle. Results are
+    // q33's exactly (same oracle text).
+    QueryDef(
+      "q33d_sessionize_bucketed",
+      s"""WITH $sqlSessionCtes
+         |SELECT user_id, sid, COUNT(*) AS n_events,
+         |  MIN(ts) AS t_start, MAX(ts) AS t_end, ${Det.sqlSum("value")} AS val_sum
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
+      bucketedSessionized(s, dir)
         .groupBy(col("user_id"), col("sid"))
         .agg(
           count(lit(1)).as("n_events"),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.Tables
-import org.apache.spark.sql.functions.{col, concat, lit, to_date, when}
+import org.apache.spark.sql.functions.{col, concat, count, lit, to_date, when}
 
 /** Physical-plan regression guards: the properties that make these queries
   * scale — predicate pushdown into the parquet scan, column pruning,
@@ -226,6 +226,18 @@ class PlanSpec extends SparkSpec {
     val plan = baskets.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     assert(baskets.limit(1).count() === 1L, "bucketed basket table is empty")
+  }
+
+  test("q33d: sessionize + session agg plan with ZERO exchanges over bucketed events") {
+    // the user-bucketed scan's HashPartitioning(user_id) must satisfy both
+    // the session windows and the (user_id, sid) aggregation — the whole
+    // pipeline short of the presentation sort runs without a shuffle
+    val sess = graft.queries.BehaviorQueries.bucketedSessionized(spark, sf)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"))
+    val plan = sess.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(sess.limit(1).count() === 1L, "bucketed events table is empty")
   }
 
   test("q24m: the PQ codes scan prunes to exactly the probed cells at plan time") {
