@@ -40,7 +40,10 @@ class OracleSqlSpec extends AnyFunSuite {
     // and the same expression order runs on the Spark side.
     ("q24i_pq_topk", "dotv"),
     // q24l: the identical fixed-order ADC chain, over the IVF-routed subset
-    ("q24l_ivfpq_topk", "dotv")
+    ("q24l_ivfpq_topk", "dotv"),
+    // q24m: shares q24l's oracle text verbatim (cell-partitioned layout
+    // changes I/O, never the statement), so the same vetted chain applies
+    ("q24m_ivfpq_partitioned", "dotv")
   )
 
   private case class RawSum(alias: String, snippet: String)
