@@ -58,6 +58,10 @@ object Explain {
     "q24k_ndcg_eval", // literal discounts; per-label count broadcast; decimal DCG
     "q42b_label_propagation", // per-round edge⋈label join + degree-bounded argmax
     "q38b_compaction_plan", // file-stats agg + per-day bounded prefix-sum window
+    "q24m_ivfpq_partitioned", // cell-partitioned codes, statically pruned probe scan
+    "q23j_lsh_recall_fixed_count", // footer-derived sample modulus; constant query side
+    "q32d_copurchase_bucketed", // bucketed basket table: exchange-free collect_set
+    "q33d_sessionize_bucketed", // user-bucketed events: zero-exchange sessionize
     "q24l_ivfpq_topk", // IVF-routed ADC: probe map + codebooks broadcast
     "q22f_cluster_split", // canon left-join + scan-riding hash split
     "q36d_asof_read") // interval containment filter riding the q36 frame

@@ -154,4 +154,15 @@ class ScaleOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("layout variants return exactly their flat twins' rows") {
+    // the round-10 layout executions (cell-partitioned PQ codes, bucketed
+    // baskets/events) must change I/O shape ONLY — row-for-row equality
+    // with the flat forms, on the ordered output both declare
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    assert(rows("q32d_copurchase_bucketed") === rows("q32_copurchase_pairs"))
+    assert(rows("q33d_sessionize_bucketed") === rows("q33_sessionize"))
+    assert(rows("q24m_ivfpq_partitioned") === rows("q24l_ivfpq_topk"))
+  }
 }
