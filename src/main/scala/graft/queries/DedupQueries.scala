@@ -459,6 +459,65 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // X1+X4/Q22g — benchmark DECONTAMINATION (round 10): the eval-set
+    // n-gram-overlap scrub every serious pretraining pipeline runs (the
+    // GPT-3 appendix-C recipe; Lee et al. 2022 §6) — distinct from q22f,
+    // which fences INTRA-corpus duplicates across the split; this fences
+    // the corpus against an EXTERNAL benchmark: any train doc sharing a
+    // token shingle with a held-out doc is flagged (with its hit counts,
+    // so the operator reports severity, not just membership). Held-out
+    // stand-in = doc_id % 10 == 7 (production: the actual benchmark files;
+    // n here = the dedup family's shared ShingleN — production uses
+    // 13-grams, one constant). Scale shape: the benchmark side is TINY at
+    // any corpus scale (evals are MBs against 100 TB), so its posting list
+    // BROADCASTS into the train postings — the contamination check rides
+    // the corpus scan with no corpus-sized shuffle except the per-doc hit
+    // aggregation over the (contamination-sized) hit set; both distinct
+    // counts are computed as separate dedup+count aggs sharing the doc_id
+    // shuffle, NOT one multi-DISTINCT Expand (q37's lesson). Reads the
+    // shared materialized signature table — no new corpus pass.
+    QueryDef(
+      "q22g_decontaminate",
+      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |shd AS (SELECT doc_id,
+         |  list_distinct(${sqlHashArray(sqlShingles("toks"))}) AS shash FROM src),
+         |bpost AS (SELECT doc_id AS bid, unnest(shash) AS h FROM shd
+         |          WHERE doc_id % 10 = 7),
+         |tpost AS (SELECT doc_id, unnest(shash) AS h FROM shd
+         |          WHERE doc_id % 10 <> 7),
+         |hits AS (SELECT DISTINCT t.doc_id, t.h, b.bid
+         |         FROM tpost t JOIN bpost b USING (h)),
+         |hsh AS (SELECT doc_id, COUNT(*) AS n_hit_shingles
+         |        FROM (SELECT DISTINCT doc_id, h FROM hits) GROUP BY doc_id),
+         |hbd AS (SELECT doc_id, COUNT(*) AS n_bench_docs
+         |        FROM (SELECT DISTINCT doc_id, bid FROM hits) GROUP BY doc_id)
+         |SELECT s.doc_id, n_hit_shingles, n_bench_docs,
+         |  len(s.shash) AS n_shingles,
+         |  n_hit_shingles::DOUBLE / len(s.shash) AS hit_frac
+         |FROM hsh JOIN hbd USING (doc_id) JOIN shd s USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val sig = sigTable(s, dir).select(col("doc_id"), col("shash"))
+      val bpost = sig.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("bid"), explode(col("shash")).as("h"))
+      val train = sig.filter(col("doc_id") % 10 =!= 7)
+      val hits = train
+        .select(col("doc_id"), explode(col("shash")).as("h"))
+        .join(broadcast(bpost), Seq("h"))
+        .select(col("doc_id"), col("h"), col("bid")).distinct()
+      val hsh = hits.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_shingles"))
+      val hbd = hits.select(col("doc_id"), col("bid")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bench_docs"))
+      hsh.join(hbd, Seq("doc_id"))
+        .join(train.select(col("doc_id"), size(col("shash")).as("n_shingles")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_hit_shingles"), col("n_bench_docs"),
+          col("n_shingles").cast("long").as("n_shingles"),
+          (col("n_hit_shingles").cast("double") / col("n_shingles"))
+            .as("hit_frac"))
+        .orderBy("doc_id")
+    },
+
     // X2+/Q23i — LSH recall eval: q24g's measured-quality rigor for the
     // TEXT near-dup family. Per sampled doc (deterministic doc_id % 10
     // sample — what a production dedup run monitors continuously), recall
