@@ -331,16 +331,20 @@ object SimilarityQueries {
         (vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm"))).as("cos"))
   }
 
-  /** Shared q24i/q24l PQ oracle CTE chain: per-subspace codebook training
-    * (2 unrolled Lloyd rounds keyed by subspace) ending in
+  /** Shared q24i/q24l/q24m/q24n PQ oracle CTE chain: per-subspace codebook
+    * training (2 unrolled Lloyd rounds keyed by subspace) ending in
     * `codes(vec_id, m, cid)` and `qtab(qid, m, cid, d)` — ONE definition so
-    * the two PQ oracles can never desynchronize on the training rule
+    * the PQ oracles can never desynchronize on the training rule
     * (tiebreaks, PqKsub, round count), mirroring the Scala-side
-    * pqArtifacts sharing. */
-  private lazy val sqlPqCtes: String =
+    * pqArtifacts sharing. `src` is the table codebooks train on and codes
+    * encode (raw `base`, or the residual table for q24n); `qsubs` is the
+    * relation the QUERY subvectors come from — raw-vs-residual differ
+    * here: residual PQ still looks up RAW query subvectors against the
+    * residual codebooks (q·(c+r) = q·c + q·r decomposes with q raw). */
+  private def sqlPqCtes(src: String, qsubs: String = "subs"): String =
     s"""ms AS (SELECT unnest(generate_series(1, $PqM)) AS m),
        |subs AS (SELECT vec_id, m,
-       |  embedding[(m-1)*$PqSubDim+1 : m*$PqSubDim] AS sv FROM base, ms),
+       |  embedding[(m-1)*$PqSubDim+1 : m*$PqSubDim] AS sv FROM $src, ms),
        |sdims AS (SELECT unnest(generate_series(1, $PqSubDim)) AS i),
        |c0 AS (SELECT m, vec_id AS cid, sv AS cvec, ${sqlDot("sv", "sv")} AS cn2
        |  FROM subs WHERE vec_id < $PqKsub),
@@ -367,7 +371,7 @@ object SimilarityQueries {
        |        FROM a2, sdims GROUP BY m, cid, i)
        |  GROUP BY m, cid)),
        |codes AS (SELECT vec_id, m, cid FROM a2),
-       |qs AS (SELECT vec_id AS qid, m, sv AS qsv FROM subs WHERE vec_id < $NQueries),
+       |qs AS (SELECT vec_id AS qid, m, sv AS qsv FROM $qsubs WHERE vec_id < $NQueries),
        |qtab AS (SELECT q.qid, c.m, c.cid, ${sqlDot("q.qsv", "c.cvec")} AS d
        |  FROM qs q JOIN c2 c ON q.m = c.m)""".stripMargin
 
@@ -376,13 +380,24 @@ object SimilarityQueries {
     * tags shared so the two queries train ONE set of codebooks per
     * session) → (`codes` = (vec_id, m, cid), `qtab` = per-query ADC lookup
     * table (qid, m, cid, d)). */
-  private def pqArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def pqArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqArtifactsFrom(s, dir, base(s, dir), base(s, dir), "q24i")
+
+  /** [[pqArtifacts]] generalized: codebooks train on (and codes encode)
+    * `src`; the query lookup table is built from `qsrc`'s subvectors
+    * against those codebooks — raw query × residual codebooks for q24n
+    * (q·(c+r) decomposes with q raw). `tag` keys the per-round
+    * materializations so raw (q24i/l/m) and residual (q24n) trainings
+    * each share ONE artifact set per session. */
+  private def pqArtifactsFrom(s: SparkSession, dir: String, src: DataFrame,
+                              qsrc: DataFrame, tag: String): (DataFrame, DataFrame) = {
     import VecFunctions.vecDot
-    val subs = base(s, dir)
+    def toSubs(df: DataFrame): DataFrame = df
       .select(col("vec_id"), explode(sequence(lit(1), lit(PqM))).as("m"),
         col("embedding"))
       .select(col("vec_id"), col("m"),
         expr(s"slice(embedding, (m - 1) * $PqSubDim + 1, $PqSubDim)").as("sv"))
+    val subs = toSubs(src)
     def withN2(df: DataFrame): DataFrame =
       df.withColumn("cn2", vecDot(col("cvec"), col("cvec")))
     // per-subspace centroids: decimalCentroids keyed by (m, cid)
@@ -403,7 +418,7 @@ object SimilarityQueries {
           col("cn2") - lit(2.0) * vecDot(col("sv"), col("cvec")))
       // same lineage-truncation discipline as kmFinalAssignments: each
       // round's (vec, subspace) assignment is materialized once
-      lastAsg = Materialize(s, dir, s"q24i_asg$t")(scored
+      lastAsg = Materialize(s, dir, s"${tag}_asg$t")(scored
         .groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("dist"), col("cid"), col("sv"))).as("x"))
         .select(col("vec_id"), col("m"), col("x.sv").as("sv"),
@@ -411,7 +426,7 @@ object SimilarityQueries {
       cent = withN2(pqCentroids(lastAsg))
     }
     val codes = lastAsg.select(col("vec_id"), col("m"), col("cid"))
-    val qtab = subs.filter(col("vec_id") < NQueries)
+    val qtab = toSubs(qsrc).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
       .join(cent.select(col("m"), col("cid"), col("cvec")), Seq("m"))
       .select(col("qid"), col("m"), col("cid"),
@@ -428,16 +443,23 @@ object SimilarityQueries {
     * partial-agg shape so the shuffle carries ≤ PqShortlist rows per
     * (query, map task). */
   private def pqAdcSearch(s: SparkSession, dir: String,
-                          cand: DataFrame): DataFrame = {
+                          cand: DataFrame, withOffset: Boolean = false): DataFrame = {
     import VecFunctions.vecDot
+    // With `withOffset`, cand carries an `off` column constant per
+    // (qid, vec_id) group — the q·cell-centroid term of residual ADC
+    // (q24n): dotv = (fixed-order subspace chain) + off, the offset added
+    // LAST on both engines so the one extra float addition stays
+    // order-pinned too.
     val adcSums = (1 to PqM).map(m =>
-      sum(when(col("m") === m, col("d"))).as(s"d$m"))
+      sum(when(col("m") === m, col("d"))).as(s"d$m")) ++
+      (if (withOffset) Seq(min(col("off")).as("off")) else Nil)
+    val chain = (1 to PqM).map(m => col(s"d$m")).reduce(_ + _)
     val adc = cand
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(adcSums.head, adcSums.tail: _*)
       .select(col("qid"), col("vec_id"),
-        (1 to PqM).map(m => col(s"d$m")).reduce(_ + _).as("dotv"))
+        (if (withOffset) chain + col("off") else chain).as("dotv"))
     val shortCut = udaf(new TopKByScore(PqShortlist))
     val short = adc
       .groupBy(col("qid"))
@@ -822,7 +844,7 @@ object SimilarityQueries {
     QueryDef(
       "q24i_pq_topk",
       s"""WITH $sqlBaseCte,
-         |$sqlPqCtes,
+         |${sqlPqCtes("base")},
          |adc AS (SELECT t.qid, cd.vec_id, $sqlAdcSum AS dotv
          |  FROM codes cd JOIN qtab t ON t.m = cd.m AND t.cid = cd.cid
          |  WHERE cd.vec_id <> t.qid
@@ -1108,6 +1130,50 @@ object SimilarityQueries {
         .join(broadcast(qtab), Seq("qid", "m", "cid"))
         .select(col("qid"), col("vec_id"), col("m"), col("d"))
       pqAdcSearch(s, dir, cand)
+    },
+
+    // Q24N — RESIDUAL-encoded IVF-PQ (round 10): the final piece of the
+    // production FAISS recipe. q24i/q24l/q24m quantize RAW vectors; FAISS
+    // IVF-PQ encodes each vector's RESIDUAL x − centroid(cell) — residuals
+    // are centered and much smaller in norm, so the same 16×16-codeword
+    // budget spends its resolution on the part of x the coarse quantizer
+    // didn't already explain. Scoring decomposes exactly:
+    //   q·x ≈ q·centroid(cell) + q·residual_code
+    // so the query stays RAW — its subvectors look up the RESIDUAL
+    // codebooks (one kilobyte table per query, as before) and the
+    // per-(query, cell) offset q·centroid is one extra broadcast-sized
+    // join, added LAST in the order-pinned ADC chain. Everything else —
+    // coarse routing, probed-cell candidate set, top-50 shortlist, exact
+    // re-rank — is q24l's machinery verbatim (shared probe map, shared
+    // coarse-centroid materialization; the residual codebooks train
+    // through the SAME Lloyd chain, just over the residual table). At
+    // 100 TB the cost model is q24l/q24m's: codes are 16 bytes/vector
+    // (layout-compatible with q24m's cell partitioning), codebooks/
+    // offsets/probe map broadcast at KB size.
+    QueryDef(
+      "q24n_ivfpq_residual",
+      sqlIvfPqResidual) { (s, dir) =>
+      import VecFunctions.vecDot
+      val cent = coarseCentroids(s, dir)
+      val rbase = Materialize(s, dir, "q24n_rbase")(
+        base(s, dir).join(cent.select(col("label"), col("cvec")), Seq("label"))
+          .select(col("vec_id"), col("label"),
+            zip_with(col("embedding"), col("cvec"),
+              (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+              .as("embedding")))
+      val (codesR, qtabR) = pqArtifactsFrom(s, dir, rbase, base(s, dir), "q24n")
+      val qs = base(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val qoff = broadcast(qs).crossJoin(broadcast(cent))
+        .select(col("qid"), col("label"),
+          vecDot(col("qemb"), col("cvec")).as("off"))
+      val cand = codesR
+        .join(base(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(broadcast(probeMap(s, dir)), col("label") === col("plabel"))
+        .join(broadcast(qtabR), Seq("qid", "m", "cid"))
+        .join(broadcast(qoff), Seq("qid", "label"))
+        .select(col("qid"), col("vec_id"), col("m"), col("d"), col("off"))
+      pqAdcSearch(s, dir, cand, withOffset = true)
     }
   )
 
@@ -1116,7 +1182,7 @@ object SimilarityQueries {
     * can never desynchronize from the oracle or from each other. */
   private lazy val sqlIvfPq: String =
     s"""WITH $sqlBaseCte,
-       |$sqlPqCtes,
+       |${sqlPqCtes("base")},
          |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
          |  FROM base WHERE vec_id < $NQueries),
          |cdims AS (SELECT unnest(generate_series(1,
@@ -1158,17 +1224,80 @@ object SimilarityQueries {
          |SELECT qid, rank, vec_id, round(pcos, 6) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
-  /** IVF coarse-probe routing map (qid, plabel): each query's `Probes`
-    * nearest coarse cells by centroid cosine — q24b's centroid table
-    * (shared materialization tag), broadcast-sized. Shared by q24l (flat
-    * codes) and q24m (cell-partitioned codes) so the two executions route
-    * identically by construction. */
+  /** The q24n oracle: sqlIvfPq with the PQ chain trained on the RESIDUAL
+    * table (x − float coarse centroid, the identical double-subtract-then-
+    * float-cast both engines perform), query subvectors staying RAW
+    * (`rawsubs`), and the q·centroid offset added LAST per (query, cell)
+    * in the ADC aggregation — the one extra order-pinned float addition. */
+  private lazy val sqlIvfPqResidual: String =
+    s"""WITH $sqlBaseCte,
+       |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+       |  FROM base WHERE vec_id < $NQueries),
+       |cdims AS (SELECT unnest(generate_series(1,
+       |  (SELECT max(len(embedding)) FROM embeddings))) AS i),
+       |cent AS (
+       |  SELECT label, list(cval ORDER BY i) AS cvec
+       |  FROM (SELECT label, i, ${sqlDmean12("embedding[i]::DOUBLE")} AS cval
+       |        FROM base, cdims GROUP BY label, i)
+       |  GROUP BY label),
+       |centf AS (SELECT label, list_transform(cvec, x -> x::FLOAT) AS cvec,
+       |  sqrt(${sqlDot("list_transform(cvec, x -> x::FLOAT)",
+                        "list_transform(cvec, x -> x::FLOAT)")}) AS cnrm FROM cent),
+       |rbase AS (SELECT b.vec_id, b.label,
+       |  list_transform(generate_series(1, len(b.embedding)),
+       |    i -> CAST(CAST(b.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)
+       |              AS FLOAT)) AS embedding
+       |  FROM base b JOIN centf c ON b.label = c.label),
+       |rawsubs AS (SELECT vec_id, m,
+       |  embedding[(m-1)*$PqSubDim+1 : m*$PqSubDim] AS sv
+       |  FROM base, (SELECT unnest(generate_series(1, $PqM)) AS m)),
+       |${sqlPqCtes("rbase", "rawsubs")},
+       |probe AS (
+       |  SELECT qid, label FROM (
+       |    SELECT q.qid, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${sqlDot("c.cvec", "q.qemb")} / (c.cnrm * q.qnrm) DESC, c.label) AS pr
+       |    FROM qv q, centf c) WHERE pr <= $Probes),
+       |qoff AS (SELECT q.qid, c.label, ${sqlDot("q.qemb", "c.cvec")} AS off
+       |  FROM qv q, centf c),
+       |lblv AS (SELECT vec_id, label FROM base),
+       |adc AS (SELECT t.qid, cd.vec_id, ($sqlAdcSum) + MIN(o.off) AS dotv
+       |  FROM codes cd
+       |  JOIN lblv v ON v.vec_id = cd.vec_id
+       |  JOIN probe p ON p.label = v.label
+       |  JOIN qtab t ON t.qid = p.qid AND t.m = cd.m AND t.cid = cd.cid
+       |  JOIN qoff o ON o.qid = t.qid AND o.label = v.label
+       |  WHERE cd.vec_id <> t.qid
+       |  GROUP BY t.qid, cd.vec_id),
+       |short AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dotv DESC, vec_id) AS rk FROM adc) WHERE rk <= $PqShortlist),
+       |qf AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+       |  FROM base WHERE vec_id < $NQueries),
+       |rr AS (SELECT sh.qid, sh.vec_id,
+       |  ${sqlDot("b.embedding", "q.qemb")} / (b.nrm * q.qnrm) AS pcos
+       |  FROM short sh JOIN base b ON sh.vec_id = b.vec_id
+       |       JOIN qf q ON sh.qid = q.qid),
+       |ranked AS (SELECT qid, vec_id, pcos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rank
+       |  FROM rr)
+       |SELECT qid, rank, vec_id, round(pcos, 6) AS cos
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  /** The materialized per-label coarse centroid table (float cvec + norm) —
+    * q24b's routing table, shared by probeMap, q24n's residual base, and
+    * the residual query offsets. */
+  private def coarseCentroids(s: SparkSession, dir: String): DataFrame = {
+    import VecFunctions.vecDot
+    Materialize(s, dir, "q24b_cent")(
+      decimalCentroids(base(s, dir), "label")
+        .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec")))))
+  }
+
   private def probeMap(s: SparkSession, dir: String): DataFrame = {
     import VecFunctions.vecDot
     import org.apache.spark.sql.expressions.Window
-    val cent = Materialize(s, dir, "q24b_cent")(
-      decimalCentroids(base(s, dir), "label")
-        .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec")))))
+    val cent = coarseCentroids(s, dir)
     val qs = base(s, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"))

@@ -44,6 +44,9 @@ class OracleSqlSpec extends AnyFunSuite {
     // q24m: shares q24l's oracle text verbatim (cell-partitioned layout
     // changes I/O, never the statement), so the same vetted chain applies
     ("q24m_ivfpq_partitioned", "dotv")
+    // (q24n's dotv is the same chain plus a trailing parenthesized offset
+    // addition — not alias-of-a-raw-SUM shaped, so the lint doesn't match
+    // it and no entry is needed)
   )
 
   private case class RawSum(alias: String, snippet: String)

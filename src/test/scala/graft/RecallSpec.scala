@@ -72,6 +72,19 @@ class RecallSpec extends SparkSpec {
       "PQ shortlist inside the probed cells lost too much of IVF's ranking")
   }
 
+  test("residual IVF-PQ matches raw IVF-PQ's contract (recall vs IVF >= 0.85)") {
+    // q24n encodes residuals (x - cell centroid) and scores
+    // q·centroid + q·residual_code; same probed-cell candidate universe
+    // and exact re-rank as q24l, so the same bound applies — its shortlist
+    // differs (residual ADC ranking), its misses must not
+    val ivf = topk("q24b_ivf_topk")
+    val res = topk("q24n_ivfpq_residual")
+    assert(res.keySet === ivf.keySet)
+    assert(res.values.forall(_.size === 5))
+    assert(meanRecall(ivf, res) >= 0.85,
+      "residual ADC shortlist lost too much of IVF's ranking")
+  }
+
   test("semantic dedup is sound vs the all-pairs ground truth and finds dups") {
     // q24c is the exhaustive τ-neighbor list; every (dup, canonical) pair
     // q24h reports must appear there (SOUNDNESS — clustering can only lose
