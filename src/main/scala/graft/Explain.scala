@@ -59,6 +59,7 @@ object Explain {
     "q42b_label_propagation", // per-round edge⋈label join + degree-bounded argmax
     "q38b_compaction_plan", // file-stats agg + per-day bounded prefix-sum window
     "q24m_ivfpq_partitioned", // cell-partitioned codes, statically pruned probe scan
+    "q24n_ivfpq_residual", // residual codebooks, raw-query ADC + trailing cell offset
     "q23j_lsh_recall_fixed_count", // footer-derived sample modulus; constant query side
     "q32d_copurchase_bucketed", // bucketed basket table: exchange-free collect_set
     "q33d_sessionize_bucketed", // user-bucketed events: zero-exchange sessionize
