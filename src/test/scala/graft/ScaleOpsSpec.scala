@@ -155,6 +155,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("Bucketed materialization is session-cached per (tag, source dir)") {
+    // the layout job must run ONCE per session: a second request for the
+    // same tag returns the same catalog table (no rebuild), and the scan
+    // it yields reports bucketing to the planner
+    val a = graft.queries.Bucketed(spark, sf, "spec_bucket_cache", 4, "n_nationkey")(
+      Tables.nation(spark, sf))
+    val b = graft.queries.Bucketed(spark, sf, "spec_bucket_cache", 4, "n_nationkey")(
+      fail("second request must hit the cache, not rebuild"))
+    assert(a.count() === b.count())
+    val scan = b.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("expected a file scan over the bucketed table"))
+    assert(scan.relation.bucketSpec.exists(_.numBuckets == 4), scan.toString)
+  }
+
   test("layout variants return exactly their flat twins' rows") {
     // the round-10 layout executions (cell-partitioned PQ codes, bucketed
     // baskets/events) must change I/O shape ONLY — row-for-row equality
