@@ -140,6 +140,10 @@ object Bench {
     *     adjudicator: reproduced-at-reference ⇒ env, still-elevated ⇒ plan.
     *   - `noref` — the reference metrics row is missing; seconds-only
     *     tripwire, classify by hand.
+    *   - `nocur` — the CURRENT run's metrics row is missing (the query never
+    *     produced a metricLog entry); nothing to classify (ADVICE r10 —
+    *     previously folded into `noref`, which misdirected the operator at
+    *     the reference capture when the current row was the absent one).
     *
     * (The r9 verdict sketched a binary env/plan rule, but its own q33
     * adjudication — cpu≈run BOTH inflated at equal bytes ⇒ env after a
@@ -149,7 +153,7 @@ object Bench {
       cur: Map[String, Long], ref: Map[String, Long], cpus: Int): String = {
     def c(k: String) = cur.getOrElse(k, -1L)
     def r(k: String) = ref.getOrElse(k, -1L)
-    if (c("task_cpu_ms") < 0) "noref"
+    if (c("task_cpu_ms") < 0) "nocur"
     else if (r("shuffle_write_b") >= 0 &&
       c("shuffle_write_b") > r("shuffle_write_b") * 5 / 4 + (1L << 20)) "plan"
     else if (c("spill_mem_b") > 0 || c("spill_disk_b") > 0 ||
@@ -183,6 +187,77 @@ object Bench {
       case (k, v) if v >= 0 && reference.get(k).exists(r =>
         r >= 0 && v > r * factor && v - r > floorSec) => k
     }
+
+  /** Fresh-JVM re-run of the tripped queries + controls under the exact
+    * same protocol (VERDICT r10 #2 — bench/rerun_tripped.sh folded into the
+    * harness). Re-uses THIS JVM's binary, classpath and JVM flags (we were
+    * forked by sbt with build.sbt's javaOptions, so the child is the same
+    * experiment), with a recursion guard in the environment. Returns the
+    * controls' median host scalar (floored at 1.0 — a faster host never
+    * excuses a regression) and the child's per-key reported seconds; None
+    * if the child failed or timed out (verdicts then stay un-adjudicated as
+    * `>norerun` per key). */
+  private def spawnRerun(
+      tripped: Seq[String], controls: Seq[String], sfDir: String,
+      reference: Map[String, Double]): Option[(Double, Map[String, Double])] = {
+    try {
+      val keys = (tripped ++ controls).distinct
+      // Bench's CLI filter is substring-contains over FULL query names while
+      // report keys are qNN[x] prefixes; a bare prefix gets an underscore so
+      // "q33" cannot also match q33b/q33c/q33d.
+      val filter = keys.map(k => if (k.contains('_')) k else k + "_").mkString(",")
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      if (cp == null || !cp.contains("spark")) {
+        System.err.println("[bench] rerun skipped: unusable java.class.path")
+        return None
+      }
+      val jvmArgs = new java.util.ArrayList[String]()
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+        .forEach(a => if (!a.startsWith("-agentlib") && !a.startsWith("-javaagent"))
+          { jvmArgs.add(a); () })
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin); cmd.addAll(jvmArgs)
+      cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench"); cmd.add(filter)
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_RERUN", "1")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_METRICS_OUT", "bench/rerun_auto.metrics.json")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(s"[bench] spawning fresh-JVM rerun of [${keys.mkString(" ")}]")
+      val t0 = System.nanoTime()
+      val p = pb.start()
+      // drain stdout on a daemon thread, bound the wait on THIS thread — a
+      // hung child (e.g. a wedged Spark context) must not stall the bench
+      val outF = new java.io.ByteArrayOutputStream()
+      val reader = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        val in = p.getInputStream
+        var n = in.read(buf)
+        while (n >= 0) { outF.write(buf, 0, n); n = in.read(buf) }
+      }, "bench-rerun-stdout")
+      reader.setDaemon(true)
+      reader.start()
+      val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done || p.exitValue() != 0) {
+        if (!done) p.destroyForcibly()
+        System.err.println(s"[bench] rerun child failed (done=$done)")
+        return None
+      }
+      reader.join(10000)
+      System.err.println(f"[bench] rerun child finished in ${(System.nanoTime() - t0) / 1e9}%.0f s")
+      val lines = new String(outF.toByteArray, "UTF-8").linesIterator
+        .filter(_.contains("\"metric\":\"total\"")).toSeq
+      if (lines.isEmpty) { System.err.println("[bench] rerun child emitted no bench line"); return None }
+      val rq = parseQueriesJson(lines.last)
+      val ratios = controls.flatMap(c =>
+        for (g <- rq.get(c); r <- reference.get(c) if r > 0.0) yield g / r).sorted
+      if (ratios.isEmpty) { System.err.println("[bench] rerun: no control rows"); return None }
+      Some((math.max(1.0, ratios(ratios.size / 2)), rq))
+    } catch { case scala.util.control.NonFatal(t) =>
+      System.err.println(s"[bench] rerun failed: $t"); None
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -280,6 +355,19 @@ object Bench {
       if (args.nonEmpty) { val pats = args(0).split(","); n => pats.exists(n.contains) }
       else _ => true
     val names = SparkEntry.queries.keys.toSeq.filter(only).sorted
+    // Suite-order rotation (VERDICT r10 #1): a seeded shuffle of the
+    // EXECUTION order (reported maps stay keyed by name, so the JSON is
+    // order-independent). The roving q33–q36 trip block has only ever been
+    // observed in suite order; if it is environmental it strikes a
+    // wall-clock window — under rotation DIFFERENT queries occupy that
+    // window — while a plan/first-touch cost follows the queries wherever
+    // they run. The executed order lands in the metrics file (`order`) so
+    // trip topology can be read against suite position after the fact.
+    val orderSeed: Option[Long] = sys.env.get("SPARK_GRAFT_ORDER_SEED").map(_.toLong)
+    val execOrder: Seq[String] = orderSeed match {
+      case Some(sd) => new scala.util.Random(sd).shuffle(names)
+      case None => names
+    }
     // Short report key: the qNN[x] prefix, falling back to the full name if
     // two queries ever share a prefix (keys must stay unique in the JSON).
     val prefix = names.map(n => n -> n.takeWhile(_ != '_')).toMap
@@ -308,7 +396,22 @@ object Bench {
       }
       System.err.println(s"[bench] JIT drain: total ${prev} ms, settled=$settled")
     }
-    val cold = names.map(n => n -> once("cold", n)).toMap
+    // Layout pre-warm (VERDICT r10 #6): the one-time Bucketed table builds
+    // (q32d/q33d) are session-scoped layout jobs — the 100 TB analogue is a
+    // nightly ETL writer, not part of any query's serving cost — yet on
+    // suite runs their build + the bucketed-write codegen landed inside the
+    // first timed pass and kept tripping `jvm` verdicts. Build them HERE,
+    // before any timed window, so every timed pass (including cold)
+    // measures the bucketed READ path only.
+    if (names.exists(n => n.startsWith("q32d") || n.startsWith("q33d"))) {
+      val t0w = System.nanoTime()
+      try graft.queries.BehaviorQueries.warmLayouts(spark, sfDir)
+      catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[bench] layout prewarm FAILED: $t") }
+      System.err.println(
+        f"[bench] layout prewarm (bucketed tables, untimed): ${(System.nanoTime() - t0w) / 1e9}%.1f s")
+    }
+    val cold = execOrder.map(n => n -> once("cold", n)).toMap
     settle()
     // Middle pass: absorbs the second-execution C2 promotions (a method's
     // profile-driven recompile typically triggers on its re-run, so pass 2
@@ -316,9 +419,9 @@ object Bench {
     // come from pass 3, where compilation has converged — the regime a
     // long-running cluster actually serves from. All three passes land in
     // the metrics file (cold/mid/warm) so the claim is auditable.
-    val mid = names.map(n => n -> once("mid", n)).toMap
+    val mid = execOrder.map(n => n -> once("mid", n)).toMap
     settle()
-    val warmPass = names.map(n => n -> once("warm", n)).toMap
+    val warmPass = execOrder.map(n => n -> once("warm", n)).toMap
     // Reported figure: the BEST of the two post-JIT passes. Round-8 full-
     // suite runs showed ~one random query per run inflated 5–15× by an
     // in-JVM pathology (JIT profile pollution — cpu-real, bytes constant,
@@ -373,7 +476,6 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
     val reportedByKey = names.map(n => key(n) -> warm(n)).toMap
     val tripped = tripwire(reportedByKey, reference)
-    val trippedJson = tripped.map(k => s""""$k"""").mkString("[", ",", "]")
     if (tripped.nonEmpty) System.err.println("[bench] TRIPWIRE (>1.5x reference in both post-JIT passes): " +
       tripped.map(k => f"$k=${reportedByKey(k)}%.2fs/ref=${reference(k)}%.2fs").mkString(" "))
     // Self-adjudication (VERDICT r9 #1): classify each tripped query against
@@ -414,7 +516,6 @@ object Bench {
         .minByOption(_(0)).map(cols.zip(_).toMap).getOrElse(Map.empty[String, Long])
       k -> classifyTrip(curRow, refMetricsRows.getOrElse(k, Map.empty), cpus.toInt)
     }.toMap
-    val verdictsJson = tripped.map(k => s""""$k":"${verdicts(k)}"""").mkString("{", ",", "}")
     // Host-window scalar: the MEDIAN reported/reference ratio over common
     // queries. Round-10 run 7 measured a uniformly 1.27×-slow host window —
     // zero trips (the elevation is host-wide and under the 1.5× factor)
@@ -429,14 +530,85 @@ object Bench {
       if (rs.isEmpty) -1.0 else rs(rs.size / 2)
     }
     if (tripped.nonEmpty) System.err.println("[bench] tripwire verdicts " +
-      "(plan=bytes grew; jvm=spill/GC/recompile; env=host; cpi=ambiguous, run bench/rerun_tripped.sh): " +
+      "(plan=bytes grew; jvm=spill/GC/recompile; env=host; cpi=ambiguous; " +
+      "nocur/noref=missing current/reference metrics row): " +
       tripped.map(k => s"$k=${verdicts(k)}").mkString(" "))
-    val line =
+    // In-harness adjudication re-run (VERDICT r10 #2): the isolated
+    // fresh-JVM re-run that bench/rerun_tripped.sh performed by hand is now
+    // part of the run itself — a tripped suite spawns a child Bench over
+    // just the tripped queries plus three stable CONTROL rows (hash agg /
+    // broadcast join / window), divides each tripped query by the controls'
+    // median elevation (the current host window's scalar, floored at 1.0),
+    // and re-applies the tripwire rule: an elevation that survives
+    // normalization and did not collapse below 0.6× its flagged figure is
+    // `plan`; everything else reproduced at reference ⇒ `env`. Guards: only
+    // full-suite runs (args empty), never recursively (env flag), and only
+    // when the trip count is small — a host-wide slow window trips dozens
+    // of queries and is already told apart by ref_ratio_median, so re-running
+    // half the suite would double the wall for an answer the scalar gives.
+    val rerunControls = Seq("q03", "q09", "q14")
+    val rerun: Option[(Double, Map[String, Double])] =
+      if (tripped.isEmpty || tripped.size > 12 || args.nonEmpty ||
+        reference.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_RERUN")) None
+      else spawnRerun(tripped, rerunControls, sfDir, reference)
+    val finalVerdicts: Map[String, String] = tripped.map { k =>
+      val v = verdicts(k)
+      val adj = rerun match {
+        case None => ""
+        case Some((scalar, rq)) => rq.get(k) match {
+          case None => ">norerun"
+          case Some(got) =>
+            val ref = reference(k)
+            val a = got / scalar
+            val elevated = a > ref * 1.5 && a - ref > 0.3
+            val collapsed = got < 0.6 * reportedByKey(k)
+            if (elevated && !collapsed) ">plan" else ">env"
+        }
+      }
+      k -> (v + adj)
+    }.toMap
+    rerun.foreach { case (scalar, rq) =>
+      System.err.println(f"[bench] fresh-JVM rerun of tripped queries: host scalar " +
+        f"$scalar%.2fx (controls ${rerunControls.mkString(",")}); adjudicated: " +
+        tripped.map(k => s"$k=${finalVerdicts(k)}" +
+          rq.get(k).map(g => f"(${g}%.2fs)").getOrElse("")).mkString(" "))
+    }
+    // Promotion rule, encoded (VERDICT r10 #7): a full-suite run is
+    // promotable as the next reference pair iff it tripped nothing, failed
+    // nothing, and sat within ±10% of the current reference's median ratio
+    // — the judgment BASELINE.md previously recorded as prose, now a field.
+    val promotable = args.isEmpty && failed.isEmpty && tripped.isEmpty &&
+      reference.nonEmpty && ratioMedian >= 0.9 && ratioMedian <= 1.1
+    // Line assembly with a hard length budget (ADVICE r10): the harness
+    // tail-captures 2000 chars and the zero-trip line already uses ~1870 —
+    // a host-wide slow window tripping dozens of queries would push inline
+    // verdicts past the window and truncate the driver's JSON parse exactly
+    // when the diagnostics matter. Degrade deterministically until the line
+    // fits ≤1950: full verdicts → capped → tripped-only → count-only. The
+    // FULL verdict maps always land in the metrics file and stderr.
+    val seedField = orderSeed.map(sd => s""""order_seed":$sd,""").getOrElse("")
+    def lineWith(nTrip: Int, withVerdicts: Boolean): String = {
+      val trippedPart =
+        if (tripped.isEmpty) ""
+        else {
+          val tj = tripped.take(nTrip).map(k => s""""$k"""").mkString("[", ",", "]")
+          s""""tripped":$tj,"tripped_n":${tripped.size},""" +
+            (if (withVerdicts && nTrip > 0)
+              s""""trip_verdicts":${tripped.take(nTrip)
+                .map(k => s""""$k":"${finalVerdicts(k)}"""").mkString("{", ",", "}")},"""
+            else "")
+        }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},""" +
-        s""""tripped":$trippedJson,"trip_verdicts":$verdictsJson,""" +
-        s""""ref_ratio_median":${fmt(ratioMedian)},""" +
+        trippedPart + seedField +
+        s""""ref_ratio_median":${fmt(ratioMedian)},"promotable":$promotable,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val line = Seq(
+      lineWith(tripped.size, withVerdicts = true), lineWith(10, withVerdicts = true),
+      lineWith(5, withVerdicts = true), lineWith(10, withVerdicts = false),
+      lineWith(3, withVerdicts = false))
+      .find(_.length <= 1950).getOrElse(lineWith(0, withVerdicts = false))
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
     // Per-query task metrics go to a FILE, not the stdout JSON line: the
@@ -451,9 +623,20 @@ object Bench {
           s""""${key(n)}":[${v.mkString(",")}]""")).mkString("{", ",", "}")
       val tripDetail = tripped.map(k =>
         s""""$k":${fmt(reportedByKey(k) / reference(k))}""").mkString("{", ",", "}")
+      val verdictsJson = tripped
+        .map(k => s""""$k":"${finalVerdicts(k)}"""").mkString("{", ",", "}")
+      val rerunJson = rerun match {
+        case None => ""
+        case Some((scalar, rq)) =>
+          s""""rerun_scalar":${fmt(scalar)},"rerun_s":${(tripped ++ rerunControls)
+            .flatMap(k => rq.get(k).map(v => s""""$k":${fmt(v)}""")).mkString("{", ",", "}")},"""
+      }
+      val orderJson = execOrder.map(n => s""""${key(n)}"""").mkString("[", ",", "]")
       val mj = s"""{"cpus":$cpus,"cols":[${cols.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""tripwire_ref":"$refPath","tripwire_metrics_ref":"$refMetricsPath",""" +
-        s""""tripwire_ratios":$tripDetail,"tripwire_verdicts":$verdictsJson,""" +
+        s""""tripwire_ratios":$tripDetail,"tripwire_verdicts":$verdictsJson,$rerunJson""" +
+        orderSeed.map(sd => s""""order_seed":$sd,""").getOrElse("") +
+        s""""order":$orderJson,""" +
         s""""cold":${passJson("cold")},"mid":${passJson("mid")},"warm":${passJson("warm")},""" +
         s""""sf":"$sfDir"}"""
       val p = java.nio.file.Paths.get(out)

@@ -25,12 +25,22 @@ object Bucketed {
 
   private val cache = new ConcurrentHashMap[String, String]()
 
+  /** Process-unique table-name counter (ADVICE r10): a name derived from
+    * key.hashCode would send two same-key racers at ONE table (concurrent
+    * overwrite saveAsTable, unlike Materialize's racers writing disjoint
+    * dirs) and let a hashCode collision between distinct keys sharing a tag
+    * silently repoint the first caller's cached table at the second's data.
+    * A counter makes every build target a fresh table; the losing racer's
+    * table is simply never read again (its data dir is TempDirs-reclaimed
+    * on exit, its catalog entry dies with the in-memory session catalog). */
+  private val nameSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def apply(s: SparkSession, srcDir: String, tag: String, buckets: Int,
             bucketCol: String)(df: => DataFrame): DataFrame = {
     val key = s"${graft.SessionToken(s)}|$tag|$buckets|$bucketCol|$srcDir"
     var name = cache.get(key)
     if (name == null) {
-      val tbl = s"graft_${tag}_${Integer.toHexString(key.hashCode)}"
+      val tbl = s"graft_${tag}_${nameSeq.incrementAndGet()}"
       val dir = graft.TempDirs.create(s"graft_bucket_${tag}_")
       df.write
         .option("path", dir)

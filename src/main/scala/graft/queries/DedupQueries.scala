@@ -963,7 +963,19 @@ object DedupQueries {
     * inside the horizon (in flight), never the corpus
     * (StreamingSpec pins numRowsTotal ≪ docs ingested across a long
     * multi-batch replay). The window never changes results: doc_id is in
-    * the group key and each doc has exactly one event-time. */
+    * the group key and each doc has exactly one event-time.
+    *
+    * ORDERING PRECONDITION (ADVICE r10): because event time is synthesized
+    * from doc_id, the watermark tracks max(doc_id seen) − [[GateWatermark]],
+    * so correctness requires micro-batches to deliver doc_ids roughly in
+    * order — a doc arriving more than ~10 ids after a later id has been
+    * seen would be dropped as late data. Both current callers satisfy it
+    * structurally: q29c's parquet replay delivers ONE batch (nothing can be
+    * late within a batch), and StreamingSpec's MemoryStream replay feeds
+    * ascending id slices. A future multi-batch/paced caller whose source
+    * reorders doc_ids beyond that skew must either widen [[GateWatermark]]
+    * past the source's worst id skew or synthesize event time from actual
+    * arrival time instead of doc_id. */
   private[graft] val GateWatermark = "10 seconds"
   private[graft] def neardupGateStream(s: SparkSession, dir: String,
                                        docs: DataFrame): DataFrame = {

@@ -132,8 +132,10 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(Bench.classifyTrip(row(1620, 3L << 20, 1550, 1600, load = 5200), ref, 32) === "env")
   }
 
-  test("classifyTrip: missing reference metrics row => noref") {
+  test("classifyTrip: missing reference row => noref; missing current row => nocur") {
     assert(Bench.classifyTrip(row(1620, 3L << 20, 1550, 1600), Map.empty, 32) === "noref")
-    assert(Bench.classifyTrip(Map.empty, row(510, 3L << 20, 480, 510), 32) === "noref")
+    // ADVICE r10: a missing CURRENT row is a distinct condition — an
+    // operator hunting a missing reference capture would never find it
+    assert(Bench.classifyTrip(Map.empty, row(510, 3L << 20, 480, 510), 32) === "nocur")
   }
 }
