@@ -50,11 +50,18 @@ object BehaviorQueries {
     * (user_id, run, event_type, valid_from, valid_to, is_current,
     * n_events) — change-flag islands, three windows sharing one
     * user-partitioned sort. */
-  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+  private def scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2Frame(Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** The full SCD2 program over an arbitrary (user_id, ts, event_id,
+    * event_type) frame — shared by q36/q36d (whole events table) and q36e
+    * (the affected-bucket rewrite, which re-derives history for exactly the
+    * partitions a late delta touches). */
+  private[graft] def scd2Frame(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("event_type"), 1).over(w)
-    val runs = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val runs = ev
       // null-safe inequality: the first row's NULL lag starts run 1
       .withColumn("brk", when(!(prev <=> col("event_type")), 1L).otherwise(0L))
       .withColumn("run",
@@ -194,6 +201,82 @@ object BehaviorQueries {
       Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct())
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("parts"))
+
+  // --- q36e: partition-scoped SCD2 rewrite (VERDICT r10 #4) ---------------
+
+  /** q36e user-bucket count. 64 gives the demo real pruning: the late-delta
+    * sample below touches ~1/3 of buckets at sf0.1 and ~5% at sf0.01, so
+    * most partitions are observably NOT rewritten. */
+  private[graft] val ScdBuckets = 64
+
+  /** q36e late-delta rule: events with event_id ≡ 0 (mod 4999) are the
+    * late-arriving correction batch (~0.02% of rows — ~21 events / ~20
+    * users at sf0.1). A TIME cutoff cannot demonstrate partition-scoped
+    * MERGE on this corpus (every user is active in every window, so every
+    * bucket is always affected); a small backfill batch is also the shape
+    * partition-scoped rewrites exist for in production — late data and
+    * corrections touch few users, nightly appends touch many. */
+  private[graft] val ScdDeltaMod = 4999L
+
+  private def userBucket: org.apache.spark.sql.Column =
+    pmod(hash(col("user_id")), lit(ScdBuckets))
+
+  private[graft] def scdDeltaPred: org.apache.spark.sql.Column =
+    col("event_id") % ScdDeltaMod === 0
+
+  private[graft] def fourColEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+
+  /** The source-of-truth events lake, user-bucketed: one directory per
+    * pmod(hash(user_id), 64), holding the PRE-delta (base) events. The
+    * rewrite job reads ONLY the affected buckets' directories from it.
+    * Repartitioned on the bucket before the write so each partition dir is
+    * one file set, not shuffle-partitions × buckets small files. */
+  private def scdEventsByBucket(s: SparkSession, dir: String): DataFrame =
+    Materialize.partitioned(s, dir, "q36e_events_by_ub", Seq("ub"))(
+      fourColEvents(s, dir).filter(!scdDeltaPred)
+        .withColumn("ub", userBucket)
+        .repartition(col("ub")))
+
+  /** The stored SCD2 history table (state BEFORE the delta arrived),
+    * user-bucketed with the same rule — the MERGE target. Untouched
+    * buckets' rows pass through to the output verbatim; for users with no
+    * delta rows scd2(base) IS scd2(all), which is the equivalence the
+    * oracle checks. */
+  private def scdHistoryByBucket(s: SparkSession, dir: String): DataFrame =
+    Materialize.partitioned(s, dir, "q36e_hist_by_ub", Seq("ub"))(
+      scd2Frame(fourColEvents(s, dir).filter(!scdDeltaPred))
+        .withColumn("ub", userBucket)
+        .repartition(col("ub")))
+
+  /** Affected-bucket set: distinct user buckets of the delta batch —
+    * bounded by ScdBuckets (≤64 values), collected once per (session, dir)
+    * exactly like q24m's probed-cell list: MERGE router metadata, never
+    * corpus-sized. */
+  private val scdAffected =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+  private[graft] def affectedBuckets(s: SparkSession, dir: String): Seq[Int] =
+    scdAffected.computeIfAbsent(
+      s"${graft.SessionToken(s)}|$dir",
+      _ => fourColEvents(s, dir).filter(scdDeltaPred)
+        .select(userBucket.as("ub")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq)
+
+  /** The rewrite path's PRUNED source scan (exposed for PlanSpec): base
+    * events of affected buckets only — the literal IN over the partition
+    * column resolves against directory names at plan time, so unaffected
+    * buckets' files are never listed, opened, or read. */
+  private[graft] def scdRewriteSourceScan(s: SparkSession, dir: String): DataFrame =
+    scdEventsByBucket(s, dir)
+      .filter(col("ub").isin(affectedBuckets(s, dir).map(Int.box): _*))
+
+  /** The pass-through scan of the NOT-rewritten history partitions
+    * (exposed for PlanSpec): complement of the affected set, also a plan-
+    * time partition filter. */
+  private[graft] def scdPassthroughScan(s: SparkSession, dir: String): DataFrame =
+    scdHistoryByBucket(s, dir)
+      .filter(!col("ub").isin(affectedBuckets(s, dir).map(Int.box): _*))
 
   /** Build this session's bucketed layout tables (q32d/q33d) and run one
     * untimed pass over their read plans. The table build is a one-time
@@ -663,6 +746,39 @@ object BehaviorQueries {
           lead(col("valid_from"), 1).over(wr).isNull.as("is_current"),
           col("n_events"))
         .orderBy("user_id", "run")
+    },
+
+    // Q36e — PARTITION-SCOPED SCD2 rewrite (VERDICT r10 #4): q36c's in-code
+    // claim — "a production MERGE rewrites just the partitions it touches" —
+    // executed. The history table and the source events lake are both laid
+    // out one directory per user bucket (pmod(hash(user_id), 64)); a small
+    // late-arriving correction batch (the event_id % 4999 sample) names its
+    // affected buckets (≤64-value router metadata, q24m's probed-cell
+    // pattern); the rewrite RE-DERIVES history for exactly those buckets
+    // from their (partition-pruned) base events plus the delta — late rows
+    // can split existing runs, so affected users re-segment from events,
+    // the fully general MERGE — while every other bucket's stored rows pass
+    // through from a complementary partition-pruned scan, never re-windowed
+    // or rewritten. PlanSpec pins both scans' selected-partition counts
+    // (|affected| and 64−|affected|); ReshapeBehaviorSpec executes the
+    // actual dynamic-partition-overwrite on a scratch copy and pins that
+    // untouched partition files are byte-identical after the MERGE. The
+    // oracle is q36's full-recompute SQL: merge(scd2(base), delta) must
+    // equal scd2(all) exactly. At 100 TB: rewrite I/O is proportional to
+    // affected buckets (here ~⅓ at sf0.1, ~5% at sf0.01), not table size.
+    QueryDef(
+      "q36e_scd2_partition_merge",
+      s"""WITH $sqlScd2Ctes
+         |SELECT user_id, run, event_type, valid_from,
+         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+         |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
+         |  n_events
+         |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
+      val delta = fourColEvents(s, dir).filter(scdDeltaPred)
+      val rewritten = scd2Frame(
+        scdRewriteSourceScan(s, dir).drop("ub").unionByName(delta))
+      val untouched = scdPassthroughScan(s, dir).drop("ub")
+      rewritten.unionByName(untouched).orderBy("user_id", "run")
     },
 
     // Q36b — snapshot reconciliation (the replica-audit / data-quality

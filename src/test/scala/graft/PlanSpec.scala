@@ -437,6 +437,39 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q36e: rewrite source scan prunes to affected buckets; pass-through scans the complement") {
+    // the partition-scoped MERGE (VERDICT r10 #4): the rewrite path's events
+    // scan and the pass-through history scan are BOTH statically partition-
+    // pruned — together they prove the merge touches |affected| directories
+    // and leaves the other 64−|affected| unread on the rewrite side
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def onlyScan(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail("expected a FileSourceScanExec"))
+    val affected = graft.queries.BehaviorQueries.affectedBuckets(spark, sf)
+    val nb = graft.queries.BehaviorQueries.ScdBuckets
+    assert(affected.nonEmpty && affected.size < nb,
+      s"fixture affects ${affected.size} of $nb buckets — pruning unobservable")
+    val rw = onlyScan(graft.queries.BehaviorQueries.scdRewriteSourceScan(spark, sf))
+    assert(rw.partitionFilters.nonEmpty, rw.toString)
+    assert(rw.selectedPartitions.partitionCount == affected.size,
+      s"rewrite scan: expected ${affected.size} partitions, " +
+        s"got ${rw.selectedPartitions.partitionCount}")
+    assert(rw.dataFilters.isEmpty, "bucket filter must prune directories, not rows")
+    val pt = onlyScan(graft.queries.BehaviorQueries.scdPassthroughScan(spark, sf))
+    // written partitions = buckets that actually hold ≥1 base user at this
+    // SF (≤ 64); the pass-through must select exactly those minus affected
+    val written = graft.queries.BehaviorQueries
+      .scdRewriteSourceScan(spark, sf).sparkSession.read
+      .parquet(rw.relation.location.rootPaths.head.toString)
+      .select("ub").distinct().count().toInt
+    assert(pt.partitionFilters.nonEmpty, pt.toString)
+    assert(pt.selectedPartitions.partitionCount == written - affected.size,
+      s"pass-through scan: expected ${written - affected.size} partitions, " +
+        s"got ${pt.selectedPartitions.partitionCount}")
+  }
+
   test("q24j: MMR rounds are checkpointed — the final plan reads only the tiny result") {
     // the greedy rounds run eagerly through per-round Materialize
     // checkpoints (the relevance pass itself is q24's already-pinned
