@@ -84,9 +84,12 @@ object MultimodalQueries {
     // case, same as a hot LSH bucket. Fixed-size chunking is
     // shift-sensitive (an insertion re-aligns every later frame) — the
     // production upgrade is content-defined boundaries via the rolling
-    // hash in `TextHash.fingerprint`, same plan shape. The synthetic
-    // payload body is the UTF-8 text (ASCII corpus: chars == bytes), so
-    // the oracle chunks the same string the engine's payload carries.
+    // hash in `TextHash.fingerprint`, same plan shape. Framing is by
+    // 64-CHARACTER window on both engines (== 64 bytes on the ASCII
+    // corpus): Spark's substr and DuckDB's substring both slice by
+    // character and md5 both hash the slice's UTF-8 bytes, so the
+    // fingerprints agree byte-exactly on ANY corpus, multibyte included
+    // (pinned on a multibyte fixture — see FIXTURES.md).
     QueryDef(
       "q26c_frame_neardup",
       s"""WITH f AS (SELECT doc_id AS media_id,
@@ -136,14 +139,20 @@ object MultimodalQueries {
     // frames). The per-row work is ONE codegen'd pass over the payload
     // bytes (functions.CdcChunkFps — a per-position interpreted-HOF
     // formulation measured ~100 ms/doc, the expression runs at memory
-    // speed); the oracle replays the identical 64-bit arithmetic over an
-    // ascii() codepoint array. Plan shape is identical to q26c and linear
+    // speed); the oracle replays the identical 64-bit arithmetic over the
+    // UTF-8 BYTE array, decoded from hex(encode(text)) — so the parity is
+    // byte-exact on ANY corpus, multibyte included (VERDICT r10 #5; the
+    // previous ascii()-codepoint fold held only on pure ASCII, guarded by
+    // a corpus tripwire now retired in favor of MultimodalSpec's multibyte
+    // parity pin). Plan shape is identical to q26c and linear
     // at 100 TB: fingerprint arrays ride the scan as per-row expressions,
     // the pair producer is the same blocked equi-join on chunk hash.
     QueryDef(
       "q26d_cdc_neardup",
-      s"""WITH c AS (SELECT doc_id AS media_id,
-         |  ${TextHash.sqlCdcCodes("text")} AS codes, length(text) AS n FROM documents),
+      s"""WITH h AS (SELECT doc_id AS media_id, upper(hex(encode(text))) AS hx,
+         |  octet_length(encode(text)) AS n FROM documents),
+         |c AS (SELECT media_id,
+         |  ${TextHash.sqlCdcCodes("hx", "n")} AS codes, n FROM h),
          |b AS (SELECT media_id, codes, n,
          |  ${TextHash.sqlCdcBoundaries("codes", "n")} AS bnds FROM c),
          |f AS (SELECT media_id, ${TextHash.sqlCdcChunkFps("codes", "n", "bnds")} AS fps FROM b),

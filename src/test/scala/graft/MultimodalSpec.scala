@@ -77,13 +77,17 @@ class MultimodalSpec extends SparkSpec {
     assert(cdcAvg > frameAvg * 4)
   }
 
-  /** The q26d oracle's CDC rule replayed exactly as DuckDB computes it —
-    * Horner folds over the CODEPOINT array (TextHash.sqlCdcCodes uses
-    * ascii(ch)), window over codepoint positions — where the engine's
-    * CdcChunkFps folds UTF-8 BYTES. Identical on ASCII; divergent beyond. */
-  private def codepointCdcFps(s: String): Set[Long] = {
+  /** The q26d oracle's CDC rule replayed exactly as DuckDB now computes it
+    * (VERDICT r10 #5): Horner folds over the UTF-8 BYTE array — the values
+    * `strpos('0123456789ABCDEF', ...)` decodes from `hex(encode(text))` —
+    * which is the SAME array the engine's CdcChunkFps folds, on any input.
+    * This transcription is character-for-character the arithmetic of
+    * TextHash.sqlCdcCodes/sqlCdcBoundaries/sqlCdcChunkFps; the end-to-end
+    * DuckDB agreement is additionally pinned on a multibyte parquet
+    * fixture (FIXTURES.md §C). */
+  private def byteOracleCdcFps(s: String): Set[Long] = {
     import graft.functions.TextHash.{CdcB, CdcDiv, CdcW, FpMult, Mod}
-    val codes = s.codePoints.toArray.map(_.toLong)
+    val codes = s.getBytes("UTF-8").map(b => (b & 0xff).toLong)
     val n = codes.length
     val bnds = (CdcW to math.max(n, CdcW)).filter(i => i < n &&
       codes.slice(i - CdcW, i).foldLeft(0L)((a, x) => (a * CdcB + x) % Mod)
@@ -99,28 +103,24 @@ class MultimodalSpec extends SparkSpec {
       .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       .toLongArray().toSet
 
-  test("non-ASCII text breaks CDC oracle parity — and the corpus tripwire catches it") {
-    // VERDICT r9 #7: the byte-vs-codepoint parity between CdcChunkFps and
-    // the DuckDB oracle holds ONLY on ASCII corpora. Pin both halves:
-    // (1) the divergence is real — a multibyte payload makes the two rules
-    // disagree, so this is a genuine landmine, not a theoretical one;
-    // (2) the tripwire — today's testdata is all-ASCII, so a regenerated
-    // corpus with multibyte text fails HERE with a pointer at q26d instead
-    // of surfacing as an inscrutable oracle hash mismatch.
+  test("CDC oracle parity holds on multibyte text (byte-array folding, r9-#7 tripwire retired)") {
+    // VERDICT r10 #5: the q26d oracle previously folded an ascii()
+    // codepoint array — identical to the engine's byte fold only on pure
+    // ASCII, guarded by a corpus tripwire here. The oracle now decodes the
+    // UTF-8 bytes from hex(encode(text)), so byte-fold parity holds on ANY
+    // corpus and the tripwire is retired. Pin engine == transcribed oracle
+    // on ASCII, multibyte (2-byte sequences), and astral (4-byte) inputs.
     val ascii = "the quick brown fox jumps over the lazy dog, twice over. " * 4
-    assert(engineCdcFps(ascii) === codepointCdcFps(ascii),
-      "byte and codepoint CDC folds must agree on pure ASCII")
+    assert(engineCdcFps(ascii) === byteOracleCdcFps(ascii))
     val multibyte = "thé qüick brøwn fox jümps över the låzy dög, twice över. " * 4
-    assert(engineCdcFps(multibyte) !== codepointCdcFps(multibyte),
-      "expected byte-fold vs codepoint-fold divergence on multibyte text — " +
-        "if these now agree, the q26d oracle was changed; update this pin")
-    import org.apache.spark.sql.functions.col
-    val nonAscii = Tables.documents(spark, sf)
-      .filter(!col("text").rlike("^[\\u0000-\\u007F]*$")).count()
-    assert(nonAscii === 0L,
-      s"$nonAscii documents carry non-ASCII text: q26d's (and q26c's) " +
-        "byte-oriented oracle parity no longer holds on this corpus — switch " +
-        "the oracle to byte-array folding before trusting their hash compare")
+    assert(engineCdcFps(multibyte) === byteOracleCdcFps(multibyte),
+      "byte-array oracle fold must match the engine's UTF-8 byte fold on multibyte text")
+    val astral = "emoji 😀 mixed 中文 content, seven words each round. " * 6
+    assert(engineCdcFps(astral) === byteOracleCdcFps(astral),
+      "parity must cover 3- and 4-byte UTF-8 sequences too")
+    // and the multibyte inputs genuinely exercise the multibyte path
+    assert(multibyte.getBytes("UTF-8").length > multibyte.length)
+    assert(astral.getBytes("UTF-8").length > astral.length)
   }
 
   test("media schema round-trips through parquet with binary payload intact") {
