@@ -18,7 +18,8 @@ object SparkEntry {
       BehaviorQueries.defs ++ Joins.defs ++ Windows.defs ++
       SetsAndScalars.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       TextAnalysisQueries.defs ++ CurationQueries.defs ++ QualityQueries.defs ++
-      MultimodalQueries.defs ++ StreamingQueries.defs ++ ScaleQueries.defs
+      MultimodalQueries.defs ++ StreamingQueries.defs ++ ScaleQueries.defs ++
+      CurationPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Works on any session: the confs the testdata requires (nanos

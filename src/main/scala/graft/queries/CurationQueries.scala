@@ -20,7 +20,7 @@ object CurationQueries {
 
   /** q25o packed-sequence length (tokens per training example); matches
     * q25g's shard budget so shard k ≙ sequence k at the same offsets. */
-  private val SeqLen = 2048
+  private[queries] val SeqLen = 2048
 
   /** q25p chunk geometry: ChunkLen-token windows every ChunkStride tokens
     * (overlap = ChunkLen - ChunkStride). */

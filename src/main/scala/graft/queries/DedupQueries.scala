@@ -104,8 +104,8 @@ object DedupQueries {
   /** q22e span geometry: fixed 8-token non-overlapping segments (the span
     * unit standing in for paragraphs on this newline-free corpus) removed
     * corpus-wide once they appear in ≥ BoilerplateDf distinct docs. */
-  private val SpanLen = 8
-  private val BoilerplateDf = 3
+  private[queries] val SpanLen = 8
+  private[queries] val BoilerplateDf = 3
 
   /** q23i's deterministic recall-sample rule: every doc with
     * doc_id % 10 == 0 is a monitored query point. Fixed RATE (not fixed

@@ -19,10 +19,10 @@ object QualityQueries {
   /** Quality-rule thresholds (Gopher-style repetition bounds, scaled to the
     * synthetic corpus's ~30-word vocabulary). Emitted as literals into both
     * the Column and SQL forms. */
-  private val MinMeanWordLen = 3.0
-  private val MaxMeanWordLen = 10.0
-  private val MinTypeTokenRatio = 0.4
-  private val MaxTopBigramFrac = 0.07
+  private[queries] val MinMeanWordLen = 3.0
+  private[queries] val MaxMeanWordLen = 10.0
+  private[queries] val MinTypeTokenRatio = 0.4
+  private[queries] val MaxTopBigramFrac = 0.07
 
   /** Split assignment: hash32("split:" + doc_id) mod 100 → 90/5/5. */
   private[queries] val ValFrom = 90

@@ -1336,4 +1336,56 @@ object SimilarityQueries {
 
   private val probedCells =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Int]]()
+
+  /** Parameterized IVF-PQ serving pair for the production-cell-count
+    * crossover capture (VERDICT r10 #3 / tools.AnnCellScale). The demo
+    * geometry behind q24l/q24m has 10 coarse cells and the 10-query set
+    * probes 80–90% of them, so the partitioned read can never win at toy
+    * scale; HERE cells come from k-means at `nCells` (64–256 — production
+    * coarse-codebook sizes) with `probes` per query, making the probed
+    * fraction ≤ 10% and the layout's I/O-proportionality measurable.
+    * Returns the FLAT (q24l-shape: full codes scan ⋈ cell map ⋈ broadcast
+    * probe) and CELL-PARTITIONED (q24m-shape: statically pruned scan of
+    * codes laid out partitionBy(cell)) executions over the SAME codes,
+    * codebooks, and probe map; both end in the shared ADC + shortlist +
+    * exact re-rank, so their results are identical by construction (the
+    * tool asserts it) and the delta is purely the candidate-generation
+    * read path — the thing the layout changes. */
+  private[graft] def ivfpqAtScale(s: SparkSession, dir: String,
+                                  nCells: Int, probes: Int): (DataFrame, DataFrame) = {
+    import VecFunctions.vecDot
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmFinalAssignments(s, dir, nCells)
+    val cellMap = asg.select(col("vec_id"), col("cid").as("cell"))
+    val cent = Materialize(s, dir, s"xc_cent_k$nCells")(
+      decimalCentroids(asg.select(col("cid"), col("embedding")), "cid")
+        .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec")))))
+    val qs = base(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"))
+    val probe = broadcast(qs).crossJoin(broadcast(cent))
+      .withColumn("csim",
+        vecDot(col("cvec"), col("qemb")) / (col("cnrm") * col("qnrm")))
+      .withColumn("pr",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("pr") <= probes)
+      .select(col("qid"), col("cid").as("plabel"))
+    val (codes, qtab) = pqArtifacts(s, dir)
+    val flat = codes
+      .join(cellMap, Seq("vec_id"))
+      .join(broadcast(probe), col("cell") === col("plabel"))
+      .join(broadcast(qtab), Seq("qid", "m", "cid"))
+      .select(col("qid"), col("vec_id"), col("m"), col("d"))
+    val byCell = Materialize.partitioned(s, dir, s"xc_codes_by_cell_k$nCells",
+      Seq("cell"))(codes.join(cellMap, Seq("vec_id")))
+    // probed-cell literal: ≤ nCells·probes router-metadata values
+    val cells = probe.select(col("plabel")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val pruned = byCell.filter(col("cell").isin(cells.map(Long.box): _*))
+      .join(broadcast(probe), col("cell") === col("plabel"))
+      .join(broadcast(qtab), Seq("qid", "m", "cid"))
+      .select(col("qid"), col("vec_id"), col("m"), col("d"))
+    (pqAdcSearch(s, dir, flat), pqAdcSearch(s, dir, pruned))
+  }
 }

@@ -30,6 +30,12 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q25h_quality_rules", "n_types"),
     ("q25h_quality_rules", "wlen_sum"),
     ("q25h_quality_rules", "n_bg"),
+    // q44: q25h's quality CTEs verbatim — the same three sums, consumed
+    // only via ::DOUBLE ratios inside the `q` keep-filter, never emitted
+    // (the final SELECT outputs packing integers only)
+    ("q44_curation_pipeline", "n_types"),
+    ("q44_curation_pipeline", "wlen_sum"),
+    ("q44_curation_pipeline", "n_bg"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
     // emitted as `score_fp / 1000000.0` (DOUBLE division) and ORDER BY
     ("q25k_bm25_search", "total_tok"),

@@ -470,6 +470,37 @@ class PlanSpec extends SparkSpec {
         s"got ${pt.selectedPartitions.partitionCount}")
   }
 
+  test("q44: the curation DAG scans the raw corpus exactly once end-to-end") {
+    // VERDICT r10 #8: the five composed stages must not re-scan the corpus
+    // per stage. Stage 1 (dedup) is the ONE raw scan; span-clean reads only
+    // the materialized survivor table (its df-agg and anti-join branches
+    // would otherwise each re-scan raw); quality/split/packing read only
+    // the materialized curated table.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def allScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+      // AQE wraps exchange-bearing plans in AdaptiveSparkPlanExec, which
+      // exposes no children to TreeNode traversal — unwrap to its input
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      p.collect { case f: FileSourceScanExec => f }
+    }
+    def rawScans(df: org.apache.spark.sql.DataFrame): Int =
+      allScans(df).count(
+        _.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")))
+    assert(rawScans(graft.queries.CurationPipeline.keptFrame(spark, sf)) === 1,
+      "stage 1 (dedup) must be the single raw-corpus scan")
+    val q44 = SparkEntry.queries("q44_curation_pipeline")(spark, sf)
+    assert(rawScans(q44) === 0,
+      "the final quality/split/packing plan must read only the curated materialization")
+    val scans = allScans(q44)
+    assert(scans.nonEmpty &&
+      scans.forall(_.relation.location.rootPaths.exists(_.toString.contains("graft_q44_curated"))),
+      "every scan in the final plan must target the curated table")
+  }
+
   test("q24j: MMR rounds are checkpointed — the final plan reads only the tiny result") {
     // the greedy rounds run eagerly through per-round Materialize
     // checkpoints (the relevance pass itself is q24's already-pinned
