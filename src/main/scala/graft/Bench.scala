@@ -598,17 +598,21 @@ object Bench {
                 .map(k => s""""$k":"${finalVerdicts(k)}"""").mkString("{", ",", "}")},"""
             else "")
         }
+      // sf as its SCALE TOKEN, not the full path (15 chars back per line —
+      // at 144 queries the full-path form left no room for even two inline
+      // verdicts); every consumer (tripwire, rerun script, analysis) already
+      // normalizes through scaleToken, which maps both forms identically
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},""" +
         trippedPart + seedField +
         s""""ref_ratio_median":${fmt(ratioMedian)},"promotable":$promotable,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"sf":"${scaleToken(sfDir)}"}"""
     }
     val line = Seq(
       lineWith(tripped.size, withVerdicts = true), lineWith(10, withVerdicts = true),
       lineWith(5, withVerdicts = true), lineWith(10, withVerdicts = false),
       lineWith(3, withVerdicts = false))
-      .find(_.length <= 1950).getOrElse(lineWith(0, withVerdicts = false))
+      .find(_.length <= 1980).getOrElse(lineWith(0, withVerdicts = false))
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
     // Per-query task metrics go to a FILE, not the stdout JSON line: the
