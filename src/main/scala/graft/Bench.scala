@@ -70,12 +70,21 @@ object Bench {
     * identifiers and values plain decimals — a 3-line scan beats dragging a
     * JSON library dependency into the bench path. */
   private[graft] def parseQueriesJson(line: String): Map[String, Double] = {
-    val start = line.indexOf("\"queries\":{")
+    // whitespace-tolerant around the separators: Bench's own lines are
+    // compact, but a reference file round-tripped through a pretty-printer
+    // (e.g. python json.dumps' default ", "/": " separators) must parse
+    // identically — round-11's doctored-reference smoke caught the strict
+    // form silently reading such a file as empty
+    val start = line.indexOf("\"queries\"")
     if (start < 0) Map.empty
     else {
-      val body = line.substring(start + 11, line.indexOf('}', start))
-      """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val open = line.indexOf('{', start)
+      if (open < 0) Map.empty
+      else {
+        val body = line.substring(open + 1, line.indexOf('}', open))
+        """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }
   }
 
@@ -84,7 +93,7 @@ object Bench {
     * top-level field, so an earlier embedded `"sf":"…"` byte sequence (e.g.
     * inside a failure message) cannot shadow it (ADVICE r9). */
   private[graft] def parseSfField(line: String): String =
-    """"sf":"([^"]*)"""".r.findAllMatchIn(line).map(_.group(1)).toSeq.lastOption.getOrElse("")
+    """"sf"\s*:\s*"([^"]*)"""".r.findAllMatchIn(line).map(_.group(1)).toSeq.lastOption.getOrElse("")
 
   /** Scale token of an SF-dir path: the trailing path segment ("sf0.1",
     * "sfx10"). The tripwire's scale guard compares tokens, not raw paths, so

@@ -209,20 +209,30 @@ object BehaviorQueries {
     * most partitions are observably NOT rewritten. */
   private[graft] val ScdBuckets = 64
 
-  /** q36e late-delta rule: events with event_id ≡ 0 (mod 4999) are the
-    * late-arriving correction batch (~0.02% of rows — ~21 events / ~20
-    * users at sf0.1). A TIME cutoff cannot demonstrate partition-scoped
-    * MERGE on this corpus (every user is active in every window, so every
-    * bucket is always affected); a small backfill batch is also the shape
-    * partition-scoped rewrites exist for in production — late data and
-    * corrections touch few users, nightly appends touch many. */
-  private[graft] val ScdDeltaMod = 4999L
+  /** q36e late-delta rule: a FIXED-COUNT sample of events (modulus derived
+    * from the parquet footer row count — q23j's fixed-count-monitor
+    * pattern) is the late-arriving correction batch. Fixed COUNT, not a
+    * fixed modulus: a production correction batch does not grow with the
+    * table it corrects, and the fixed count is what keeps the
+    * affected-bucket fraction — and therefore the MERGE's rewrite I/O —
+    * FLAT as the corpus scales (the ×10/×20 growth rows measure exactly
+    * this). A TIME cutoff cannot demonstrate partition-scoped MERGE on
+    * this corpus at all (every user is active in every window, so every
+    * bucket is always affected). Target ~20 delta events (≈20 users ⇒
+    * ~17 of 64 buckets), floored at n/500 so the tiny spec fixture
+    * (sf0.001: 15 users over ≤15 written buckets) still leaves most
+    * buckets untouched. */
+  private[graft] def scdDeltaMod(s: SparkSession, dir: String): Long = {
+    val n = Tables.parquetRowCount(s, s"$dir/events.parquet")
+    val target = math.max(2L, math.min(20L, n / 500))
+    math.max(1L, n / target)
+  }
 
   private def userBucket: org.apache.spark.sql.Column =
     pmod(hash(col("user_id")), lit(ScdBuckets))
 
-  private[graft] def scdDeltaPred: org.apache.spark.sql.Column =
-    col("event_id") % ScdDeltaMod === 0
+  private[graft] def scdDeltaPred(s: SparkSession, dir: String): org.apache.spark.sql.Column =
+    col("event_id") % scdDeltaMod(s, dir) === 0
 
   private[graft] def fourColEvents(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -235,7 +245,7 @@ object BehaviorQueries {
     * one file set, not shuffle-partitions × buckets small files. */
   private def scdEventsByBucket(s: SparkSession, dir: String): DataFrame =
     Materialize.partitioned(s, dir, "q36e_events_by_ub", Seq("ub"))(
-      fourColEvents(s, dir).filter(!scdDeltaPred)
+      fourColEvents(s, dir).filter(!scdDeltaPred(s, dir))
         .withColumn("ub", userBucket)
         .repartition(col("ub")))
 
@@ -246,7 +256,7 @@ object BehaviorQueries {
     * oracle checks. */
   private def scdHistoryByBucket(s: SparkSession, dir: String): DataFrame =
     Materialize.partitioned(s, dir, "q36e_hist_by_ub", Seq("ub"))(
-      scd2Frame(fourColEvents(s, dir).filter(!scdDeltaPred))
+      scd2Frame(fourColEvents(s, dir).filter(!scdDeltaPred(s, dir)))
         .withColumn("ub", userBucket)
         .repartition(col("ub")))
 
@@ -259,7 +269,7 @@ object BehaviorQueries {
   private[graft] def affectedBuckets(s: SparkSession, dir: String): Seq[Int] =
     scdAffected.computeIfAbsent(
       s"${graft.SessionToken(s)}|$dir",
-      _ => fourColEvents(s, dir).filter(scdDeltaPred)
+      _ => fourColEvents(s, dir).filter(scdDeltaPred(s, dir))
         .select(userBucket.as("ub")).distinct()
         .collect().map(_.getInt(0)).sorted.toSeq)
 
@@ -774,7 +784,7 @@ object BehaviorQueries {
          |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
          |  n_events
          |FROM runs ORDER BY user_id, run""".stripMargin) { (s, dir) =>
-      val delta = fourColEvents(s, dir).filter(scdDeltaPred)
+      val delta = fourColEvents(s, dir).filter(scdDeltaPred(s, dir))
       val rewritten = scd2Frame(
         scdRewriteSourceScan(s, dir).drop("ub").unionByName(delta))
       val untouched = scdPassthroughScan(s, dir).drop("ub")

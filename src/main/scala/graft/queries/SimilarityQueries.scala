@@ -1377,8 +1377,13 @@ object SimilarityQueries {
       .join(broadcast(probe), col("cell") === col("plabel"))
       .join(broadcast(qtab), Seq("qid", "m", "cid"))
       .select(col("qid"), col("vec_id"), col("m"), col("d"))
+    // clustered write: one task (= one file set) per cell directory — the
+    // layout a production writer produces; without the repartition the 32
+    // shuffle tasks each spray rows into every probed dir and the
+    // partitioned table's encoding (many tiny unsorted files) is unfairly
+    // worse than the flat table's
     val byCell = Materialize.partitioned(s, dir, s"xc_codes_by_cell_k$nCells",
-      Seq("cell"))(codes.join(cellMap, Seq("vec_id")))
+      Seq("cell"))(codes.join(cellMap, Seq("vec_id")).repartition(col("cell")))
     // probed-cell literal: ≤ nCells·probes router-metadata values
     val cells = probe.select(col("plabel")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq

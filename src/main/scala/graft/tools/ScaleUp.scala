@@ -31,16 +31,22 @@ object ScaleUp {
   private val Big = Seq("events", "documents", "embeddings", "lineitem", "orders")
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
-    val Array(src, dst, fStr) = args
-    val factor = fStr.toInt
+    // optional 4th arg: comma-separated subset of the big tables to scale
+    // (the rest are byte-copied) — a single-table stress corpus (e.g. the
+    // ×100 embeddings dir for the ANN crossover capture) should not pay
+    // for 10M scaled event rows it never reads
+    require(args.length >= 3, "usage: ScaleUp <srcDir> <dstDir> <factor> [tables]")
+    val src = args(0); val dst = args(1)
+    val factor = args(2).toInt
+    val scaleOnly: Seq[String] =
+      if (args.length > 3) args(3).split(",").toSeq else Big
     require(factor >= 1 && factor <= 100, s"factor must be 1..100, got $factor")
     val spark = graft.GraftSession.get()
     Files.createDirectories(Paths.get(dst))
-    for (t <- graft.sources.Tables.names if !Big.contains(t))
+    for (t <- graft.sources.Tables.names if !Big.contains(t) || !scaleOnly.contains(t))
       Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$dst/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
-    for (t <- Big) {
+    for (t <- Big if scaleOnly.contains(t)) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val reps = (0 until factor).map(k => replica(t, base, k))
       reps.reduce(_.unionByName(_))

@@ -43,6 +43,21 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(Bench.tripwire(Map("q10" -> 5.0), Map("q10" -> -1.0)) === Seq.empty)
   }
 
+  test("capture parsers tolerate pretty-printed JSON (round-11 doctored-ref smoke)") {
+    // a reference file round-tripped through python json.dumps gains
+    // ": "/", " separators; the strict parsers read such a file as EMPTY —
+    // silently disabling the tripwire — which is exactly what the first
+    // doctored-reference smoke run did
+    val pretty = """{"metric": "total", "value": 9.1, "unit": "sec", """ +
+      """"queries": {"q22": 0.05, "q23b": 0.077}, "sf": "sf0.01"}"""
+    assert(Bench.parseQueriesJson(pretty) === Map("q22" -> 0.05, "q23b" -> 0.077))
+    assert(Bench.parseSfField(pretty) === "sf0.01")
+    // and the compact form Bench itself emits still parses identically
+    val compact = """{"metric":"total","queries":{"q22":0.05,"q23b":0.077},"sf":"sf0.01"}"""
+    assert(Bench.parseQueriesJson(compact) === Map("q22" -> 0.05, "q23b" -> 0.077))
+    assert(Bench.parseSfField(compact) === "sf0.01")
+  }
+
   test("the pinned bench/reference.json parses to a full per-query map") {
     val p = java.nio.file.Paths.get("bench/reference.json")
     assume(java.nio.file.Files.exists(p))

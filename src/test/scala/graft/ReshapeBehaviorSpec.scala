@@ -254,7 +254,7 @@ class ReshapeBehaviorSpec extends SparkSpec {
     val all = BehaviorQueries.fourColEvents(spark, sf)
     val ub = pmod(hash(col("user_id")), lit(BehaviorQueries.ScdBuckets))
     // the stored table: history of PRE-delta events, partitioned by bucket
-    BehaviorQueries.scd2Frame(all.filter(!BehaviorQueries.scdDeltaPred))
+    BehaviorQueries.scd2Frame(all.filter(!BehaviorQueries.scdDeltaPred(spark, sf)))
       .withColumn("ub", ub).repartition(col("ub"))
       .write.partitionBy("ub").mode("overwrite").parquet(dir)
     def listing(): Map[String, Seq[(String, Long, Long)]] =
@@ -272,7 +272,7 @@ class ReshapeBehaviorSpec extends SparkSpec {
       s"fixture affects ${affected.size} of ${before.size} written buckets")
     // the MERGE: rewritten rows for affected buckets only, overwriting just
     // the partitions present in the written frame
-    val delta = all.filter(BehaviorQueries.scdDeltaPred)
+    val delta = all.filter(BehaviorQueries.scdDeltaPred(spark, sf))
     val rewritten = BehaviorQueries.scd2Frame(
       BehaviorQueries.scdRewriteSourceScan(spark, sf).drop("ub")
         .unionByName(delta))
