@@ -596,16 +596,21 @@ object Bench {
     // fits ≤1950: full verdicts → capped → tripped-only → count-only. The
     // FULL verdict maps always land in the metrics file and stderr.
     val seedField = orderSeed.map(sd => s""""order_seed":$sd,""").getOrElse("")
-    def lineWith(nTrip: Int, withVerdicts: Boolean): String = {
+    def lineWith(nVerdicts: Int, nTrippedArr: Int): String = {
       val trippedPart =
         if (tripped.isEmpty) ""
         else {
-          val tj = tripped.take(nTrip).map(k => s""""$k"""").mkString("[", ",", "]")
-          s""""tripped":$tj,"tripped_n":${tripped.size},""" +
-            (if (withVerdicts && nTrip > 0)
-              s""""trip_verdicts":${tripped.take(nTrip)
+          val arr =
+            if (nTrippedArr > 0)
+              s""""tripped":${tripped.take(nTrippedArr)
+                .map(k => s""""$k"""").mkString("[", ",", "]")},"""
+            else ""
+          val vj =
+            if (nVerdicts > 0)
+              s""""trip_verdicts":${tripped.take(nVerdicts)
                 .map(k => s""""$k":"${finalVerdicts(k)}"""").mkString("{", ",", "}")},"""
-            else "")
+            else ""
+          s"""$arr"tripped_n":${tripped.size},$vj"""
         }
       // sf as its SCALE TOKEN, not the full path (15 chars back per line —
       // at 144 queries the full-path form left no room for even two inline
@@ -617,11 +622,16 @@ object Bench {
         s""""ref_ratio_median":${fmt(ratioMedian)},"promotable":$promotable,""" +
         s""""failed":$failedJson,"sf":"${scaleToken(sfDir)}"}"""
     }
+    // Degradation order prefers VERDICTS over the tripped array: verdict
+    // keys carry the tripped names anyway, and the adjudication is the
+    // information the artifact exists to hold (r11's 9-trip host window
+    // would otherwise drop all verdicts for a list of bare names). The
+    // full lists always land in the metrics file and on stderr.
+    val n = tripped.size
     val line = Seq(
-      lineWith(tripped.size, withVerdicts = true), lineWith(10, withVerdicts = true),
-      lineWith(5, withVerdicts = true), lineWith(10, withVerdicts = false),
-      lineWith(3, withVerdicts = false))
-      .find(_.length <= 1980).getOrElse(lineWith(0, withVerdicts = false))
+      lineWith(n, n), lineWith(n, 0), lineWith(5, 0), lineWith(3, 0),
+      lineWith(0, 10), lineWith(0, 0))
+      .find(_.length <= 1992).getOrElse(lineWith(0, 0))
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
     // Per-query task metrics go to a FILE, not the stdout JSON line: the

@@ -65,7 +65,9 @@ object Explain {
     "q33d_sessionize_bucketed", // user-bucketed events: zero-exchange sessionize
     "q24l_ivfpq_topk", // IVF-routed ADC: probe map + codebooks broadcast
     "q22f_cluster_split", // canon left-join + scan-riding hash split
-    "q36d_asof_read") // interval containment filter riding the q36 frame
+    "q36d_asof_read", // interval containment filter riding the q36 frame
+    "q36e_scd2_partition_merge", // bucket-pruned rewrite + complementary pass-through scan
+    "q44_curation_pipeline") // composed curation DAG off the curated materialization
 
   /** The streaming members of the BENCH_r08 heavy tail (VERDICT r8 #4):
     * their incremental shapes (append-mode eviction, the stream-static band
