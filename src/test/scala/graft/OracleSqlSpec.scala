@@ -36,6 +36,11 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q44_curation_pipeline", "n_types"),
     ("q44_curation_pipeline", "wlen_sum"),
     ("q44_curation_pipeline", "n_bg"),
+    // q45: the same prefixed quality blocks (history + batch instantiation
+    // of ONE builder), same ::DOUBLE-only consumption
+    ("q45_incremental_curation", "n_types"),
+    ("q45_incremental_curation", "wlen_sum"),
+    ("q45_incremental_curation", "n_bg"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
     // emitted as `score_fp / 1000000.0` (DOUBLE division) and ORDER BY
     ("q25k_bm25_search", "total_tok"),

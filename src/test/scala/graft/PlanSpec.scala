@@ -499,6 +499,18 @@ class PlanSpec extends SparkSpec {
     assert(scans.nonEmpty &&
       scans.forall(_.relation.location.rootPaths.exists(_.toString.contains("graft_q44_curated"))),
       "every scan in the final plan must target the curated table")
+
+    // q45 (incremental): history is never re-scanned RAW — its curated
+    // artifacts (kept set, boilerplate list, token totals) and the batch's
+    // own curated checkpoint come from q45_* materializations, so the
+    // FINAL plan touches no raw documents at all; the raw batch scans live
+    // in the checkpoint builds, whose work is proportional to the BATCH
+    val q45 = SparkEntry.queries("q45_incremental_curation")(spark, sf)
+    assert(rawScans(q45) === 0,
+      "the final incremental plan must read only stage-boundary materializations")
+    assert(allScans(q45).exists(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft_q45_"))),
+      "history/batch artifacts must be read from the q45 materializations")
   }
 
   test("q24j: MMR rounds are checkpointed — the final plan reads only the tiny result") {
