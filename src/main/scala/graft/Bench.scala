@@ -232,6 +232,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_RERUN", "1")
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_METRICS_OUT", "bench/rerun_auto.metrics.json")
+      pb.environment().put("SPARK_GRAFT_EXTRA_WARMUP", "2")
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       System.err.println(s"[bench] spawning fresh-JVM rerun of [${keys.mkString(" ")}]")
       val t0 = System.nanoTime()
@@ -422,6 +423,18 @@ object Bench {
     }
     val cold = execOrder.map(n => n -> once("cold", n)).toMap
     settle()
+    // Extra JIT-warmup passes (timed but unreported) between cold and the
+    // two reported passes. The adjudication CHILD sets this to 2: a 4-query
+    // child suite is NOT JIT-converged by pass 3 the way the 145-query
+    // parent suite is (round-11 false positive: q24g's child re-run carried
+    // 2.4× reference task-CPU at identical bytes with warm still 15% below
+    // mid — immature generated code reading as a plan regression), so the
+    // child buys convergence with cheap extra passes before judging.
+    val extraWarmup = sys.env.getOrElse("SPARK_GRAFT_EXTRA_WARMUP", "0").toInt
+    for (i <- 1 to extraWarmup) {
+      execOrder.foreach(n => once(s"w$i", n))
+      settle()
+    }
     // Middle pass: absorbs the second-execution C2 promotions (a method's
     // profile-driven recompile typically triggers on its re-run, so pass 2
     // is where most WARM-pass jit was charged). Reported `queries` figures
