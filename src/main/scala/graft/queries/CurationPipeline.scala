@@ -226,7 +226,7 @@ object CurationPipeline {
     * execution would replay the history-sized quality gate — the one
     * history-proportional cost that must not ride the nightly path
     * (caught by the first growth capture: 7.5 s at ×10, history-shaped). */
-  private def histTokenBase(s: SparkSession, dir: String): DataFrame =
+  private[graft] def histTokenBase(s: SparkSession, dir: String): DataFrame =
     Materialize(s, dir, "q45_hist_base")(
       packable(tokenized(histCurated(s, dir)))
         .groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))

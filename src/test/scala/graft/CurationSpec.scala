@@ -201,4 +201,50 @@ class CurationSpec extends SparkSpec {
     assert(smallest._5 > 1.0, "lowest-resource language must be upsampled")
     assert(largest._5 < 1.0, "highest-resource language must be downsampled")
   }
+
+  test("q44/q45 pipeline composition: packing invariants and offset continuity") {
+    // the composed DAGs beyond the row-level oracle: q44's packed segments
+    // tile each lang's token stream gaplessly from offset 0; q45's batch
+    // segments (a) come only from batch doc_ids, (b) are disjoint from
+    // q44's packed train docs except via the batch rule, and (c) CONTINUE
+    // each lang's stream where the standing history's packed end left it —
+    // the first batch segment's global offset equals the history total,
+    // i.e. seq*SeqLen + offset_in_seq is dense across the boundary
+    def segs(name: String) =
+      SparkEntry.queries(name)(spark, sf)
+        .select("lang", "doc_id", "seq", "seg_begin", "seg_len", "offset_in_seq")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    def checkTiling(rows: Seq[(String, Long, Long, Long, Long, Long)],
+                    startOf: String => Long): Unit =
+      rows.groupBy(_._1).foreach { case (lang, rs) =>
+        // global token positions: segment covers [seq*L + offset_in_seq,
+        // seq*L + offset_in_seq + seg_len); sorted, they must tile a
+        // contiguous range starting at startOf(lang) with no gap/overlap
+        val l = 2048L
+        val spans = rs.map(r => (r._3 * l + r._6, r._3 * l + r._6 + r._5)).sortBy(_._1)
+        assert(spans.head._1 === startOf(lang),
+          s"$lang stream must start at ${startOf(lang)}, got ${spans.head._1}")
+        spans.sliding(2).foreach {
+          case Seq(a, b) => assert(b._1 === a._2, s"$lang gap/overlap at $a -> $b")
+          case _ =>
+        }
+        rs.foreach(r => assert(r._5 > 0 && r._6 >= 0 && r._6 < l && r._4 >= 0))
+      }
+    val full = segs("q44_curation_pipeline")
+    checkTiling(full, _ => 0L)
+    val inc = segs("q45_incremental_curation")
+    assert(inc.nonEmpty)
+    // batch membership: every incremental row is a batch doc (footer-mod rule)
+    val mod = math.max(7L,
+      graft.sources.Tables.parquetRowCount(spark, s"$sf/documents.parquet") / 70L)
+    inc.foreach(r => assert(r._2 % mod === 0L, s"doc ${r._2} not in the batch"))
+    // continuity: each lang's incremental stream starts EXACTLY at the
+    // standing history's packed token total and tiles gaplessly from there
+    val base = graft.queries.CurationPipeline.histTokenBase(spark, sf)
+      .as[(String, Long)].collect().toMap
+    inc.groupBy(_._1).foreach { case (lang, rs) =>
+      checkTiling(rs, lg => base.getOrElse(lg, 0L))
+      assert(base.contains(lang) || rs.map(_._3).min === 0L)
+    }
+  }
 }
