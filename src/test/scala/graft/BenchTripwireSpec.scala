@@ -73,7 +73,9 @@ class BenchTripwireSpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get("bench/reference.json")
     assume(java.nio.file.Files.exists(p))
     val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    assert(Bench.parseSfField(raw) === "/root/testdata/sf0.1")
+    // since round 11 the line carries the SCALE TOKEN, not the full path;
+    // the guard normalizes both forms through scaleToken, so pin the token
+    assert(Bench.scaleToken(Bench.parseSfField(raw)) === "sf0.1")
     assert(Bench.parseSfField("""{"queries":{}}""") === "")
     assert(Bench.parseSfField("""{"sf":"/tmp/sfx10"}""") === "/tmp/sfx10")
   }
