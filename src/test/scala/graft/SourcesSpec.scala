@@ -72,4 +72,14 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.select(unix_micros(col("ts"))).head.getLong(0) == micros)
   }
+
+  test("driver contract: SparkEntry.entry returns rows on the smoke SF") {
+    // the driver's smoke check — entry() must keep working on any session
+    // (it sets the nanos/UTC confs itself) and return rows > 0 at sf0.001;
+    // pinned here so a registry reshuffle can't silently break the first
+    // thing the driver runs each round
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/testdata/sf0.001")))
+    assert(SparkEntry.entry(spark).limit(1).count() === 1L)
+  }
 }
