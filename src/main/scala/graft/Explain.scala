@@ -68,7 +68,9 @@ object Explain {
     "q36d_asof_read", // interval containment filter riding the q36 frame
     "q36e_scd2_partition_merge", // bucket-pruned rewrite + complementary pass-through scan
     "q44_curation_pipeline", // composed curation DAG off the curated materialization
-    "q45_incremental_curation") // nightly batch: bloom-vs-history dedup, frozen bp, offset-continuing pack
+    "q45_incremental_curation", // nightly batch: bloom-vs-history dedup, frozen bp, offset-continuing pack
+    "q24o_filtered_topk", // pre-filtered ANN: predicate on the candidate stream between routing and ADC
+    "q46_corpus_datacard") // per-lang curation funnel off the stage-boundary materializations
 
   /** The streaming members of the BENCH_r08 heavy tail (VERDICT r8 #4):
     * their incremental shapes (append-mode eviction, the stream-static band

@@ -41,7 +41,7 @@ object CurationPipeline {
 
   import DedupQueries.{BoilerplateDf, SpanLen}
   import CurationQueries.SeqLen
-  import QualityQueries.{MaxMeanWordLen, MaxTopBigramFrac, MinMeanWordLen, MinTypeTokenRatio, ValFrom}
+  import QualityQueries.{MaxMeanWordLen, MaxTopBigramFrac, MinMeanWordLen, MinTypeTokenRatio, TestFrom, ValFrom}
 
   /** q45 batch rule: a FIXED-COUNT nightly batch — docs with doc_id ≡ 0
     * modulo a footer-derived modulus (target ~[[BatchTarget]] docs,
@@ -114,9 +114,8 @@ object CurationPipeline {
   private def tokenized(cur: DataFrame): DataFrame =
     cur.select(col("doc_id"), col("lang"), tokens(col("ctext")).as("toks"))
 
-  /** Stages 3+4 (q25h + q25j): doc_ids of `ct` that pass the quality rules
-    * AND land in the train split. */
-  private def qualityTrainDocs(ct: DataFrame): DataFrame = {
+  /** Stage 3 (q25h): doc_ids of `ct` that pass the quality rules. */
+  private def qualityDocs(ct: DataFrame): DataFrame = {
     val tok = ct.select(col("doc_id"), lit(0).as("kind"), explode(col("toks")).as("v"))
     val bg = ct.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), lit(1).as("kind"),
@@ -140,8 +139,15 @@ object CurationPipeline {
         meanWlen.between(MinMeanWordLen, MaxMeanWordLen) &&
           ttr >= MinTypeTokenRatio && topBgFrac <= MaxTopBigramFrac)
       .select(col("doc_id"))
-      .filter(hash32(concat(lit("split:"), col("doc_id"))) % 100 < ValFrom)
   }
+
+  /** q25j's split bucket of a doc_id column. */
+  private def splitBucket: Column =
+    hash32(concat(lit("split:"), col("doc_id"))) % 100
+
+  /** Stages 3+4 (q25h + q25j): quality-passing docs in the train split. */
+  private def qualityTrainDocs(ct: DataFrame): DataFrame =
+    qualityDocs(ct).filter(splitBucket < ValFrom)
 
   /** Packable token counts of the quality-passing train docs:
     * (lang, doc_id, n_tok) with empty tokens excluded (q25o's rule). */
@@ -191,10 +197,12 @@ object CurationPipeline {
 
   /** Stages 1+2 materialized: (doc_id, lang, ctext) — dedup survivors with
     * span-cleaned text. Exposed for PlanSpec. */
+  private def keptCorpus(s: SparkSession, dir: String): DataFrame =
+    Materialize(s, dir, "q44_kept")(keptFrame(s, dir))
+
   private[graft] def curatedCorpus(s: SparkSession, dir: String): DataFrame =
     Materialize(s, dir, "q44_curated") {
-      val kept = Materialize(s, dir, "q44_kept")(keptFrame(s, dir))
-      val h = segsOf(kept)
+      val h = segsOf(keptCorpus(s, dir))
       spanClean(h, boilerplateOf(h))
     }
 
@@ -392,6 +400,116 @@ object CurationPipeline {
       val bclean = Materialize(s, dir, "q45_batch_curated")(
         spanClean(segsOf(batchKept), histBoilerplate(s, dir)))
       packFrom(packable(tokenized(bclean)), histTokenBase(s, dir))
+    },
+
+    // Q46 — the corpus DATA CARD: the per-language funnel every shipped
+    // training corpus documents — raw docs → exact-dedup survivors →
+    // docs with text left after boilerplate removal → quality-passing →
+    // train/val/test split sizes → packed train tokens and the number of
+    // 2048-token sequences they fill. One reporting query over the SAME
+    // stage programs q44 runs (imported, never re-derived), reading the
+    // stage-boundary materializations — so the card can never disagree
+    // with the pipeline it describes, and producing it costs per-lang
+    // aggregates over checkpoint tables, not corpus re-scans. At 100 TB
+    // this is the audit/telemetry table a curation run publishes with its
+    // output.
+    QueryDef(
+      "q46_corpus_datacard",
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |    ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+         |                       ORDER BY doc_id) AS rnk
+         |  FROM documents),
+         |k AS (SELECT doc_id, lang, text FROM d WHERE rnk = 1),
+         |src AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM k),
+         |segs AS (SELECT doc_id, lang, j,
+         |    array_to_string(toks[(j*$SpanLen+1):(j*$SpanLen+$SpanLen)], ' ') AS stext
+         |  FROM src, unnest(generate_series(0,
+         |    CAST(ceil(len(toks)/$SpanLen.0) AS BIGINT) - 1)) AS g(j)),
+         |h AS (SELECT doc_id, lang, j, stext, ${sqlHash32("stext")} AS hh FROM segs),
+         |bp AS (SELECT hh FROM (SELECT hh, COUNT(DISTINCT doc_id) AS df
+         |                       FROM h GROUP BY 1) WHERE df >= $BoilerplateDf),
+         |keptseg AS (SELECT doc_id, j, stext FROM h
+         |            WHERE hh NOT IN (SELECT hh FROM bp)),
+         |agg AS (SELECT doc_id, string_agg(stext, ' ' ORDER BY j) AS clean_text
+         |        FROM keptseg GROUP BY 1),
+         |cur AS (SELECT t.doc_id, t.lang, COALESCE(agg.clean_text, '') AS ctext
+         |        FROM (SELECT DISTINCT doc_id, lang FROM h) t
+         |        LEFT JOIN agg ON t.doc_id = agg.doc_id),
+         |ct AS (SELECT doc_id, lang, ${sqlTokens("ctext")} AS toks FROM cur),
+         |${sqlQualityTrainCtes("ct", "")},
+         |t AS (SELECT ct.lang, ct.doc_id,
+         |    len(list_filter(ct.toks, x -> x <> '')) AS n_tok
+         |  FROM ct JOIN tr ON ct.doc_id = tr.doc_id),
+         |o AS (SELECT lang, doc_id, n_tok,
+         |  CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+         |  FROM t),
+         |sq AS (SELECT lang, doc_id, n_tok, off,
+         |  unnest(generate_series(off // $SeqLen, (off + n_tok - 1) // $SeqLen)) AS seq
+         |  FROM o WHERE n_tok > 0),
+         |raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+         |ded AS (SELECT lang, COUNT(*) AS n_dedup FROM k GROUP BY 1),
+         |cln AS (SELECT lang, COUNT(*) AS n_clean FROM cur
+         |        WHERE ctext <> '' GROUP BY 1),
+         |spl AS (SELECT ct.lang,
+         |  COUNT(*) AS n_quality,
+         |  CAST(SUM(CASE WHEN x.b < $ValFrom THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(SUM(CASE WHEN x.b >= $ValFrom AND x.b < $TestFrom
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |  CAST(SUM(CASE WHEN x.b >= $TestFrom THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM (SELECT doc_id,
+         |          ${sqlHash32("concat('split:', doc_id)")} % 100 AS b FROM q) x
+         |  JOIN ct ON x.doc_id = ct.doc_id GROUP BY 1),
+         |pt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS train_tokens
+         |       FROM t GROUP BY 1),
+         |ns AS (SELECT lang, COUNT(DISTINCT seq) AS n_sequences FROM sq GROUP BY 1)
+         |SELECT raw.lang AS lang, raw.n_raw,
+         |  COALESCE(ded.n_dedup, 0) AS n_dedup,
+         |  COALESCE(cln.n_clean, 0) AS n_clean,
+         |  COALESCE(spl.n_quality, 0) AS n_quality,
+         |  COALESCE(spl.n_train, 0) AS n_train,
+         |  COALESCE(spl.n_val, 0) AS n_val,
+         |  COALESCE(spl.n_test, 0) AS n_test,
+         |  COALESCE(pt.train_tokens, 0) AS train_tokens,
+         |  COALESCE(ns.n_sequences, 0) AS n_sequences
+         |FROM raw
+         |LEFT JOIN ded ON raw.lang = ded.lang
+         |LEFT JOIN cln ON raw.lang = cln.lang
+         |LEFT JOIN spl ON raw.lang = spl.lang
+         |LEFT JOIN pt ON raw.lang = pt.lang
+         |LEFT JOIN ns ON raw.lang = ns.lang
+         |ORDER BY raw.lang""".stripMargin) { (s, dir) =>
+      val ct = tokenized(curatedCorpus(s, dir))
+      val raw = Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+      val ded = keptCorpus(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_dedup"))
+      val cln = curatedCorpus(s, dir).filter(col("ctext") =!= "")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_clean"))
+      val spl = qualityDocs(ct)
+        .select(col("doc_id"), splitBucket.as("b"))
+        .join(ct.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_quality"),
+          sum(when(col("b") < ValFrom, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("b") >= ValFrom && col("b") < TestFrom, 1L)
+            .otherwise(0L)).as("n_val"),
+          sum(when(col("b") >= TestFrom, 1L).otherwise(0L)).as("n_test"))
+      val t = packable(ct)
+      val pt = t.groupBy(col("lang")).agg(sum(col("n_tok")).as("train_tokens"))
+      val ns = packFrom(t, zeroBase(s))
+        .groupBy(col("lang")).agg(countDistinct(col("seq")).as("n_sequences"))
+      def z(c: String) = coalesce(col(c), lit(0L)).as(c)
+      raw
+        .join(ded, Seq("lang"), "left")
+        .join(cln, Seq("lang"), "left")
+        .join(spl, Seq("lang"), "left")
+        .join(pt, Seq("lang"), "left")
+        .join(ns, Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"), z("n_dedup"), z("n_clean"),
+          z("n_quality"), z("n_train"), z("n_val"), z("n_test"),
+          z("train_tokens"), z("n_sequences"))
+        .orderBy("lang")
     }
   )
 

@@ -90,6 +90,12 @@ object SimilarityQueries {
     * subset contracts between them (RecallSpec) hold by construction. */
   private val NearDupTau = 0.45
 
+  /** q24o's metadata predicate: vec_id % FilterMod == 0 qualifies (~⅓ of
+    * the corpus) — deliberately UNALIGNED with the coarse cells so the
+    * filter exercises candidate-stream filtering, not partition pruning
+    * (that composition is q24m's, already pinned). */
+  private[graft] val FilterMod = 3L
+
   /** SemDeDup's target CLUSTER SIZE — the quantity the production recipe
     * holds constant as the corpus grows (Abbas et al. 2023 fix cluster
     * size, not cluster count). The measured rule (BASELINE.md round 8,
@@ -1174,13 +1180,48 @@ object SimilarityQueries {
         .join(broadcast(qoff), Seq("qid", "label"))
         .select(col("qid"), col("vec_id"), col("m"), col("d"), col("off"))
       pqAdcSearch(s, dir, cand, withOffset = true)
+    },
+
+    // X3++/Q24o — FILTERED vector search ("hybrid search"): top-k among
+    // only the corpus vectors satisfying a metadata predicate (here
+    // vec_id % 3 == 0, a random third of the corpus standing in for any
+    // attribute filter — tenant, language, date range). This is the other
+    // operator every production vector store serves, and the recipe here
+    // is PRE-FILTERED ANN: the predicate lands on the CANDIDATE stream
+    // between IVF routing and ADC scoring, so the whole PQ shortlist
+    // budget (top-50 → exact re-rank) is spent on qualifying vectors —
+    // where POST-filtering the unfiltered top-k would return < k rows
+    // whenever the filter is selective (the classic filtered-ANN failure).
+    // Everything else — codebooks, probe map, order-pinned ADC, re-rank —
+    // is q24l's machinery verbatim (shared Materialize tags, the oracle is
+    // sqlIvfPq plus one AND). At 100 TB the predicate is pushed to the
+    // codes scan (a metadata column riding the 16-byte code rows, or a
+    // partition dimension when the filter aligns with layout — q24m's
+    // pruning composes); recall-vs-exact-filtered is pinned in RecallSpec.
+    QueryDef(
+      "q24o_filtered_topk",
+      sqlIvfPqFiltered(s" AND cd.vec_id % $FilterMod = 0")) { (s, dir) =>
+      val (codes, qtab) = pqArtifacts(s, dir)
+      val cand = codes
+        .filter(col("vec_id") % FilterMod === 0)
+        .join(base(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(broadcast(probeMap(s, dir)), col("label") === col("plabel"))
+        .join(broadcast(qtab), Seq("qid", "m", "cid"))
+        .select(col("qid"), col("vec_id"), col("m"), col("d"))
+      pqAdcSearch(s, dir, cand)
     }
   )
 
   /** The q24l/q24m oracle: IVF-routed ADC over the shared PQ CTE chain —
     * ONE text so the flat (q24l) and cell-partitioned (q24m) executions
     * can never desynchronize from the oracle or from each other. */
-  private lazy val sqlIvfPq: String =
+  private lazy val sqlIvfPq: String = sqlIvfPqFiltered("")
+
+  /** [[sqlIvfPq]] with an extra candidate predicate AND-appended to the
+    * ADC stage (the shortlist and exact re-rank inherit it — they only
+    * ever see ADC survivors) — q24o's filtered search shares every other
+    * line with q24l/q24m. */
+  private def sqlIvfPqFiltered(extra: String): String =
     s"""WITH $sqlBaseCte,
        |${sqlPqCtes("base")},
          |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
@@ -1207,7 +1248,7 @@ object SimilarityQueries {
          |  JOIN lblv v ON v.vec_id = cd.vec_id
          |  JOIN probe p ON p.label = v.label
          |  JOIN qtab t ON t.qid = p.qid AND t.m = cd.m AND t.cid = cd.cid
-         |  WHERE cd.vec_id <> t.qid
+         |  WHERE cd.vec_id <> t.qid$extra
          |  GROUP BY t.qid, cd.vec_id),
          |short AS (SELECT qid, vec_id FROM (
          |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid

@@ -247,4 +247,31 @@ class CurationSpec extends SparkSpec {
       assert(base.contains(lang) || rs.map(_._3).min === 0L)
     }
   }
+
+  test("q46 data card: funnel monotone, splits partition quality, totals match q44's packing") {
+    val card = SparkEntry.queries("q46_corpus_datacard")(spark, sf)
+      .select("lang", "n_raw", "n_dedup", "n_clean", "n_quality",
+        "n_train", "n_val", "n_test", "train_tokens", "n_sequences")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(card.nonEmpty)
+    card.foreach { case (lang, raw, ded, cln, q, tr, vl, te, toks, seqs) =>
+      // the funnel can only shrink, and the split partitions the quality set
+      assert(raw >= ded && ded >= cln && cln >= q, s"$lang funnel not monotone")
+      assert(q === tr + vl + te, s"$lang split does not partition quality")
+      assert(toks >= 0 && seqs >= 0)
+      if (tr > 0) assert(toks > 0 && seqs > 0, s"$lang train docs but no tokens")
+    }
+    // cross-check against the pipeline's own output: per-lang packed token
+    // totals and distinct sequence counts must equal q44's, exactly
+    val q44 = SparkEntry.queries("q44_curation_pipeline")(spark, sf)
+      .select("lang", "seq", "seg_len")
+      .as[(String, Long, Long)].collect()
+    val tokBy = q44.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val seqBy = q44.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    card.foreach { case (lang, _, _, _, _, _, _, _, toks, seqs) =>
+      assert(toks === tokBy.getOrElse(lang, 0L), s"$lang train_tokens vs q44")
+      assert(seqs === seqBy.getOrElse(lang, 0L), s"$lang n_sequences vs q44")
+    }
+  }
 }

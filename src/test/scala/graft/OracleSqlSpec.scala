@@ -36,11 +36,14 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q44_curation_pipeline", "n_types"),
     ("q44_curation_pipeline", "wlen_sum"),
     ("q44_curation_pipeline", "n_bg"),
-    // q45: the same prefixed quality blocks (history + batch instantiation
-    // of ONE builder), same ::DOUBLE-only consumption
+    // q45/q46: the same prefixed quality blocks (instantiations of ONE
+    // builder), same ::DOUBLE-only consumption
     ("q45_incremental_curation", "n_types"),
     ("q45_incremental_curation", "wlen_sum"),
     ("q45_incremental_curation", "n_bg"),
+    ("q46_corpus_datacard", "n_types"),
+    ("q46_corpus_datacard", "wlen_sum"),
+    ("q46_corpus_datacard", "n_bg"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
     // emitted as `score_fp / 1000000.0` (DOUBLE division) and ORDER BY
     ("q25k_bm25_search", "total_tok"),
@@ -54,7 +57,10 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q24l_ivfpq_topk", "dotv"),
     // q24m: shares q24l's oracle text verbatim (cell-partitioned layout
     // changes I/O, never the statement), so the same vetted chain applies
-    ("q24m_ivfpq_partitioned", "dotv")
+    ("q24m_ivfpq_partitioned", "dotv"),
+    // q24o: q24l's chain with one extra candidate predicate — same vetted
+    // fixed-order ADC sum
+    ("q24o_filtered_topk", "dotv")
     // (q24n's dotv is the same chain plus a trailing parenthesized offset
     // addition — not alias-of-a-raw-SUM shaped, so the lint doesn't match
     // it and no entry is needed)

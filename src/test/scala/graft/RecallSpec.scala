@@ -85,6 +85,46 @@ class RecallSpec extends SparkSpec {
       "residual ADC shortlist lost too much of IVF's ranking")
   }
 
+  test("filtered search: full k lists, filter honored exactly, recall tracks its IVF routing") {
+    // q24o pre-filters the candidate stream (vec_id % 3 == 0) between IVF
+    // routing and ADC. Contract: (1) every returned vector satisfies the
+    // predicate — the filtered-ANN correctness property post-filtering
+    // breaks; (2) every query still returns a FULL k list (the shortlist
+    // budget is spent inside the filter, the other classic post-filter
+    // failure); (3) recall vs the exact FILTERED top-k is bounded below by
+    // the same probed-cell candidate universe as q24l (same probe map), so
+    // it must be within noise of the unfiltered pipeline's recall-vs-exact.
+    import org.apache.spark.sql.functions._
+    val filtered = topk("q24o_filtered_topk")
+    assert(filtered.values.forall(_.size === 5), "short k list under the filter")
+    assert(filtered.values.flatten.forall(_ % 3 == 0), "filter violated")
+    // exact filtered ground truth: brute top-k restricted to the predicate
+    val exactFiltered = {
+      val base = graft.sources.Tables.embeddings(spark, sf)
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      graft.functions.VecFunctions.register(spark)
+      import graft.functions.VecFunctions.vecDot
+      val nrm = (c: org.apache.spark.sql.Column) => sqrt(vecDot(c, c))
+      base.filter(col("vec_id") % 3 === 0)
+        .join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (vecDot(col("embedding"), col("qemb")) /
+            (nrm(col("embedding")) * nrm(col("qemb")))).as("cos"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    assert(filtered.keySet === exactFiltered.keySet)
+    val rFiltered = meanRecall(exactFiltered, filtered)
+    val rUnfiltered = meanRecall(topk("q24_cosine_topk"), topk("q24l_ivfpq_topk"))
+    assert(rFiltered >= rUnfiltered - 0.15,
+      f"filtered recall $rFiltered%.2f fell far below the unfiltered pipeline's $rUnfiltered%.2f")
+  }
+
   test("semantic dedup is sound vs the all-pairs ground truth and finds dups") {
     // q24c is the exhaustive τ-neighbor list; every (dup, canonical) pair
     // q24h reports must appear there (SOUNDNESS — clustering can only lose
