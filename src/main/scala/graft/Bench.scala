@@ -81,9 +81,22 @@ object Bench {
       val open = line.indexOf('{', start)
       if (open < 0) Map.empty
       else {
+        // indexOf works on the whole input — callers pass either a single
+        // compact bench line or an entire capture file, and a pretty-printed
+        // (json.dumps indent=) file parses identically because the queries
+        // object is flat (its first '}' is the closing brace) and the regex
+        // separators tolerate newlines
         val body = line.substring(open + 1, line.indexOf('}', open))
-        """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
+        val m = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // a queries key with ZERO parsable entries means a format this
+        // scanner does not understand — that silently disables the
+        // tripwire, the exact failure the doctored-ref smoke hunts, so
+        // say it loudly (ADVICE r11)
+        if (m.isEmpty) System.err.println(
+          "[bench] WARNING: input contains \"queries\" but no entries " +
+            "parsed — unrecognized capture format, tripwire will not fire")
+        m
       }
     }
   }

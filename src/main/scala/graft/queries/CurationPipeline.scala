@@ -370,7 +370,12 @@ object CurationPipeline {
       val batch = Tables.documents(s, dir)
         .filter(col("doc_id") % batchMod(s, dir) === 0)
         .select(col("doc_id"), col("lang"), col("text"), key.as("k"))
-      val expected = math.max(1000L, BatchTarget * 2)
+      // expected-insertions from the ACTUAL batch cardinality (footer count
+      // over the sampling modulus), not the BatchTarget constant: if the
+      // batch rule is ever retuned upward a constant would silently degrade
+      // the FPP and balloon the history scan's survivor volume (ADVICE r11)
+      val expected = math.max(1000L,
+        2L * (Tables.parquetRowCount(s, s"$dir/documents.parquet") / batchMod(s, dir)))
       // the sketch is per-batch state (rebuilt nightly in production, once
       // per session here): .stat.bloomFilter is an EAGER action, and
       // without the cache every bench pass would re-scan the batch to

@@ -58,10 +58,20 @@ object AnnCellScale {
       graft.queries.SimilarityQueries.ivfpqAtScale(spark, dir, nCells, probes)
     // correctness pin first (also builds every shared artifact untimed):
     // identical top-k from both read paths, or the capture is meaningless
-    val a = flat.collect().map(_.toSeq).toSeq
-    val b = pruned.collect().map(_.toSeq).toSeq
-    require(a == b, s"flat and partitioned results differ (${a.length} vs ${b.length} rows)")
+    // Identity pin on (qid, rank, vec_id) — NOT the float cos column. The
+    // admitted ids are already order-deterministic (TopKByScore sorts by
+    // (-score, vec_id), so a dotv tie at the shortlist boundary resolves
+    // identically in both plans), but comparing the doubles bitwise would
+    // couple the pin to expression-tree evaluation order; the id triple is
+    // the layout claim, the scores are checked within 1e-9 (ADVICE r11)
+    val a = flat.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val b = pruned.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     require(a.nonEmpty, "empty result — nothing was measured")
+    require(a.length == b.length, s"flat and partitioned row counts differ (${a.length} vs ${b.length})")
+    require(a.map(t => (t._1, t._2, t._3)).toSeq == b.map(t => (t._1, t._2, t._3)).toSeq,
+      "flat and partitioned admitted different (qid, rank, vec_id) triples")
+    val maxCosDelta = a.zip(b).map { case (x, y) => math.abs(x._4 - y._4) }.max
+    require(maxCosDelta <= 1e-9, f"cos diverges between read paths: $maxCosDelta%.2e")
     def timed(df: DataFrame): (Double, Long, Long) = {
       Thread.sleep(200) // let trailing listener events drain
       val (i0, s0) = listener.snap()

@@ -40,6 +40,12 @@ object ScaleUp {
     val factor = args(2).toInt
     val scaleOnly: Seq[String] =
       if (args.length > 3) args(3).split(",").toSeq else Big
+    // fail loudly on a typo or a non-Big name: a silently-unscaled corpus
+    // labeled as a scaled dir would poison every downstream growth capture
+    // (ADVICE r11)
+    require(scaleOnly.nonEmpty && scaleOnly.forall(Big.contains),
+      s"unknown table(s) ${scaleOnly.filterNot(Big.contains).mkString(",")} — " +
+        s"scalable tables are ${Big.mkString(",")}")
     require(factor >= 1 && factor <= 100, s"factor must be 1..100, got $factor")
     val spark = graft.GraftSession.get()
     Files.createDirectories(Paths.get(dst))

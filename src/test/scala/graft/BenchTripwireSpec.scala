@@ -58,6 +58,18 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(Bench.parseSfField(compact) === "sf0.01")
   }
 
+  test("parseQueriesJson handles a newline-indented capture file (ADVICE r11)") {
+    // json.dumps(indent=2) puts each entry on its own line; the tripwire
+    // reads reference.json as one raw string, so the scan must cross
+    // newlines — the queries object is flat, so its first '}' still closes it
+    val indented = Seq(
+      "{", "  \"metric\": \"total\",", "  \"queries\": {",
+      "    \"q22\": 0.05,", "    \"q23b\": 0.077", "  },",
+      "  \"sf\": \"sf0.01\"", "}").mkString("\n")
+    assert(Bench.parseQueriesJson(indented) === Map("q22" -> 0.05, "q23b" -> 0.077))
+    assert(Bench.parseSfField(indented) === "sf0.01")
+  }
+
   test("the pinned bench/reference.json parses to a full per-query map") {
     val p = java.nio.file.Paths.get("bench/reference.json")
     assume(java.nio.file.Files.exists(p))

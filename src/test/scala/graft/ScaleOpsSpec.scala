@@ -180,4 +180,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows("q33d_sessionize_bucketed") === rows("q33_sessionize"))
     assert(rows("q24m_ivfpq_partitioned") === rows("q24l_ivfpq_topk"))
   }
+
+  test("ScaleUp rejects unknown table names before touching anything (ADVICE r11)") {
+    // a typo'd [tables] arg must fail loudly, not silently emit a corpus
+    // that is entirely byte-copied while labeled as scaled — the require
+    // fires before any session or filesystem access
+    val e = intercept[IllegalArgumentException](
+      graft.tools.ScaleUp.main(Array("/nonexistent/src", "/nonexistent/dst", "2", "eventz")))
+    assert(e.getMessage.contains("eventz"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.tools.ScaleUp.main(Array("/nonexistent/src", "/nonexistent/dst", "2", "")))
+    assert(e2.getMessage.contains("unknown table"), e2.getMessage)
+  }
 }
