@@ -107,6 +107,16 @@ object TextHash {
   def sqlHash32(c: String): String =
     s"concat('0x', substring(md5($c), 1, 8))::BIGINT"
 
+  /** First 15 md5 hex digits as a BIGINT in [0, 2^60) — the wide variant
+    * for fingerprints that key a global equality (duplicated-substring
+    * windows): at 2^60 the birthday collision odds stay negligible at
+    * corpus scale where 32 bits would already collide at ~10^5 windows. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def sqlHash60(c: String): String =
+    s"concat('0x', substring(md5($c), 1, 15))::BIGINT"
+
   /** Hash every element of a string array. */
   def hashArray(arr: Column): Column = transform(arr, hash32(_))
 

@@ -107,6 +107,12 @@ object DedupQueries {
   private[queries] val SpanLen = 8
   private[queries] val BoilerplateDf = 3
 
+  /** q47 duplicated-substring window width, in tokens. Production
+    * ExactSubstr uses 50; scaled to the synthetic corpus's 10–99-token
+    * docs so every doc yields windows and the injected duplicates produce
+    * partial- as well as whole-doc spans. */
+  private[queries] val SubstrW = 8
+
   /** q23i's deterministic recall-sample rule: every doc with
     * doc_id % 10 == 0 is a monitored query point. Fixed RATE (not fixed
     * count) keeps the eval's cost profile constant per unit data while the
@@ -941,6 +947,133 @@ object DedupQueries {
           (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
+    },
+
+    // X1+/Q47 — cross-document duplicated-substring removal (the
+    // ExactSubstr dedup of Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better", 2022): any run of ≥ SubstrW consecutive
+    // tokens that occurs more than once in the corpus is removed from every
+    // occurrence EXCEPT the globally-first one. The suffix-array the paper
+    // builds is replaced by the shuffle-native equivalent: slide a
+    // SubstrW-token window over every doc, fingerprint each window
+    // (60-bit md5 — collision odds negligible where 32 bits would already
+    // birthday-collide), and resolve duplicates with ONE shuffle keyed on
+    // the fingerprint (count + global-min occurrence as two window
+    // aggregates over the same partition — no groupBy+self-join re-scan).
+    // Non-keeper occurrences merge into maximal per-doc spans
+    // (gaps-and-islands over pos), the exact removal intervals ExactSubstr
+    // emits. Scale: the explode is ~token-count rows — the declared cost of
+    // exact-substring dedup — and everything downstream of the one
+    // fingerprint shuffle is per-doc window/agg work, linear at 100 TB;
+    // fingerprints are near-unique so there is no skewed key for AQE to
+    // split.
+    QueryDef(
+      "q47_substring_dedup",
+      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks) AS n FROM src
+         |      WHERE len(toks) >= $SubstrW),
+         |w AS (SELECT doc_id, n, i AS pos,
+         |  ${sqlHash60("concat_ws(' ', " + (0 until SubstrW).map(j => s"toks[i+$j]").mkString(", ") + ")")} AS wh
+         |  FROM d, unnest(generate_series(1, n - ${SubstrW - 1})) AS t(i)),
+         |r AS (SELECT doc_id, n, pos, pos + ${SubstrW - 1} AS endp FROM (
+         |  SELECT doc_id, n, pos,
+         |    COUNT(*) OVER (PARTITION BY wh) AS cnt,
+         |    MIN(doc_id * 1000000 + pos) OVER (PARTITION BY wh) AS keeper
+         |  FROM w) WHERE cnt >= 2 AND doc_id * 1000000 + pos <> keeper),
+         |s AS (SELECT doc_id, n, pos, endp,
+         |  CASE WHEN pos > COALESCE(MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 1
+         |  THEN 1 ELSE 0 END AS brk FROM r),
+         |isl AS (SELECT doc_id, n, pos, endp,
+         |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+         |  FROM s),
+         |sp AS (SELECT doc_id, gid, MIN(pos) AS sp_start, MAX(endp) AS sp_end,
+         |  MAX(n) AS n FROM isl GROUP BY doc_id, gid)
+         |SELECT doc_id, COUNT(*) AS n_spans,
+         |  CAST(SUM(sp_end - sp_start + 1) AS BIGINT) AS dup_tokens,
+         |  round(SUM(sp_end - sp_start + 1)::DOUBLE / MAX(n), 6) AS dup_frac
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .filter(col("n") >= SubstrW)
+      // windows explode BEFORE hashing so the md5 + conv run as plain
+      // row-level codegen'd expressions after Generate, not as an
+      // interpreted higher-order lambda over a per-doc array
+      val w = src
+        .select(col("doc_id"), col("n"), col("toks"),
+          explode(sequence(lit(1), col("n") - (SubstrW - 1))).as("pos"))
+        .select(col("doc_id"), col("n"), col("pos"),
+          hash60(concat_ws(" ",
+            (0 until SubstrW).map(j => try_element_at(col("toks"), col("pos") + lit(j))): _*))
+            .as("wh"))
+      // duplicate resolution as two window aggregates over ONE partition
+      // by fingerprint: a groupBy+join-back would scan and shuffle the
+      // window stream twice (the distinct-fingerprint count is ~the window
+      // count, so map-side partials compress nothing here)
+      val byHash = Window.partitionBy(col("wh"))
+      val occ = col("doc_id") * 1000000L + col("pos")
+      val r = w
+        .withColumn("cnt", count(lit(1)).over(byHash))
+        .withColumn("keeper", min(occ).over(byHash))
+        .filter(col("cnt") >= 2 && occ =!= col("keeper"))
+        .select(col("doc_id"), col("n"), col("pos"),
+          (col("pos") + (SubstrW - 1)).as("endp"))
+      // gaps-and-islands: overlapping/adjacent removable windows merge into
+      // maximal spans (running max of endp decides island breaks)
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val prevEnd = max(col("endp")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val isl = r
+        .withColumn("brk",
+          when(col("pos") > coalesce(prevEnd, lit(-999)) + 1, 1L).otherwise(0L))
+        .withColumn("gid",
+          sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      val sp = isl.groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("pos")).as("sp_start"), max(col("endp")).as("sp_end"),
+          max(col("n")).as("n"))
+      sp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("sp_end") - col("sp_start") + 1).as("dup_tokens"),
+          max(col("n")).as("nn"))
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+          round(col("dup_tokens").cast("double") / col("nn"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
+    // X2+/Q49 — cross-source corpus-overlap matrix: the union MinHash of a
+    // source is the ELEMENT-WISE MIN of its docs' signatures (min over a
+    // union = min of mins), so per-source signatures cost one bounded-state
+    // aggregation over the already-materialized per-doc signature table —
+    // k longs per source — and the pairwise Jaccard matrix is a broadcast
+    // self-join over #sources rows. The data-mixing diagnostic a curation
+    // pipeline runs before setting source weights (which crawls duplicate
+    // which); at 100 TB the per-doc sig computation rides the scan
+    // (materialized once, shared with q23/q23b/q29c), the per-source state
+    // is KB, and the pair join is O(sources²) on grams of data.
+    QueryDef(
+      "q49_source_overlap",
+      s"""WITH $sqlSigCtes,
+         |ds AS (SELECT g.doc_id, d.source, g.sig FROM sig g
+         |       JOIN documents d ON g.doc_id = d.doc_id),
+         |u AS (SELECT source,
+         |  ${(1 to MinhashK).map(i => s"min(sig[$i])").mkString("[", ", ", "]")} AS msig
+         |  FROM ds GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  round(${sqlEstJaccard("a.msig", "b.msig")}, 6) AS est_j
+         |FROM u a JOIN u b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val ds = sigTable(s, dir).select(col("doc_id"), col("sig"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      val u = ds.groupBy(col("source")).agg(
+        array((1 to MinhashK).map(i =>
+          min(try_element_at(col("sig"), lit(i)))): _*).as("msig"))
+      u.alias("a")
+        .join(broadcast(u.alias("b")), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          round(estJaccard(col("a.msig"), col("b.msig")), 6).as("est_j"))
+        .orderBy("src_a", "src_b")
     }
   )
 

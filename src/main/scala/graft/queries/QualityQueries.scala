@@ -28,6 +28,12 @@ object QualityQueries {
   private[queries] val ValFrom = 90
   private[queries] val TestFrom = 95
 
+  /** q48 feature-hashing buckets (fastText's default is 2M bigram buckets;
+    * scaled to the synthetic vocabulary) and the Knuth multiplier that
+    * derives the deterministic stand-in weight for bucket b. */
+  private[queries] val ClsBuckets = 4096
+  private[queries] val ClsA = 2654435761L
+
   val defs: Seq[QueryDef] = Seq(
     // X4+/Q25h — repetition/quality filter rules: per document, mean word
     // length, type-token ratio, and the frequency share of the most-repeated
@@ -145,6 +151,52 @@ object QualityQueries {
           when(bucket >= TestFrom, "test")
             .when(bucket >= ValFrom, "val")
             .otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // X4+/Q48 — fastText-style hashed linear quality classifier (the
+    // model-based scoring pass that runs AFTER q25h's rule battery — the
+    // CCNet / LLaMA-corpus "quality classifier" stage): features are
+    // unigrams + bigrams hashed into [[ClsBuckets]] buckets, the score is
+    // the mean bucket weight, keep = positive score. Weights here are a
+    // deterministic integer hash of the bucket index (a stand-in for
+    // trained coefficients — the PLUMBING is the operator: feature
+    // hashing, per-doc accumulation, thresholding; swap the weight
+    // expression for a broadcast lookup of learned values and nothing
+    // else changes). All-integer accumulation (weights in [-500, 500],
+    // exact SUM) keeps the score bit-identical across engines — no
+    // float-order dependence, no exp(). Shape is the q25h recipe: two
+    // codegen'd exploded streams → ONE count/sum aggregation keyed on
+    // doc_id with map-side partials; linear at 100 TB, no driver state.
+    QueryDef(
+      "q48_quality_classifier",
+      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS v FROM src),
+         |bg AS (SELECT doc_id, unnest(${sqlShingles("toks", n = 2)}) AS v FROM src
+         |       WHERE len(toks) >= 2),
+         |h AS (SELECT doc_id, (${sqlHash32("v")}) % $ClsBuckets AS b
+         |      FROM (SELECT * FROM tok UNION ALL SELECT * FROM bg)),
+         |m AS (SELECT doc_id, COUNT(*) AS n_feats,
+         |  CAST(SUM(((b + 1) * $ClsA) % ${graft.functions.TextHash.Mod} % 1001 - 500) AS BIGINT) AS wsum
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, n_feats,
+         |  round(wsum::DOUBLE / (n_feats * 500.0), 6) AS score,
+         |  wsum > 0 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val tok = src.select(col("doc_id"), explode(col("toks")).as("v"))
+      val bg = src.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(shingles(col("toks"), n = 2)).as("v"))
+      val m = tok.unionByName(bg)
+        .select(col("doc_id"), (hash32(col("v")) % ClsBuckets).as("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          sum((col("b") + 1) * ClsA % graft.functions.TextHash.Mod % 1001 - 500)
+            .as("wsum"))
+      m.select(col("doc_id"), col("n_feats"),
+          round(col("wsum").cast("double") / (col("n_feats") * 500.0), 6).as("score"),
+          (col("wsum") > 0).as("keep"))
         .orderBy("doc_id")
     }
   )

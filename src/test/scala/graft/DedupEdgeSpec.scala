@@ -215,4 +215,70 @@ class DedupEdgeSpec extends SparkSpec {
     // the guard is exercised: the corpus has real dup clusters to re-key
     assert(q22f.exists(r => r._2 != r._1), "corpus has no dup clusters")
   }
+
+  test("q47 removes exactly the duplicated span from the NON-keeper occurrence") {
+    // doc 0 opens with a 9-token run w1..w9; doc 1 embeds the same run at
+    // token 4 (two overlapping width-8 windows -> ONE merged 9-token span);
+    // doc 2 shares nothing. ExactSubstr semantics: doc 0 is the global-first
+    // occurrence (keeper) and reports nothing; doc 1 reports the merged span.
+    val run = (1 to 9).map(i => s"w$i").mkString(" ")
+    val d = TempDirs.create("graft_substr_")
+    Seq(
+      (0L, s"$run u1 u2 u3 u4", "en", "src0", 0L),
+      (1L, s"v1 v2 v3 $run v4 v5", "en", "src0", 0L),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q47_substring_dedup")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List((1L, 1L, 9L, 0.642857)), out.toString) // 9 of doc 1's 14 tokens
+  }
+
+  test("q47 corpus run: spans stay inside their docs and the keeper copy of a dup survives") {
+    val out = SparkEntry.queries("q47_substring_dedup")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty, "corpus has injected duplicates; q47 must fire")
+    out.foreach { case (doc, nSpans, dupTok, frac) =>
+      assert(nSpans >= 1 && dupTok >= 8, s"doc $doc: degenerate span")
+      assert(frac > 0.0 && frac <= 1.0, s"doc $doc: frac $frac out of range")
+    }
+    // exact-duplicate TEXT groups (q22's finding): every doc of the group
+    // except the globally-first must be fully covered; the first must not
+    // be flagged as 100% duplicated by its own copies alone
+    val flagged = out.map(r => r._1 -> r._4).toMap
+    // exact-text dup groups exist at sf0.01+ but not in the 50-doc spec
+    // fixture — the invariant applies whenever the corpus carries them
+    val dups = graft.sources.Tables.documents(spark, sf)
+      .groupBy(lower(trim($"text"))).agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") >= 2).select($"ids").as[Seq[Long]].collect()
+    dups.foreach { ids =>
+      ids.sorted.tail.foreach { id =>
+        assert(flagged.get(id).contains(1.0), s"dup copy $id not fully covered")
+      }
+    }
+  }
+
+  test("q48 classifier: score is the bounded mean weight and keep is its sign") {
+    val out = SparkEntry.queries("q48_quality_classifier")(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === nDocs, "one score per document")
+    out.foreach { case (doc, n, score, keep) =>
+      assert(n >= 1, s"doc $doc: no features")
+      assert(score >= -1.0 && score <= 1.0, s"doc $doc: score $score out of range")
+      assert(keep === (score > 0.0), s"doc $doc: keep disagrees with score sign")
+    }
+  }
+
+  test("q49 overlap matrix: one row per unordered source pair, estimates in [0,1]") {
+    val out = SparkEntry.queries("q49_source_overlap")(spark, sf)
+      .as[(String, String, Double)].collect()
+    val s = graft.sources.Tables.documents(spark, sf)
+      .select($"source").distinct().count().toInt
+    assert(out.length === s * (s - 1) / 2, s"expected C($s,2) pairs")
+    out.foreach { case (a, b, j) =>
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(j >= 0.0 && j <= 1.0, s"($a,$b): est $j out of range")
+    }
+  }
 }

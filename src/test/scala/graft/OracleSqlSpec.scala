@@ -44,6 +44,9 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q46_corpus_datacard", "n_types"),
     ("q46_corpus_datacard", "wlen_sum"),
     ("q46_corpus_datacard", "n_bg"),
+    // q47: gid is the gaps-and-islands key (window SUM of 0/1 breaks),
+    // GROUP BY only in the sp CTE — never emitted
+    ("q47_substring_dedup", "gid"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
     // emitted as `score_fp / 1000000.0` (DOUBLE division) and ORDER BY
     ("q25k_bm25_search", "total_tok"),
