@@ -467,13 +467,18 @@ object Bench {
     // (a failed pass is -1, so min() also propagates failure to the report)
     val warm = names.map(n => n -> math.min(mid(n), warmPass(n))).toMap
     def fmt(v: Double): String = f"$v%.3f"
-    // Per-query figures at TWO decimals: the stdout line must stay under
-    // the harness's 2000-char tail window, and at 142 queries the 3-decimal
-    // form measured 1977 chars — one more query away from truncating the
-    // driver's JSON parse. 10 ms granularity is what BASELINE quotes and
-    // noise exceeds anyway; totals keep 3 decimals, and the full-precision
-    // per-pass figures are in the metrics file.
-    def fmtQ(v: Double): String = f"$v%.2f"
+    // Per-query figures at TWO decimals, minimally rendered (trailing
+    // zeros stripped — 0.30 → 0.3, same JSON value): the stdout line must
+    // stay under the harness's 2000-char tail window, and at 154 queries
+    // the fixed-width 2-decimal form measured 1967 chars — too close to
+    // fit even one inline trip verdict. 10 ms granularity is what BASELINE
+    // quotes and noise exceeds anyway; the full-precision per-pass figures
+    // are in the metrics file.
+    def fmtQ(v: Double): String = {
+      val s = f"$v%.2f"
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    }
     val qs = names.map(n => s""""${key(n)}":${fmtQ(warm(n))}""").mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
@@ -642,8 +647,8 @@ object Bench {
       // at 144 queries the full-path form left no room for even two inline
       // verdicts); every consumer (tripwire, rerun script, analysis) already
       // normalizes through scaleToken, which maps both forms identically
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},""" +
+      s"""{"metric":"total","value":${fmtQ(total)},"unit":"sec","queries":$qs,""" +
+        s""""cold_total":${fmtQ(coldTotal)},"warm_total":${fmtQ(warmTotal)},""" +
         trippedPart + seedField +
         s""""ref_ratio_median":${fmt(ratioMedian)},"promotable":$promotable,""" +
         s""""failed":$failedJson,"sf":"${scaleToken(sfDir)}"}"""

@@ -515,6 +515,59 @@ object CurationPipeline {
           z("n_quality"), z("n_train"), z("n_val"), z("n_test"),
           z("train_tokens"), z("n_sequences"))
         .orderBy("lang")
+    },
+
+    // X1+/Q51 — corpus SNAPSHOT DIFF (dataset versioning/lineage): the
+    // changelog between two corpus versions — per doc: added / removed /
+    // changed, with both content fingerprints — the audit every versioned
+    // dataset release ships (what changed since v1?) and the input to
+    // incremental reprocessing (only 'added'/'changed' docs re-enter the
+    // q45 nightly pipeline). Both snapshots derive deterministically from
+    // the one fixture (v_old drops the docs the 'added' rule marks,
+    // v_new drops 'removed' docs and revises 'changed' text — in
+    // production these are two parquet snapshot dirs and the rules
+    // disappear). Shape: each side projects to (doc_id, md5) AT THE SCAN —
+    // the full-outer join on doc_id then moves 16-byte fingerprints, never
+    // text; at 100 TB both snapshots bucket by doc_id (q32d's layout) and
+    // the diff is a zero-exchange sort-merge with output only the changed
+    // tail, not the corpus.
+    QueryDef(
+      "q51_snapshot_diff",
+      """WITH vold AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |             WHERE doc_id % 13 <> 2),
+        |vnew AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 5),
+        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |        o.fp AS ofp, n.fp AS nfp
+        |      FROM vold o FULL OUTER JOIN vnew n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN ofp IS NULL THEN 'added'
+        |       WHEN nfp IS NULL THEN 'removed'
+        |       WHEN ofp <> nfp THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COALESCE(ofp, '') AS old_fp, COALESCE(nfp, '') AS new_fp
+        |FROM d WHERE ofp IS NULL OR nfp IS NULL OR ofp <> nfp
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val vold = docs.filter(col("doc_id") % 13 =!= 2)
+        .select(col("doc_id").as("o_id"), md5(col("text")).as("ofp"))
+      val vnew = docs.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id").as("n_id"),
+          md5(when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("nfp"))
+      vold.join(vnew, col("o_id") === col("n_id"), "full_outer")
+        .select(coalesce(col("o_id"), col("n_id")).as("doc_id"),
+          col("ofp"), col("nfp"))
+        .filter(col("ofp").isNull || col("nfp").isNull || col("ofp") =!= col("nfp"))
+        .select(col("doc_id"),
+          when(col("ofp").isNull, "added")
+            .when(col("nfp").isNull, "removed")
+            .when(col("ofp") =!= col("nfp"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("ofp"), lit("")).as("old_fp"),
+          coalesce(col("nfp"), lit("")).as("new_fp"))
+        .orderBy("doc_id")
     }
   )
 

@@ -30,6 +30,10 @@ object CurationQueries {
   /** q25s per-source document cap (docs kept per source, best-first). */
   private val SourceQuota = 10
 
+  /** q53 loader-shard count (production: #loader-workers × a small factor;
+    * the permutation salt 'ord:' carries the epoch id in production). */
+  private val OrderShards = 32
+
   /** Quality score in [0,1] (same formula as q25, shared constants):
     * 0.5·min(1, tokens/100) + 0.3·stopword_ratio + 0.2·(1-punct_ratio). */
   private def qualityCol(text: org.apache.spark.sql.Column,
@@ -490,6 +494,40 @@ object CurationQueries {
           round(col("wr") / col("wd"), 6).as("w_sample"),
           round((col("wr") / col("wd")) / col("pn"), 6).as("boost"))
         .orderBy("lang")
+    },
+
+    // X4+/Q53 — deterministic GLOBAL TRAINING-ORDER SHUFFLE + epoch
+    // sharding: the last step before serving a corpus to a trainer — a
+    // pseudo-random permutation of the docs, materialized as (shard,
+    // pos-in-shard) so N loader workers stream disjoint shards in a
+    // reproducible order (re-salt 'ord:' with the epoch id for a fresh
+    // permutation per epoch). Deliberately NOT a global sort: a total
+    // ORDER BY hash at 100 TB is a range-partitioned full-corpus sort
+    // whose row_number then needs a partition-offset fix-up; hashing into
+    // [[OrderShards]] shards and ranking WITHIN each shard gives the same
+    // statistical shuffle as one hash-partitioned exchange + per-shard
+    // local sorts (the window keys on the shard id), each shard
+    // independently streamable. q25g shards by cumulative token OFFSET
+    // (even byte budgets, preserves order); this op is its orthogonal
+    // twin — randomizes order, balances by COUNT via the uniform hash.
+    QueryDef(
+      "q53_training_order",
+      s"""WITH o AS (SELECT doc_id,
+         |    ${sqlHash32("concat('ord:', doc_id)")} AS ord FROM documents),
+         |r AS (SELECT doc_id, ord % $OrderShards AS shard,
+         |    ROW_NUMBER() OVER (PARTITION BY ord % $OrderShards
+         |                       ORDER BY ord, doc_id) AS pos
+         |  FROM o)
+         |SELECT doc_id, shard, pos FROM r ORDER BY shard, pos""".stripMargin) {
+      (s, dir) =>
+        val o = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            hash32(concat(lit("ord:"), col("doc_id"))).as("ord"))
+          .withColumn("shard", col("ord") % OrderShards)
+        val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+        o.withColumn("pos", row_number().over(w))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
     }
   )
 

@@ -113,6 +113,35 @@ object DedupQueries {
     * partial- as well as whole-doc spans. */
   private[queries] val SubstrW = 8
 
+  /** Every width-[[SubstrW]] token window of every doc holding at least
+    * SubstrW tokens, fingerprinted: (doc_id, n, pos, wh). Shared by q47
+    * (duplicated-substring removal) and q52 (split-contamination audit).
+    * Windows explode BEFORE hashing so the md5 + conv run as plain
+    * row-level codegen'd expressions after Generate, not as an interpreted
+    * higher-order lambda over a per-doc array. */
+  private def substrWindows(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= SubstrW)
+    src
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(1), col("n") - (SubstrW - 1))).as("pos"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        hash60(concat_ws(" ",
+          (0 until SubstrW).map(j => try_element_at(col("toks"), col("pos") + lit(j))): _*))
+          .as("wh"))
+  }
+
+  /** SQL twin of [[substrWindows]] — ends with w(doc_id, n, pos, wh). */
+  private val sqlSubstrWindowCtes =
+    s"""wsrc AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |wd AS (SELECT doc_id, toks, len(toks) AS n FROM wsrc
+       |       WHERE len(toks) >= $SubstrW),
+       |w AS (SELECT doc_id, n, i AS pos,
+       |  ${sqlHash60("concat_ws(' ', " + (0 until SubstrW).map(j => s"toks[i+$j]").mkString(", ") + ")")} AS wh
+       |  FROM wd, unnest(generate_series(1, n - ${SubstrW - 1})) AS t(i))""".stripMargin
+
   /** q23i's deterministic recall-sample rule: every doc with
     * doc_id % 10 == 0 is a monitored query point. Fixed RATE (not fixed
     * count) keeps the eval's cost profile constant per unit data while the
@@ -969,12 +998,7 @@ object DedupQueries {
     // split.
     QueryDef(
       "q47_substring_dedup",
-      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
-         |d AS (SELECT doc_id, toks, len(toks) AS n FROM src
-         |      WHERE len(toks) >= $SubstrW),
-         |w AS (SELECT doc_id, n, i AS pos,
-         |  ${sqlHash60("concat_ws(' ', " + (0 until SubstrW).map(j => s"toks[i+$j]").mkString(", ") + ")")} AS wh
-         |  FROM d, unnest(generate_series(1, n - ${SubstrW - 1})) AS t(i)),
+      s"""WITH $sqlSubstrWindowCtes,
          |r AS (SELECT doc_id, n, pos, pos + ${SubstrW - 1} AS endp FROM (
          |  SELECT doc_id, n, pos,
          |    COUNT(*) OVER (PARTITION BY wh) AS cnt,
@@ -994,20 +1018,7 @@ object DedupQueries {
          |  round(SUM(sp_end - sp_start + 1)::DOUBLE / MAX(n), 6) AS dup_frac
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val src = Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-        .filter(col("n") >= SubstrW)
-      // windows explode BEFORE hashing so the md5 + conv run as plain
-      // row-level codegen'd expressions after Generate, not as an
-      // interpreted higher-order lambda over a per-doc array
-      val w = src
-        .select(col("doc_id"), col("n"), col("toks"),
-          explode(sequence(lit(1), col("n") - (SubstrW - 1))).as("pos"))
-        .select(col("doc_id"), col("n"), col("pos"),
-          hash60(concat_ws(" ",
-            (0 until SubstrW).map(j => try_element_at(col("toks"), col("pos") + lit(j))): _*))
-            .as("wh"))
+      val w = substrWindows(s, dir)
       // duplicate resolution as two window aggregates over ONE partition
       // by fingerprint: a groupBy+join-back would scan and shuffle the
       // window stream twice (the distinct-fingerprint count is ~the window
@@ -1074,6 +1085,99 @@ object DedupQueries {
         .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
           round(estJaccard(col("a.msig"), col("b.msig")), 6).as("est_j"))
         .orderBy("src_a", "src_b")
+    },
+
+    // X1+X4/Q50 — keep-BEST-per-duplicate-cluster: q23e's one-hop canonical
+    // clusters re-resolved by QUALITY instead of first-occurrence — the
+    // representative a production pipeline actually keeps is the
+    // highest-quality member of each near-dup cluster (CCNet keeps
+    // lowest-perplexity; here q48's classifier score, ties to the lowest
+    // doc_id so the choice is total). Composition of two existing
+    // materialization-backed stages: the canon frame (shared pair table)
+    // joins the classifier accumulation on doc_id, then ONE window
+    // ranked by (wsum DESC, doc_id) inside each cluster picks the keeper.
+    // Scale: the join and the window both key on doc_id/canon — clusters
+    // are tiny (pairs/stars; singletons dominate), so the cluster window
+    // has near-unique keys and no skew. Ranking is the MEAN weight
+    // wsum/n_feats (raw wsum is length-biased — a longer doc accumulates
+    // more features, not better ones); the division is one IEEE double op
+    // over exact integers, bit-identical in any engine, with doc_id
+    // breaking the residual ties totally.
+    QueryDef(
+      "q50_cluster_keep_best",
+      s"""WITH $sqlSigCtes,
+         |$sqlPairCtes,
+         |nbrs AS (SELECT da AS doc_id, db AS nbr FROM pairs
+         |         UNION ALL SELECT db, da FROM pairs),
+         |m AS (SELECT doc_id, MIN(nbr) AS mn FROM nbrs GROUP BY doc_id),
+         |canon AS (SELECT d.doc_id,
+         |  COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS canon
+         |  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+         |${QualityQueries.sqlClsCtes},
+         |j AS (SELECT c.doc_id, c.canon, cm.n_feats, cm.wsum
+         |      FROM canon c JOIN cm ON c.doc_id = cm.doc_id),
+         |r AS (SELECT doc_id, canon, n_feats, wsum,
+         |  ROW_NUMBER() OVER (PARTITION BY canon
+         |                     ORDER BY wsum::DOUBLE / n_feats DESC, doc_id) AS rk
+         |  FROM j)
+         |SELECT doc_id, canon,
+         |  round(wsum::DOUBLE / (n_feats * 500.0), 6) AS score,
+         |  rk = 1 AS kept
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val j = canonFrame(s, dir).select(col("doc_id"), col("canon"))
+        .join(QualityQueries.clsScored(s, dir), Seq("doc_id"))
+      val byCluster = Window.partitionBy(col("canon"))
+        .orderBy((col("wsum").cast("double") / col("n_feats")).desc, col("doc_id"))
+      j.withColumn("rk", row_number().over(byCluster))
+        .select(col("doc_id"), col("canon"),
+          round(col("wsum").cast("double") / (col("n_feats") * 500.0), 6)
+            .as("score"),
+          (col("rk") === 1).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // X1+X4/Q52 — train/val-split CONTAMINATION AUDIT: the overlap report
+    // (GPT-3 appendix C's "dirty" analysis, Lee et al. 2022 §6.2) measuring
+    // how much verbatim train text leaks into each val/test document under
+    // the NAIVE doc-id hash split (q25j's literal rule — q22f's
+    // cluster-keyed split is the fix this audit motivates). Per val/test
+    // doc: total width-SubstrW windows, windows also present in ANY train
+    // doc, and the leaked fraction — severity, not just membership.
+    // Reuses q47's window fingerprints; the split label is scan-riding
+    // hash arithmetic (no join to assign it). Scale: the train window set
+    // stays distributed — the probe is a left equi-join on the near-unique
+    // 60-bit fingerprint (one shuffle of the window stream, q47's declared
+    // cost); the report is val/test-sized (~10% of docs), nothing collects.
+    QueryDef(
+      "q52_split_contamination",
+      s"""WITH $sqlSubstrWindowCtes,
+         |sw AS (SELECT doc_id, wh,
+         |  CASE WHEN ${sqlHash32("concat('split:', doc_id)")} % 100 >= ${QualityQueries.TestFrom} THEN 'test'
+         |       WHEN ${sqlHash32("concat('split:', doc_id)")} % 100 >= ${QualityQueries.ValFrom} THEN 'val'
+         |       ELSE 'train' END AS split FROM w),
+         |tw AS (SELECT DISTINCT wh AS twh FROM sw WHERE split = 'train'),
+         |ev AS (SELECT doc_id, split, COUNT(*) AS n_windows, COUNT(twh) AS n_hit
+         |       FROM sw LEFT JOIN tw ON sw.wh = tw.twh
+         |       WHERE sw.split <> 'train'
+         |       GROUP BY doc_id, split)
+         |SELECT doc_id, split, n_windows, n_hit,
+         |  round(n_hit::DOUBLE / n_windows, 6) AS hit_frac
+         |FROM ev ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucket = hash32(concat(lit("split:"), col("doc_id"))) % 100
+      val sw = substrWindows(s, dir).select(col("doc_id"), col("wh"),
+        when(bucket >= QualityQueries.TestFrom, "test")
+          .when(bucket >= QualityQueries.ValFrom, "val")
+          .otherwise("train").as("split"))
+      val tw = sw.filter(col("split") === "train")
+        .select(col("wh").as("twh")).distinct()
+      sw.filter(col("split") =!= "train")
+        .join(tw, col("wh") === col("twh"), "left")
+        .groupBy(col("doc_id"), col("split"))
+        .agg(count(lit(1)).as("n_windows"), count(col("twh")).as("n_hit"))
+        .select(col("doc_id"), col("split"), col("n_windows"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_windows"), 6).as("hit_frac"))
+        .orderBy("doc_id")
     }
   )
 

@@ -34,6 +34,39 @@ object QualityQueries {
   private[queries] val ClsBuckets = 4096
   private[queries] val ClsA = 2654435761L
 
+  /** q48's per-doc classifier accumulation — (doc_id, n_feats, wsum) —
+    * shared with q50's keep-best-per-cluster selection. CTE names are
+    * c-prefixed so the text composes into oracles that already bind
+    * src/tok/bg (the dedup family's signature CTEs). */
+  private[queries] val sqlClsCtes: String =
+    s"""csrc AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |ctok AS (SELECT doc_id, unnest(toks) AS v FROM csrc),
+       |cbg AS (SELECT doc_id, unnest(${sqlShingles("toks", n = 2)}) AS v FROM csrc
+       |        WHERE len(toks) >= 2),
+       |ch AS (SELECT doc_id, (${sqlHash32("v")}) % $ClsBuckets AS b
+       |       FROM (SELECT * FROM ctok UNION ALL SELECT * FROM cbg)),
+       |cm AS (SELECT doc_id, COUNT(*) AS n_feats,
+       |  CAST(SUM(((b + 1) * $ClsA) % ${graft.functions.TextHash.Mod} % 1001 - 500) AS BIGINT) AS wsum
+       |  FROM ch GROUP BY doc_id)""".stripMargin
+
+  /** Spark twin of [[sqlClsCtes]]: feature explode → one doc_id-keyed
+    * aggregation with map-side partials. (private[graft]: DedupEdgeSpec
+    * re-derives the q50 ranking key from it.) */
+  private[graft] def clsScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tok = src.select(col("doc_id"), explode(col("toks")).as("v"))
+    val bg = src.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(shingles(col("toks"), n = 2)).as("v"))
+    tok.unionByName(bg)
+      .select(col("doc_id"), (hash32(col("v")) % ClsBuckets).as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum((col("b") + 1) * ClsA % graft.functions.TextHash.Mod % 1001 - 500)
+          .as("wsum"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // X4+/Q25h — repetition/quality filter rules: per document, mean word
     // length, type-token ratio, and the frequency share of the most-repeated
@@ -170,31 +203,12 @@ object QualityQueries {
     // doc_id with map-side partials; linear at 100 TB, no driver state.
     QueryDef(
       "q48_quality_classifier",
-      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS v FROM src),
-         |bg AS (SELECT doc_id, unnest(${sqlShingles("toks", n = 2)}) AS v FROM src
-         |       WHERE len(toks) >= 2),
-         |h AS (SELECT doc_id, (${sqlHash32("v")}) % $ClsBuckets AS b
-         |      FROM (SELECT * FROM tok UNION ALL SELECT * FROM bg)),
-         |m AS (SELECT doc_id, COUNT(*) AS n_feats,
-         |  CAST(SUM(((b + 1) * $ClsA) % ${graft.functions.TextHash.Mod} % 1001 - 500) AS BIGINT) AS wsum
-         |  FROM h GROUP BY doc_id)
+      s"""WITH $sqlClsCtes
          |SELECT doc_id, n_feats,
          |  round(wsum::DOUBLE / (n_feats * 500.0), 6) AS score,
          |  wsum > 0 AS keep
-         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val src = Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val tok = src.select(col("doc_id"), explode(col("toks")).as("v"))
-      val bg = src.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(shingles(col("toks"), n = 2)).as("v"))
-      val m = tok.unionByName(bg)
-        .select(col("doc_id"), (hash32(col("v")) % ClsBuckets).as("b"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feats"),
-          sum((col("b") + 1) * ClsA % graft.functions.TextHash.Mod % 1001 - 500)
-            .as("wsum"))
-      m.select(col("doc_id"), col("n_feats"),
+         |FROM cm ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      clsScored(s, dir).select(col("doc_id"), col("n_feats"),
           round(col("wsum").cast("double") / (col("n_feats") * 500.0), 6).as("score"),
           (col("wsum") > 0).as("keep"))
         .orderBy("doc_id")

@@ -274,4 +274,46 @@ class CurationSpec extends SparkSpec {
       assert(seqs === seqBy.getOrElse(lang, 0L), s"$lang n_sequences vs q44")
     }
   }
+
+  test("q51 snapshot diff: every status matches its version rule, no 'unchanged' rows") {
+    val out = SparkEntry.queries("q51_snapshot_diff")(spark, sf)
+      .as[(Long, String, String, String)].collect()
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val statusOf = out.map(r => r._1 -> r._2).toMap
+    ids.foreach { id =>
+      val expect =
+        if (id % 13 == 2 && id % 11 == 5) None // in neither snapshot
+        else if (id % 13 == 2) Some("added")
+        else if (id % 11 == 5) Some("removed")
+        else if (id % 7 == 3) Some("changed")
+        else None // identical fingerprints -> filtered out
+      assert(statusOf.get(id) === expect, s"doc $id")
+    }
+    out.foreach { case (id, st, ofp, nfp) =>
+      assert(st != "unchanged", s"doc $id leaked an unchanged row")
+      if (st == "added") assert(ofp.isEmpty && nfp.nonEmpty, s"doc $id fps")
+      if (st == "removed") assert(ofp.nonEmpty && nfp.isEmpty, s"doc $id fps")
+      if (st == "changed") assert(ofp.nonEmpty && nfp.nonEmpty && ofp != nfp, s"doc $id fps")
+    }
+    // the fixture exercises all three statuses
+    assert(Set("added", "removed", "changed").subsetOf(out.map(_._2).toSet))
+  }
+
+  test("q53 training order: a bijective permutation with dense per-shard positions") {
+    val out = byName("q53_training_order")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === nDocs, "one slot per document")
+    assert(out.map(_._1).distinct.length === out.length, "a doc appears twice")
+    out.groupBy(_._2).foreach { case (shard, slots) =>
+      assert(shard >= 0 && shard < 32, s"shard $shard out of range")
+      assert(slots.map(_._3).sorted.toSeq === (1L to slots.length).toSeq,
+        s"shard $shard: positions not dense")
+    }
+    // deterministic: the permutation is hash-derived, no RNG state
+    val again = byName("q53_training_order")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === again.toSeq)
+  }
 }

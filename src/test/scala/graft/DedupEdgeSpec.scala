@@ -281,4 +281,65 @@ class DedupEdgeSpec extends SparkSpec {
       assert(j >= 0.0 && j <= 1.0, s"($a,$b): est $j out of range")
     }
   }
+
+  test("q50: exactly one keeper per cluster, and it is the max-score member") {
+    val out = SparkEntry.queries("q50_cluster_keep_best")(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === nDocs, "one decision per document")
+    // recompute the ranking key exactly as the query does: one IEEE double
+    // division over the exact integer accumulation (JVM Double./ is the
+    // same operation Spark and DuckDB execute on identical operands)
+    val acc = graft.queries.QualityQueries.clsScored(spark, sf)
+      .select($"doc_id", $"n_feats", $"wsum").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._3.toDouble / r._2)).toMap
+    out.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.count(_._4) === 1, s"cluster $canon: keeper count != 1")
+      val keeper = members.find(_._4).get
+      // keeper maximizes mean weight; among exact ties it is the lowest doc_id
+      val best = members.map(m => acc(m._1)).max
+      assert(acc(keeper._1) === best, s"cluster $canon: keeper below max mean weight")
+      val tied = members.filter(m => acc(m._1) === best).map(_._1).min
+      assert(keeper._1 === tied, s"cluster $canon: tie not broken by doc_id")
+    }
+    // the composition is non-trivial on the fixture: multi-doc clusters exist
+    assert(out.groupBy(_._2).exists(_._2.length >= 2), "no dup clusters in corpus")
+  }
+
+  test("q52 audit: a planted train->val verbatim run is reported with exact severity") {
+    // find ids whose q25j bucket lands in train (<90) and val ([90,95)) so
+    // the planted docs straddle the split the audit measures
+    val buckets = spark.range(0, 300)
+      .select($"id", (graft.functions.TextHash.hash32(
+        concat(lit("split:"), $"id")) % 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val trainId = (0L until 300L).find(i => buckets(i) < 90).get
+    val valId = (0L until 300L).find(i => buckets(i) >= 90 && buckets(i) < 95).get
+    val run = (1 to 9).map(i => s"w$i").mkString(" ")
+    val d = TempDirs.create("graft_contam_")
+    Seq(
+      (trainId, s"$run t1 t2 t3", "en", "src0", 0L),     // train doc holds the run
+      (valId, s"v1 v2 $run v3", "en", "src0", 0L),       // val doc embeds it
+      (trainId + 300, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q52_split_contamination")(spark, d)
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    // the val doc has 12 tokens -> 5 windows; the shared 9-token run
+    // contributes exactly its 2 width-8 windows as hits
+    val expected = out.filter(_._1 == valId)
+    assert(expected.map(r => (r._2, r._3, r._4)) === List(("val", 5L, 2L)),
+      out.toString)
+  }
+
+  test("q52 corpus run: rows are val/test only and severity is bounded") {
+    val out = SparkEntry.queries("q52_split_contamination")(spark, sf)
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(out.nonEmpty, "fixture corpus has val/test docs with windows")
+    out.foreach { case (doc, split, nw, nh, frac) =>
+      assert(split == "val" || split == "test", s"doc $doc: split $split")
+      assert(nh >= 0 && nh <= nw, s"doc $doc: n_hit $nh out of [0, $nw]")
+      assert(math.abs(frac - nh.toDouble / nw) < 1e-5, s"doc $doc: frac")
+    }
+  }
 }
