@@ -129,6 +129,21 @@ object Bench {
     }
   }
 
+  /** Best post-JIT pass (the one min(mid,warm) reported) of every query in
+    * a metrics dump, as NAMED rows: key -> column-name -> value. Shared by
+    * the tripwire's reference-row loader and the rerun child's dump — both
+    * sides of an adjudication must be the same pass-selection rule. */
+  private[graft] def bestPassRows(raw: String): Map[String, Map[String, Long]] = {
+    val cs = parseColsField(raw)
+    val msIdx = cs.indexOf("ms")
+    val byPass = Seq("mid", "warm").map(parseMetricsPass(raw, _))
+    byPass.flatMap(_.keys).distinct.map { k =>
+      val rows = byPass.flatMap(_.get(k))
+      val best = rows.minBy(r => if (msIdx >= 0 && msIdx < r.length) r(msIdx) else Long.MaxValue)
+      k -> cs.zip(best).toMap
+    }.toMap
+  }
+
   /** The metrics dump's column-name list — reference rows are addressed by
     * NAME through this, so a reference captured by an older Bench with fewer
     * columns still classifies (missing columns read as -1 = unknown). */
@@ -190,6 +205,52 @@ object Bench {
     }
   }
 
+  /** Secondary verdict for one tripped query after the fresh-JVM rerun.
+    * Round 11 exposed the wall-only rule's failure mode: q32d/q36e — the
+    * suite's most CPU-dense rows — stayed elevated in a child that ran
+    * INSIDE the same contended host window, the light controls (q03/q09/
+    * q14, large fixed-overhead fraction) under-measured that window's CPI
+    * inflation, and the residual elevation was stamped `>plan` even though
+    * the child's own metrics showed byte- and task-identical plans. So the
+    * rule now consults the metrics the child already dumps:
+    *
+    *   - wall reproduced at reference (scalar-normalized) ⇒ `>env`;
+    *   - still elevated and the plan SHAPE moved — shuffle bytes or task
+    *     count grew beyond classifyTrip's own plan threshold (25% + 1 MB /
+    *     25% + 4 tasks), or either metrics row is missing ⇒ `>plan`
+    *     (a plan regression, or nothing to exonerate it with);
+    *   - still elevated at IDENTICAL shape with task CPU inside the window
+    *     envelope (cpuScalar = the controls' median child/reference CPU
+    *     ratio, ×1.4 headroom + 500 ms floor) ⇒ `>cpi`: memory-bandwidth
+    *     CPI inflation of an unchanged plan — environmental class, with the
+    *     exoneration evidence in the same artifact;
+    *   - identical shape but CPU beyond the envelope ⇒ `>plan` (same bytes,
+    *     more per-byte work: an expression-level code regression). */
+  private[graft] def adjudicateRerun(
+      got: Double, scalar: Double, refSec: Double, reportedSec: Double,
+      childRow: Map[String, Long], refRow: Map[String, Long],
+      cpuScalar: Double): String = {
+    val a = got / scalar
+    val elevated = a > refSec * 1.5 && a - refSec > 0.3
+    val collapsed = got < 0.6 * reportedSec
+    if (!elevated || collapsed) ">env"
+    else {
+      def c(m: Map[String, Long], k: String) = m.getOrElse(k, -1L)
+      val shapeKnown =
+        c(childRow, "shuffle_write_b") >= 0 && c(refRow, "shuffle_write_b") >= 0
+      val shapeEqual = shapeKnown &&
+        c(childRow, "shuffle_write_b") <= c(refRow, "shuffle_write_b") * 5 / 4 + (1L << 20) &&
+        (c(refRow, "tasks") < 0 ||
+          c(childRow, "tasks") <= c(refRow, "tasks") * 5 / 4 + 4)
+      if (!shapeEqual) ">plan"
+      else {
+        val cpuOk = c(refRow, "task_cpu_ms") > 0 && c(childRow, "task_cpu_ms") >= 0 &&
+          c(childRow, "task_cpu_ms") <= (c(refRow, "task_cpu_ms") * cpuScalar * 1.4).toLong + 500
+        if (cpuOk) ">cpi" else ">plan"
+      }
+    }
+  }
+
   /** Regression tripwire (VERDICT r8 #5): the min(mid, warm) protocol
     * intentionally discards one-pass spikes, so nothing used to alarm when a
     * query was elevated in BOTH post-JIT passes — a true bimodal/plan
@@ -218,10 +279,14 @@ object Bench {
     * controls' median host scalar (floored at 1.0 — a faster host never
     * excuses a regression) and the child's per-key reported seconds; None
     * if the child failed or timed out (verdicts then stay un-adjudicated as
-    * `>norerun` per key). */
+    * `>norerun` per key). Also returns the child's best-pass metrics rows
+    * (from its SPARK_GRAFT_METRICS_OUT dump) so the secondary verdict can
+    * compare plan shape, not just wall (empty map if the dump is
+    * unreadable — adjudicateRerun then degrades to the wall-only rule). */
   private def spawnRerun(
       tripped: Seq[String], controls: Seq[String], sfDir: String,
-      reference: Map[String, Double]): Option[(Double, Map[String, Double])] = {
+      reference: Map[String, Double])
+      : Option[(Double, Map[String, Double], Map[String, Map[String, Long]])] = {
     try {
       val keys = (tripped ++ controls).distinct
       // Bench's CLI filter is substring-contains over FULL query names while
@@ -276,7 +341,12 @@ object Bench {
       val ratios = controls.flatMap(c =>
         for (g <- rq.get(c); r <- reference.get(c) if r > 0.0) yield g / r).sorted
       if (ratios.isEmpty) { System.err.println("[bench] rerun: no control rows"); return None }
-      Some((math.max(1.0, ratios(ratios.size / 2)), rq))
+      val childRows = try {
+        val p = java.nio.file.Paths.get("bench/rerun_auto.metrics.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty[String, Map[String, Long]]
+        else bestPassRows(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Map[String, Long]] }
+      Some((math.max(1.0, ratios(ratios.size / 2)), rq, childRows))
     } catch { case scala.util.control.NonFatal(t) =>
       System.err.println(s"[bench] rerun failed: $t"); None
     }
@@ -538,16 +608,7 @@ object Bench {
         val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         val refSf = parseSfField(raw)
         if (refSf.nonEmpty && scaleToken(refSf) != scaleToken(sfDir)) Map.empty
-        else {
-          val refCols = parseColsField(raw)
-          val msIdx = refCols.indexOf("ms")
-          val byPass = Seq("mid", "warm").map(parseMetricsPass(raw, _))
-          byPass.flatMap(_.keys).distinct.map { k =>
-            val rows = byPass.flatMap(_.get(k))
-            val best = rows.minBy(r => if (msIdx >= 0 && msIdx < r.length) r(msIdx) else Long.MaxValue)
-            k -> refCols.zip(best).toMap
-          }.toMap
-        }
+        else bestPassRows(raw)
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val verdicts: Map[String, String] = tripped.map { k =>
@@ -576,18 +637,26 @@ object Bench {
     // In-harness adjudication re-run (VERDICT r10 #2): the isolated
     // fresh-JVM re-run that bench/rerun_tripped.sh performed by hand is now
     // part of the run itself — a tripped suite spawns a child Bench over
-    // just the tripped queries plus three stable CONTROL rows (hash agg /
-    // broadcast join / window), divides each tripped query by the controls'
-    // median elevation (the current host window's scalar, floored at 1.0),
-    // and re-applies the tripwire rule: an elevation that survives
-    // normalization and did not collapse below 0.6× its flagged figure is
-    // `plan`; everything else reproduced at reference ⇒ `env`. Guards: only
-    // full-suite runs (args empty), never recursively (env flag), and only
-    // when the trip count is small — a host-wide slow window trips dozens
-    // of queries and is already told apart by ref_ratio_median, so re-running
-    // half the suite would double the wall for an answer the scalar gives.
-    val rerunControls = Seq("q03", "q09", "q14")
-    val rerun: Option[(Double, Map[String, Double])] =
+    // just the tripped queries plus CONTROL rows, divides each tripped
+    // query by the controls' median wall elevation (the current host
+    // window's scalar, floored at 1.0), and applies adjudicateRerun (see
+    // its doc): reproduced ⇒ `>env`; elevated with bytes/tasks moved ⇒
+    // `>plan`; elevated at identical shape with CPU inside the controls'
+    // inflation envelope ⇒ `>cpi` (environmental CPI window, exonerated by
+    // the child's own metrics); identical shape but CPU beyond the
+    // envelope ⇒ `>plan`. Guards: only full-suite runs (args empty), never
+    // recursively (env flag), and only when the trip count is small — a
+    // host-wide slow window trips dozens of queries and is already told
+    // apart by ref_ratio_median, so re-running half the suite would double
+    // the wall for an answer the scalar gives.
+    // Controls: three light stable rows (hash agg / broadcast join / window)
+    // for the WALL scalar, plus two CPU-dense rows (simhash, BPE encode) so
+    // the CPU envelope the secondary verdict normalizes by is measured on
+    // queries that inflate under a CPI window the way the tripped CPU-heavy
+    // rows do (round 11: the light-only control set under-measured the
+    // window and stamped two byte-identical plans `>plan`).
+    val rerunControls = Seq("q03", "q09", "q14", "q23c", "q25u")
+    val rerun: Option[(Double, Map[String, Double], Map[String, Map[String, Long]])] =
       if (tripped.isEmpty || tripped.size > 12 || args.nonEmpty ||
         reference.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_RERUN")) None
       else spawnRerun(tripped, rerunControls, sfDir, reference)
@@ -595,19 +664,29 @@ object Bench {
       val v = verdicts(k)
       val adj = rerun match {
         case None => ""
-        case Some((scalar, rq)) => rq.get(k) match {
+        case Some((scalar, rq, childRows)) => rq.get(k) match {
           case None => ">norerun"
           case Some(got) =>
-            val ref = reference(k)
-            val a = got / scalar
-            val elevated = a > ref * 1.5 && a - ref > 0.3
-            val collapsed = got < 0.6 * reportedByKey(k)
-            if (elevated && !collapsed) ">plan" else ">env"
+            // CPU envelope of the current host window: the controls' median
+            // child/reference task-CPU ratio (floored at 1.0 — a cool host
+            // never excuses extra CPU).
+            val cpuScalar = {
+              val rs = rerunControls.flatMap { cn =>
+                for {
+                  cc <- childRows.get(cn).flatMap(_.get("task_cpu_ms")) if cc > 0
+                  rr <- refMetricsRows.get(cn).flatMap(_.get("task_cpu_ms")) if rr > 0
+                } yield cc.toDouble / rr
+              }.sorted
+              if (rs.isEmpty) 1.0 else math.max(1.0, rs(rs.size / 2))
+            }
+            adjudicateRerun(got, scalar, reference(k), reportedByKey(k),
+              childRows.getOrElse(k, Map.empty),
+              refMetricsRows.getOrElse(k, Map.empty), cpuScalar)
         }
       }
       k -> (v + adj)
     }.toMap
-    rerun.foreach { case (scalar, rq) =>
+    rerun.foreach { case (scalar, rq, _) =>
       System.err.println(f"[bench] fresh-JVM rerun of tripped queries: host scalar " +
         f"$scalar%.2fx (controls ${rerunControls.mkString(",")}); adjudicated: " +
         tripped.map(k => s"$k=${finalVerdicts(k)}" +
@@ -681,7 +760,7 @@ object Bench {
         .map(k => s""""$k":"${finalVerdicts(k)}"""").mkString("{", ",", "}")
       val rerunJson = rerun match {
         case None => ""
-        case Some((scalar, rq)) =>
+        case Some((scalar, rq, _)) =>
           s""""rerun_scalar":${fmt(scalar)},"rerun_s":${(tripped ++ rerunControls)
             .flatMap(k => rq.get(k).map(v => s""""$k":${fmt(v)}""")).mkString("{", ",", "}")},"""
       }

@@ -167,4 +167,56 @@ class BenchTripwireSpec extends AnyFunSuite {
     // operator hunting a missing reference capture would never find it
     assert(Bench.classifyTrip(Map.empty, row(510, 3L << 20, 480, 510), 32) === "nocur")
   }
+
+  // --- adjudicateRerun: the secondary (post-fresh-JVM) verdict ------------
+
+  private def taskRow(bytes: Long, tasks: Long, cpu: Long): Map[String, Long] =
+    Map("shuffle_write_b" -> bytes, "tasks" -> tasks, "task_cpu_ms" -> cpu)
+
+  test("adjudicateRerun: reproduced at reference (after scalar) => env") {
+    // child got 1.3s under a 1.4x window; ref 0.9 — normalized 0.93, clean
+    assert(Bench.adjudicateRerun(1.3, 1.4, 0.9, 2.5,
+      taskRow(2L << 20, 200, 6000), taskRow(2L << 20, 200, 2800), 1.0) === ">env")
+  }
+
+  test("adjudicateRerun: still elevated with GROWN bytes or tasks => plan") {
+    // bytes doubled vs the reference row: plan genuinely moves more data
+    assert(Bench.adjudicateRerun(3.2, 1.0, 0.9, 2.5,
+      taskRow(8L << 20, 200, 12000), taskRow(2L << 20, 200, 2800), 2.0) === ">plan")
+    // same bytes but task count exploded (layout/partitioning change)
+    assert(Bench.adjudicateRerun(3.2, 1.0, 0.9, 2.5,
+      taskRow(2L << 20, 800, 12000), taskRow(2L << 20, 200, 2800), 2.0) === ">plan")
+  }
+
+  test("adjudicateRerun: r11's q36e case — identical shape, CPU inside the window envelope => cpi") {
+    // the round-11 misfire: child 3.2s vs ref 0.92 survived the light-
+    // controls wall scalar (1.17) — but its bytes and tasks matched the
+    // reference row exactly and its 2.5x CPU sat inside the CPU-dense
+    // controls' measured inflation (2.2x * 1.4 headroom)
+    assert(Bench.adjudicateRerun(3.2, 1.17, 0.92, 2.53,
+      taskRow(2490219, 200, 7000), taskRow(2520363, 201, 2800), 2.2) === ">cpi")
+  }
+
+  test("adjudicateRerun: identical shape but CPU beyond the envelope => plan") {
+    // same bytes, 6x CPU under a host window of only 1.1x: an expression-
+    // level code regression, not the window
+    assert(Bench.adjudicateRerun(3.2, 1.0, 0.9, 2.5,
+      taskRow(2L << 20, 200, 17000), taskRow(2L << 20, 200, 2800), 1.1) === ">plan")
+  }
+
+  test("adjudicateRerun: missing metrics rows degrade to the wall-only rule (plan)") {
+    assert(Bench.adjudicateRerun(3.2, 1.0, 0.9, 2.5,
+      Map.empty, Map.empty, 1.0) === ">plan")
+  }
+
+  test("bestPassRows picks each query's better post-JIT pass as named columns") {
+    val raw =
+      """{"cols":["ms","shuffle_write_b"],""" +
+        """"cold":{"qa":[9000,7]},""" +
+        """"mid":{"qa":[1500,7],"qb":[400,9]},""" +
+        """"warm":{"qa":[1200,7],"qb":[700,9]}}"""
+    val rows = Bench.bestPassRows(raw)
+    assert(rows("qa") === Map("ms" -> 1200L, "shuffle_write_b" -> 7L))
+    assert(rows("qb") === Map("ms" -> 400L, "shuffle_write_b" -> 9L))
+  }
 }
