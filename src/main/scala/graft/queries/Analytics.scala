@@ -53,6 +53,11 @@ object Analytics {
       |         FROM spine s CROSS JOIN types t
       |         LEFT JOIN c ON c.hr = s.hr AND c.event_type = t.event_type)""".stripMargin
 
+
+  /** q56's anonymity threshold: cells naming fewer distinct users than
+    * this are never released individually. */
+  private val KAnonK = 5
+
   val defs: Seq[QueryDef] = Seq(
     // A1/Q03 — daily event counts by type (reference images/daily_events.png).
     QueryDef(
@@ -431,6 +436,60 @@ object Analytics {
           .select(col("dow"), col("event_type"), col("g_dow"), col("g_type"), col("cnt"))
           .orderBy(col("g_dow"), col("g_type"),
             col("dow").asc_nulls_first, col("event_type").asc_nulls_first)
+    },
+
+    // Q56 — k-anonymity small-cell suppression (the aggregate-release gate
+    // a training-data or analytics export runs before publishing grouped
+    // stats): per (event_type, day, hour) cell, release distinct-user and
+    // event counts only where the cell covers ≥ K distinct users; all
+    // sub-K cells fold into ONE residual row per event_type whose distinct
+    // count is re-derived EXACTLY from the raw events of those cells (a
+    // sum of per-cell distincts would double-count users spanning cells),
+    // and the residual itself is complementarily suppressed (user count
+    // masked NULL) if it still covers < K users. Scale shape: one
+    // distinct+count aggregation over the cell key; the sub-K cell list is
+    // small BY CONSTRUCTION (each names < K users — that is what makes it
+    // suppressible) and broadcasts into the residual semi-join, so the
+    // second pass touches only suppressed cells' events; no driver state.
+    QueryDef(
+      "q56_kanon_release",
+      s"""WITH ev AS (SELECT event_type,
+         |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, user_id FROM events),
+         |g AS (SELECT event_type, day, hr, COUNT(DISTINCT user_id) AS n_users,
+         |             COUNT(*) AS n_events
+         |      FROM ev GROUP BY event_type, day, hr),
+         |keep AS (SELECT * FROM g WHERE n_users >= $KAnonK),
+         |supp AS (SELECT event_type, day, hr FROM g WHERE n_users < $KAnonK),
+         |resid AS (SELECT e.event_type, COUNT(DISTINCT e.user_id) AS u,
+         |                 COUNT(*) AS n_events
+         |  FROM ev e WHERE EXISTS (SELECT 1 FROM supp s
+         |    WHERE s.event_type = e.event_type AND s.day = e.day AND s.hr = e.hr)
+         |  GROUP BY e.event_type)
+         |SELECT event_type, day, hr, n_users, n_events FROM keep
+         |UNION ALL
+         |SELECT event_type, '__suppressed__' AS day, -1 AS hr,
+         |  CASE WHEN u >= $KAnonK THEN u END AS n_users, n_events FROM resid
+         |ORDER BY event_type, day, hr""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        hour(col("ts")).as("hr"), col("user_id"))
+      val g = ev.groupBy(col("event_type"), col("day"), col("hr"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+      val keep = g.filter(col("n_users") >= KAnonK)
+      val supp = g.filter(col("n_users") < KAnonK)
+        .select(col("event_type"), col("day"), col("hr"))
+      val resid = ev
+        .join(broadcast(supp), Seq("event_type", "day", "hr"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n_events"))
+        .select(col("event_type"), lit("__suppressed__").as("day"),
+          lit(-1).as("hr"),
+          when(col("u") >= KAnonK, col("u")).otherwise(lit(null).cast("long"))
+            .as("n_users"),
+          col("n_events"))
+      keep.unionByName(resid).orderBy("event_type", "day", "hr")
     }
   )
 }

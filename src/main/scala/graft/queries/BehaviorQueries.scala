@@ -120,6 +120,52 @@ object BehaviorQueries {
     (sym, nodes)
   }
 
+  /** q54's triangle kernel over an UNDIRECTED edge frame `(pa, pb)` with
+    * pa < pb: per-node triangle counts + local clustering coefficient via
+    * the degree-ordered node-iterator (Schank–Wagner / Latapy). Every edge
+    * is oriented from its lower (deg, id) endpoint to its higher; wedges
+    * pivot ONLY at the low-rank endpoint of both legs and are closed by an
+    * equi-join back onto the oriented edges. That orientation is the whole
+    * scale story: wedge count drops from Σ deg² (a hub enumerates all its
+    * neighbor pairs — quadratic in the hub degree) to O(m^1.5)-bounded (no
+    * node pivots more wedges than its ORIENTED out-degree ≤ O(√m) allows),
+    * which is why this exact shape is the standard distributed triangle
+    * recipe. All joins are equi-joins (node key, then (b,c) pair key);
+    * per-node counts are one hash agg over 3 projected copies of the
+    * triangle set. Integer-only — both engines walk identical sequences;
+    * the clustering coefficient is a single double division of exact
+    * integers, rounded. */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val od = e
+      .join(deg.select(col("node").as("pa"), col("deg").as("dega")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("degb")), Seq("pb"))
+    val lowFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("pa") < col("pb"))
+    val o = od.select(
+      when(lowFirst, col("pa")).otherwise(col("pb")).as("src"),
+      when(lowFirst, col("pb")).otherwise(col("pa")).as("dst"),
+      when(lowFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
+    val o1 = o.select(col("src").as("a"), col("dst").as("b"), col("ddeg").as("db"))
+    val o2 = o.select(col("src").as("a2"), col("dst").as("c"), col("ddeg").as("dc"))
+    val w = o1.join(o2, col("a") === col("a2") &&
+      (col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c"))))
+    val t = w.join(o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val tc = t.select(col("a").as("node"))
+      .unionByName(t.select(col("b").as("node")))
+      .unionByName(t.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(tc, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round(coalesce(col("triangles"), lit(0L)) * 2.0 /
+            (col("deg") * (col("deg") - 1)), 6)).as("clustering"))
+  }
+
   /** Shared SCD2 segmentation CTEs (q36 / q36c oracle / q36d): change-flag
     * islands ending in `runs(user_id, run, event_type, valid_from,
     * n_events)` — ONE definition so the three validity-interval oracles
@@ -966,6 +1012,46 @@ object BehaviorQueries {
       lab.join(broadcast(sz), Seq("lab"))
         .select(col("node"), col("lab").as("community"), col("community_size"))
         .orderBy("node")
+    },
+
+    // Q54 — triangle counting + local clustering coefficient over the same
+    // co-purchase graph (the third classic graph workload next to q42/q42b:
+    // triangle density is the standard cohesion diagnostic an item graph
+    // gets before community-based sampling, and the clustering coefficient
+    // is its per-node form). The kernel ([[triangleCounts]]) is the
+    // degree-ordered node-iterator — see its doc for why the orientation is
+    // what makes the wedge join survive hub nodes at 100 TB. The undirected
+    // edge list is sym's pa<pb half, read from q42's materialized edge
+    // table: the graph family builds its graph ONCE per session.
+    QueryDef(
+      "q54_triangle_counts",
+      s"""WITH $sqlGraphCtes,
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+         |od AS (SELECT e.pa, e.pb, da.deg AS dega, db.deg AS degb
+         |       FROM e JOIN deg da ON e.pa = da.node
+         |              JOIN deg db ON e.pb = db.node),
+         |o AS (SELECT
+         |  CASE WHEN dega < degb OR (dega = degb AND pa < pb) THEN pa ELSE pb END AS src,
+         |  CASE WHEN dega < degb OR (dega = degb AND pa < pb) THEN pb ELSE pa END AS dst,
+         |  CASE WHEN dega < degb OR (dega = degb AND pa < pb) THEN degb ELSE dega END AS ddeg
+         |  FROM od),
+         |w AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+         |      FROM o o1 JOIN o o2 ON o1.src = o2.src
+         |      WHERE o1.ddeg < o2.ddeg OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst)),
+         |t AS (SELECT w.a, w.b, w.c
+         |      FROM w JOIN o o3 ON w.b = o3.src AND w.c = o3.dst),
+         |pn AS (SELECT a AS node FROM t
+         |       UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+         |tc AS (SELECT node, COUNT(*) AS triangles FROM pn GROUP BY node)
+         |SELECT d.node, d.deg, COALESCE(tc.triangles, 0) AS triangles,
+         |  CASE WHEN d.deg < 2 THEN 0.0
+         |       ELSE round(COALESCE(tc.triangles, 0) * 2.0
+         |                  / (d.deg * (d.deg - 1)), 6) END AS clustering
+         |FROM deg d LEFT JOIN tc ON d.node = tc.node
+         |ORDER BY triangles DESC, d.node""".stripMargin) { (s, dir) =>
+      val e = coGraph(s, dir)._1.filter(col("src") < col("dst"))
+        .select(col("src").as("pa"), col("dst").as("pb"))
+      triangleCounts(e).orderBy(col("triangles").desc, col("node"))
     }
   )
 }

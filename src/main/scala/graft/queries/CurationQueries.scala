@@ -528,6 +528,63 @@ object CurationQueries {
         o.withColumn("pos", row_number().over(w))
           .select(col("doc_id"), col("shard"), col("pos"))
           .orderBy("shard", "pos")
+    },
+
+    // X4+/Q57 — temperature-scaled mixture sampling, EXECUTED: q25v
+    // computes the α = 0.5 rebalanced source weights; this op draws the
+    // actual sample — per-source targets ∝ √n_s (up-weights the tail
+    // sources exactly as multilingual/multi-source training mixtures do),
+    // selection by per-source hash rank so the draw is deterministic,
+    // uniform within source, and stable under reruns (re-salt 'mix:' for
+    // a fresh draw). Numerics: per-source doc counts are exact; the √
+    // weights are single IEEE ops; their normalizer is an exact DECIMAL
+    // sum (q25v's trick — float addition order never matters); each
+    // target is floor((T × w) / Σw) computed with ONE parenthesization on
+    // both engines. Scale shape: the source stat frame is |sources| rows
+    // (broadcast), selection is one window ranked within source —
+    // hash-partitioned, no global sort; a skew-heavy source is the
+    // window's partition and salts like any q28 skew case.
+    QueryDef(
+      "q57_mixture_sample",
+      s"""WITH ns AS (SELECT source, COUNT(*) AS n_docs
+         |            FROM documents GROUP BY source),
+         |tt AS (SELECT CAST(SUM(n_docs) // 2 AS BIGINT) AS t FROM ns),
+         |wsrc AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS wr FROM ns),
+         |wd AS (SELECT CAST(SUM(CAST(wr AS DECIMAL(28,12))) AS DOUBLE) AS wsum
+         |       FROM wsrc),
+         |tgt AS (SELECT source, n_docs,
+         |    GREATEST(1, CAST(FLOOR((t::DOUBLE * wr) / wsum) AS BIGINT))
+         |      AS src_target
+         |  FROM wsrc, tt, wd),
+         |rk AS (SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+         |      ${sqlHash32("concat('mix:', doc_id)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, r.rk, g.src_target
+         |FROM rk r JOIN tgt g ON r.source = g.source
+         |WHERE r.rk <= g.src_target
+         |ORDER BY r.source, r.rk""".stripMargin) { (s, dir) =>
+      val ns = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tt = ns.agg((sum(col("n_docs")) / 2).cast("long").as("t"))
+      val wsrc = ns.withColumn("wr", sqrt(col("n_docs").cast("double")))
+      val wd = wsrc.agg(
+        sum(col("wr").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double").as("wsum"))
+      val tgt = wsrc.crossJoin(broadcast(tt)).crossJoin(broadcast(wd))
+        .select(col("source"),
+          greatest(lit(1L),
+            floor((col("t").cast("double") * col("wr")) / col("wsum"))
+              .cast("long")).as("src_target"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(hash32(concat(lit("mix:"), col("doc_id"))), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(tgt), Seq("source"))
+        .filter(col("rk") <= col("src_target"))
+        .select(col("doc_id"), col("source"), col("rk"), col("src_target"))
+        .orderBy("source", "rk")
     }
   )
 

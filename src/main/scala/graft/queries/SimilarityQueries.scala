@@ -222,6 +222,22 @@ object SimilarityQueries {
   private val LshBands = 4
   private val LshRows = 4
   private val Dim = 64
+
+  /** q55 fixed-point geometry: values scaled [[PcaS]], the per-vector dot
+    * rescaled by [[PcaDotDiv]] (= S × 100: keeps the w-sum's per-term
+    * magnitude ~1e11 so the column sums stay BIGINT-safe far past the
+    * bench's ×20 corpus), [[PcaIters]] power-iteration rounds from the
+    * all-ones start vector (deterministic sign). */
+  private val PcaDim = 64
+  private val PcaS = 1000000L
+  private val PcaDotDiv = 100000000L
+  private val PcaIters = 3
+
+  /** Truncate-toward-zero integer division as SQL text (DuckDB `//` floors
+    * negatives where Spark DIV truncates — the sign split removes the only
+    * divergence between the two engines' integer semantics). */
+  private def sqlTdiv(x: String, d: Any): String =
+    s"(CASE WHEN ($x) < 0 THEN -((-($x)) // ($d)) ELSE ($x) // ($d) END)"
   private val Planes: Seq[Seq[Float]] = {
     var x = 88172645463325252L
     def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
@@ -1209,8 +1225,107 @@ object SimilarityQueries {
         .join(broadcast(qtab), Seq("qid", "m", "cid"))
         .select(col("qid"), col("vec_id"), col("m"), col("d"))
       pqAdcSearch(s, dir, cand)
+    },
+
+    // Q55 — PCA top component by power iteration + per-vector projection:
+    // the embedding-whitening / dominant-direction primitive (SemDeDup-
+    // style pipelines project out or inspect the top component before
+    // cosine clustering; the projection score is also the 1-D curriculum /
+    // outlier axis). Spark-first shape: the centered matrix never
+    // materializes as a matrix — each iteration is two hash aggregations
+    // over the exploded (vec_id, dim, value) frame (dot per vector, then
+    // weighted column sum per dim), with the 64-long iterate collected and
+    // re-broadcast as a literal (q24f's bounded-driver-state k-means
+    // precedent; d doubles per round, never corpus-sized). ALL arithmetic
+    // is fixed-point BIGINT — values scaled 1e6 with explicit
+    // truncate-toward-zero division (Spark DIV truncates, DuckDB //
+    // floors: the sign split makes both walk identical sequences), means
+    // centered by truncated integer mean, the iterate ∞-normalized by
+    // integer max — so there is no float accumulation order to diverge
+    // and the oracle matches bit-exactly. Scales: each round is 2 shuffles
+    // of a (corpus × d)-row frame (the SAME cost class as one q24 scan),
+    // the iterate is d longs, and the materialized centered frame is
+    // reused across rounds. Headroom: terms stay ≤ ~1e11 × n_vectors —
+    // BIGINT-safe to ~10^7 vectors/partition of the 1e6 scale; a 100 TB
+    // run drops the scale or sums DECIMAL(38).
+    QueryDef(
+      "q55_pca_projection", {
+        val it = (1 to PcaIters).map { k =>
+          s"""d$k AS (SELECT vec_id, ${sqlTdiv(s"SUM(ci * v)", PcaDotDiv)} AS dot
+             |  FROM ci JOIN v${k - 1} vv ON ci.i = vv.i GROUP BY vec_id),
+             |w$k AS (SELECT i, CAST(SUM(ci * dot) AS BIGINT) AS w
+             |  FROM ci JOIN d$k dd ON ci.vec_id = dd.vec_id GROUP BY i),
+             |m$k AS (SELECT GREATEST(MAX(ABS(w)) // $PcaS, 1) AS md FROM w$k),
+             |v$k AS (SELECT i, ${sqlTdiv("w", "md")} AS v FROM w$k, m$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH dims AS (SELECT unnest(generate_series(1,
+           |  (SELECT max(len(embedding)) FROM embeddings))) AS i),
+           |xm AS (SELECT vec_id, i,
+           |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $PcaS) AS BIGINT) AS xi
+           |  FROM embeddings, dims),
+           |mu AS (SELECT i, ${sqlTdiv("SUM(xi)", "COUNT(*)")} AS mui
+           |       FROM xm GROUP BY i),
+           |ci AS (SELECT vec_id, xm.i, xi - mui AS ci
+           |       FROM xm JOIN mu ON xm.i = mu.i),
+           |v0 AS (SELECT i, CAST($PcaS AS BIGINT) AS v FROM dims),
+           |$it,
+           |pj AS (SELECT vec_id, ${sqlTdiv(s"SUM(ci * v)", PcaS)} AS proj
+           |  FROM ci JOIN v$PcaIters vv ON ci.i = vv.i GROUP BY vec_id)
+           |SELECT e.vec_id, e.label, CAST(pj.proj AS BIGINT) AS proj
+           |FROM embeddings e JOIN pj ON e.vec_id = pj.vec_id
+           |ORDER BY e.vec_id""".stripMargin
+      }) { (s, dir) =>
+      val ci = Materialize(s, dir, "q55_ci") {
+        val xm = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+          // FLOOR of the float-widened double × 1e6: pure IEEE ops, bit-
+          // identical in both engines — a decimal cast here diverges on
+          // representation ties (Spark rounds the SHORTEST double repr,
+          // DuckDB the exact binary value)
+          .select(col("vec_id"), (col("i0") + 1).as("i"),
+            floor(col("x").cast("double") * lit(PcaS.toDouble)).cast("long").as("xi"))
+        val mu = xm.groupBy(col("i"))
+          .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+          .select(col("i"), expr(
+            "CASE WHEN sx < 0 THEN -((-sx) DIV n) ELSE sx DIV n END").as("mui"))
+        xm.join(broadcast(mu), Seq("i"))
+          .select(col("vec_id"), col("i"), (col("xi") - col("mui")).as("ci"))
+      }
+      var v: Array[Long] = Array.fill(PcaDim)(PcaS)
+      for (_ <- 1 to PcaIters) {
+        val vlit = typedLit(v.toSeq)
+        val dots = ci
+          .select(col("vec_id"),
+            (col("ci") * element_at(vlit, col("i").cast("int"))).as("p"))
+          .groupBy(col("vec_id")).agg(sum(col("p")).as("sp"))
+          .select(col("vec_id"), expr(
+            s"CASE WHEN sp < 0 THEN -((-sp) DIV $PcaDotDiv) ELSE sp DIV $PcaDotDiv END")
+            .as("dot"))
+        val w = ci.join(dots, Seq("vec_id"))
+          .groupBy(col("i")).agg(sum(col("ci") * col("dot")).as("w"))
+          .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+        // ∞-normalization on the collected d-vector: EXACTLY the oracle's
+        // m_k/v_k CTEs, in Long arithmetic (Scala / truncates like DIV)
+        val md = math.max(1L, w.values.map(math.abs).max / PcaS)
+        v = Array.tabulate(PcaDim) { j =>
+          val wj = w.getOrElse((j + 1).toLong, 0L)
+          if (wj < 0) -((-wj) / md) else wj / md
+        }
+      }
+      val vfin = typedLit(v.toSeq)
+      val pj = ci
+        .select(col("vec_id"),
+          (col("ci") * element_at(vfin, col("i").cast("int"))).as("p"))
+        .groupBy(col("vec_id")).agg(sum(col("p")).as("sp"))
+        .select(col("vec_id"), expr(
+          s"CASE WHEN sp < 0 THEN -((-sp) DIV $PcaS) ELSE sp DIV $PcaS END").as("proj"))
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+        .join(pj, Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("proj"))
+        .orderBy("vec_id")
     }
   )
+
 
   /** The q24l/q24m oracle: IVF-routed ADC over the shared PQ CTE chain —
     * ONE text so the flat (q24l) and cell-partitioned (q24m) executions

@@ -316,4 +316,35 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq === again.toSeq)
   }
+
+  test("q57 mixture sample: dense per-source ranks hit the sqrt-rebalanced targets") {
+    val out = byName("q57_mixture_sample")(spark, sf)
+      .select("doc_id", "source", "rk", "src_target")
+      .as[(Long, String, Long, Long)].collect()
+    val ns = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val t = ns.values.sum / 2
+    val bySrc = out.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val targets = rows.map(_._4).distinct
+      assert(targets.length === 1, s"$src: inconsistent target")
+      // selection fills the target exactly (target never exceeds the
+      // source, since weights are sub-linear in size) with dense ranks
+      assert(rows.length.toLong === targets.head, s"$src: target not filled")
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"$src: ranks not dense")
+    }
+    // the floor per source loses < 1 doc each: total within |sources| of T
+    val total = out.length.toLong
+    assert(total <= t && total >= t - ns.size, s"total $total vs target $t")
+    // √ rebalancing: the smallest source is sampled at a rate >= the
+    // largest's (floor slack tolerated), when sizes actually differ
+    val (sMin, nMin) = ns.minBy(_._2)
+    val (sMax, nMax) = ns.maxBy(_._2)
+    if (nMax > nMin) {
+      val fMin = bySrc(sMin).length.toDouble / nMin
+      val fMax = bySrc(sMax).length.toDouble / nMax
+      assert(fMin + 1.0 / nMin >= fMax, s"no boost: $fMin vs $fMax")
+    }
+  }
 }

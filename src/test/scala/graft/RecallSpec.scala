@@ -222,4 +222,36 @@ class RecallSpec extends SparkSpec {
       assert(math.abs(gotMrr - mrr) < 1e-5, s"query $q mrr $gotMrr vs $mrr")
     }
   }
+
+  test("q55 fixed-point power iteration matches a sequential reference run") {
+    // the distributed two-aggregation rounds must walk the EXACT integer
+    // sequence a single-threaded mirror of the fixed-point recipe walks —
+    // any float path or ordering dependence in the plan breaks this
+    val data = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val S = 1000000L
+    val d = data.head._2.length
+    val n = data.length
+    def tdiv(x: Long, dv: Long): Long = if (x < 0) -((-x) / dv) else x / dv
+    val xi = data.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * S).toLong).toArray }
+    val mu = Array.tabulate(d)(j => tdiv(xi.map(_._2(j)).sum, n))
+    val ci = xi.map { case (id, v0) =>
+      id -> Array.tabulate(d)(j => v0(j) - mu(j)) }
+    var v = Array.fill(d)(S)
+    for (_ <- 1 to 3) {
+      val dots = ci.map { case (id, c) =>
+        id -> tdiv((0 until d).map(j => c(j) * v(j)).sum, 100000000L) }.toMap
+      val w = Array.tabulate(d)(j => ci.map { case (id, c) => c(j) * dots(id) }.sum)
+      val md = math.max(1L, w.map(math.abs).max / S)
+      v = w.map(tdiv(_, md))
+    }
+    val expected = ci.map { case (id, c) =>
+      id -> tdiv((0 until d).map(j => c(j) * v(j)).sum, S) }.toMap
+    val got = SimilarityQueries.defs.find(_.name == "q55_pca_projection").get
+      .df(spark, sf).select("vec_id", "proj").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // non-degenerate: the dominant direction separates the corpus
+    assert(expected.values.toSet.size > 1)
+  }
 }

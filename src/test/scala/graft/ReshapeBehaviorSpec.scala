@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{BehaviorQueries, ReshapeQueries}
+import graft.queries.{Analytics, BehaviorQueries, ReshapeQueries}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,7 +14,8 @@ class ReshapeBehaviorSpec extends SparkSpec {
   import spark.implicits._
 
   private def byName(name: String) =
-    (ReshapeQueries.defs ++ BehaviorQueries.defs).find(_.name == name).get.df
+    (ReshapeQueries.defs ++ BehaviorQueries.defs ++ Analytics.defs)
+      .find(_.name == name).get.df
 
   private lazy val nEvents = Tables.events(spark, sf).count()
 
@@ -315,5 +316,37 @@ class ReshapeBehaviorSpec extends SparkSpec {
     val nUsers = Tables.events(spark, sf)
       .select("user_id").distinct().count()
     assert(rows.last._2 === nUsers)
+  }
+
+  test("q54 triangle kernel: exact counts on a constructed graph") {
+    // triangle {1,2,3} with a pendant 4 on node 1, plus a disjoint
+    // 4-clique {5,6,7,8}: 1 + 4 = 5 triangles, known per-node membership
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+      .toDF("pa", "pb")
+    val rows = BehaviorQueries.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) === ((3L, 1L, 0.333333))) // deg 3, 1 triangle, 2·1/(3·2)
+    assert(rows(2L) === ((2L, 1L, 1.0)))
+    assert(rows(3L) === ((2L, 1L, 1.0)))
+    assert(rows(4L) === ((1L, 0L, 0.0))) // pendant: no pair of neighbors
+    for (n <- 5L to 8L) assert(rows(n) === ((3L, 3L, 1.0)), s"clique node $n")
+    // each triangle contributes exactly 3 node increments
+    assert(rows.values.map(_._2).sum === 15L)
+  }
+
+  test("q56 k-anonymity: released cells all >= K and event totals reconcile") {
+    val out = byName("q56_kanon_release")(spark, sf)
+    val released = out.filter(col("day") =!= "__suppressed__")
+    // the release gate: no published cell names fewer than K users
+    assert(released.filter(col("n_users") < 5).count() === 0)
+    // every event lands in exactly one released cell or one residual row
+    assert(out.agg(sum("n_events")).as[Long].head() === nEvents)
+    // a residual row's user count is either masked (complementary
+    // suppression) or itself >= K — never a published sub-K count
+    out.filter(col("day") === "__suppressed__")
+      .select("n_users").collect()
+      .foreach(r => assert(r.isNullAt(0) || r.getLong(0) >= 5L))
   }
 }
