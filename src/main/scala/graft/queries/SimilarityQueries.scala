@@ -1291,6 +1291,15 @@ object SimilarityQueries {
         xm.join(broadcast(mu), Seq("i"))
           .select(col("vec_id"), col("i"), (col("xi") - col("mui")).as("ci"))
       }
+      // the iterate is a PcaDim-long literal while the oracle sizes its
+      // dimension spine from the data — a fixture of any other width would
+      // silently drop dims (null element_at) instead of failing loudly
+      // (ADVICE r12); assert the scanned width before the first iteration
+      val widths = Tables.embeddings(s, dir)
+        .agg(min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"))
+        .head()
+      require(widths.getInt(0) == PcaDim && widths.getInt(1) == PcaDim,
+        s"q55: embedding width ${widths.getInt(0)}..${widths.getInt(1)} != PcaDim $PcaDim")
       var v: Array[Long] = Array.fill(PcaDim)(PcaS)
       for (_ <- 1 to PcaIters) {
         val vlit = typedLit(v.toSeq)

@@ -199,9 +199,32 @@ class BenchTripwireSpec extends AnyFunSuite {
 
   test("adjudicateRerun: identical shape but CPU beyond the envelope => plan") {
     // same bytes, 6x CPU under a host window of only 1.1x: an expression-
-    // level code regression, not the window
+    // level code regression, not the window — and the compile counters
+    // are clean, so the recompile exoneration must NOT fire
     assert(Bench.adjudicateRerun(3.2, 1.0, 0.9, 2.5,
       taskRow(2L << 20, 200, 17000), taskRow(2L << 20, 200, 2800), 1.1) === ">plan")
+  }
+
+  test("adjudicateRerun: r12's q44 case — identical shape, CPU elevated by recompiles => jit") {
+    // VERDICT r12 #2: shape byte- and task-identical, CPU beyond the
+    // envelope, but the elevated row carries janino recompiles and CPU net
+    // of its jit_ms charge falls back inside the envelope — generated-
+    // class/JIT cache churn, not a plan regression
+    val child = taskRow(6191386, 13, 8300) ++
+      Map("janino_compiles" -> 9L, "jit_ms" -> 2100L)
+    assert(Bench.adjudicateRerun(2.4, 1.0, 0.94, 2.47,
+      child, taskRow(6191386, 13, 3600), 1.2) === ">jit")
+    // the same row WITHOUT recompiles stays a plan verdict: nothing to
+    // exonerate the extra CPU with
+    assert(Bench.adjudicateRerun(2.4, 1.0, 0.94, 2.47,
+      taskRow(6191386, 13, 8300) ++ Map("jit_ms" -> 2100L),
+      taskRow(6191386, 13, 3600), 1.2) === ">plan")
+    // recompiles present but CPU-net-of-jit STILL beyond the envelope:
+    // the recompiles do not account for the elevation => plan
+    assert(Bench.adjudicateRerun(2.4, 1.0, 0.94, 2.47,
+      taskRow(6191386, 13, 17000) ++
+        Map("janino_compiles" -> 9L, "jit_ms" -> 2100L),
+      taskRow(6191386, 13, 3600), 1.2) === ">plan")
   }
 
   test("adjudicateRerun: missing metrics rows degrade to the wall-only rule (plan)") {

@@ -234,6 +234,56 @@ class DedupEdgeSpec extends SparkSpec {
     assert(out === List((1L, 1L, 9L, 0.642857)), out.toString) // 9 of doc 1's 14 tokens
   }
 
+  test("q47 heavy-hitter fingerprint: one run duplicated across 30% of docs resolves skew-safely") {
+    // VERDICT r12 #3: the skew case the ×10/×20 growth captures can never
+    // contain (ScaleUp rotates replica text so shingles decouple) — ONE
+    // 8-token boilerplate run embedded in 30% of docs puts every
+    // occurrence on a single fingerprint key. The groupBy resolution must
+    // still produce exact spans: every flagged doc except the
+    // lexicographic-first occurrence reports exactly the 8-token span.
+    val run = (1 to 8).map(i => s"hh$i").mkString(" ")
+    val d = TempDirs.create("graft_heavyhit_")
+    val docs = (0L until 200L).map { id =>
+      // globally-unique filler so ONLY the planted run's window repeats
+      val pre = (1 to 3).map(j => s"u${id}p$j").mkString(" ")
+      val suf = (1 to 5).map(j => s"u${id}s$j").mkString(" ")
+      val text = if (id % 10 < 3) s"$pre $run $suf"
+                 else s"$pre ${(1 to 8).map(j => s"u${id}m$j").mkString(" ")} $suf"
+      (id, text, "en", "src0", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8) // heavy hitter spread over many input partitions
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q47_substring_dedup")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    val hit = (0L until 200L).filter(_ % 10 < 3)
+    // keeper = lowest doc_id holding the run (all occurrences at pos 4)
+    val expected = hit.tail.map(id => (id, 1L, 8L, 0.5)).toList
+    assert(out === expected, s"got ${out.take(5)}... (${out.length} rows)")
+  }
+
+  test("q47 keeper attribution survives the 1e6-token position boundary") {
+    // regression pin for the retired doc_id*1e6+pos radix packing (ADVICE
+    // r12): a >=1e6-token document's positions bled into the next doc's
+    // range, flipping the keeper. doc 1 holds the run at pos 1,200,001 —
+    // packed occ 1*1e6+1200001 = 2,200,001 > doc 2's 2,000,004 — so the
+    // packed rule kept doc 2; lexicographic min(struct(doc_id, pos)) must
+    // keep doc 1 and flag ONLY doc 2.
+    val run = (1 to 9).map(i => s"kk$i").mkString(" ")
+    val nFill = 1200000
+    val filler = new StringBuilder(10 * nFill)
+    (1 to nFill).foreach { j => filler.append('a').append(j).append(' ') }
+    val d = TempDirs.create("graft_radix_")
+    Seq(
+      (1L, filler.result() + run, "en", "src0", 0L),
+      (2L, s"v1 v2 v3 $run v4 v5", "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q47_substring_dedup")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List((2L, 1L, 9L, 0.642857)), out.toString)
+  }
+
   test("q47 corpus run: spans stay inside their docs and the keeper copy of a dup survives") {
     val out = SparkEntry.queries("q47_substring_dedup")(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
@@ -330,6 +380,35 @@ class DedupEdgeSpec extends SparkSpec {
     val expected = out.filter(_._1 == valId)
     assert(expected.map(r => (r._2, r._3, r._4)) === List(("val", 5L, 2L)),
       out.toString)
+  }
+
+  test("q52b at width 13: a 14-token leak counts its two 13-gram windows; a 9-token leak is invisible") {
+    // the GPT-3 recipe's width knob (VERDICT r12 #8): the same planted
+    // train->val geometry as the q52 spec, but the audit runs at N=13 — a
+    // 14-token verbatim run contributes exactly its two width-13 windows,
+    // while a 9-token run (a q52-width hit) contains NO width-13 window
+    // and must not be reported as leakage.
+    val buckets = spark.range(0, 300)
+      .select($"id", (graft.functions.TextHash.hash32(
+        concat(lit("split:"), $"id")) % 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val trainId = (0L until 300L).find(i => buckets(i) < 90).get
+    val valIds = (0L until 300L).filter(i => buckets(i) >= 90 && buckets(i) < 95)
+    val (valA, valB) = (valIds(0), valIds(1))
+    val run14 = (1 to 14).map(i => s"x$i").mkString(" ")
+    val run9 = (1 to 9).map(i => s"y$i").mkString(" ")
+    val d = TempDirs.create("graft_contam13_")
+    Seq(
+      (trainId, s"$run14 t1 t2 $run9", "en", "src0", 0L),
+      (valA, s"a1 a2 $run14 a3", "en", "src0", 0L),   // 17 tok -> 5 windows, 2 hits
+      (valB, s"b1 b2 b3 b4 $run9", "en", "src0", 0L)  // 13 tok -> 1 window, 0 hits
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q52b_contamination_n13")(spark, d)
+      .as[(Long, String, Long, Long, Double)].collect().toList
+    val byId = out.map(r => r._1 -> (r._3, r._4)).toMap
+    assert(byId(valA) === ((5L, 2L)), out.toString)
+    assert(byId(valB) === ((1L, 0L)), out.toString)
   }
 
   test("q52 corpus run: rows are val/test only and severity is bounded") {

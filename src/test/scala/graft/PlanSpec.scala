@@ -240,6 +240,19 @@ class PlanSpec extends SparkSpec {
     assert(sess.limit(1).count() === 1L, "bucketed events table is empty")
   }
 
+  test("q51b: bucketed snapshot diff plans with ZERO exchanges before the full-outer SMJ") {
+    // VERDICT r12 #5: q51's "at 100 TB both snapshots bucket by doc_id and
+    // the diff is a zero-exchange sort-merge" claim, executed — both
+    // fingerprint sides are 32-bucket CLUSTERED-BY-id tables, so the scans
+    // carry HashPartitioning(id) into the full-outer join and no shuffle
+    // exists anywhere in the diff (only in-partition sorts may remain)
+    val d = graft.queries.CurationPipeline.bucketedSnapshotDiff(spark, sf)
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(d.limit(1).count() === 1L, "diff is empty on the fixture corpus")
+  }
+
   test("q24m: the PQ codes scan prunes to exactly the probed cells at plan time") {
     // the ANN serving layout (VERDICT r9 #2): codes partitionBy(cell), the
     // probe routed as a literal partition-column filter — unprobed cells'
