@@ -42,7 +42,19 @@ object Bucketed {
     if (name == null) {
       val tbl = s"graft_${tag}_${nameSeq.incrementAndGet()}"
       val dir = graft.TempDirs.create(s"graft_bucket_${tag}_")
-      df.write
+      // ONE file per bucket: without the pre-shuffle every upstream task
+      // writes its own slice of every bucket (tasks × buckets files), and
+      // a bucketed scan only trusts per-bucket sort order when a bucket is
+      // a single file — multi-file buckets force the reader to re-sort
+      // the whole bucket, which at ×20 scale cost q51b's SMJ more than
+      // the exchange it saved. The repartition lives in the one-time
+      // layout job (the nightly ETL writer), never in a read plan.
+      // df is by-name: bind ONCE — a second reference would construct a
+      // fresh plan with new attribute ids that the repartition column
+      // could not resolve against
+      val d = df
+      d.repartition(buckets, d.col(bucketCol))
+        .write
         .option("path", dir)
         .bucketBy(buckets, bucketCol)
         .sortBy(bucketCol)
