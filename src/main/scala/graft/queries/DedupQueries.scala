@@ -159,6 +159,49 @@ object DedupQueries {
 
   private val sqlSubstrWindowCtes = sqlSubstrWindowCtesW(SubstrW)
 
+  /** Shared tail of the ExactSubstr family (q47/q47b): gaps-and-islands
+    * span merge over a removable-window CTE `r(doc_id, n, pos, endp)` +
+    * the per-doc span report. ONE text so the full and incremental forms
+    * can never diverge on span semantics. */
+  private val sqlSubstrSpanTail =
+    s"""s AS (SELECT doc_id, n, pos, endp,
+       |  CASE WHEN pos > COALESCE(MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 1
+       |  THEN 1 ELSE 0 END AS brk FROM r),
+       |isl AS (SELECT doc_id, n, pos, endp,
+       |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+       |  FROM s),
+       |sp AS (SELECT doc_id, gid, MIN(pos) AS sp_start, MAX(endp) AS sp_end,
+       |  MAX(n) AS n FROM isl GROUP BY doc_id, gid)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |  CAST(SUM(sp_end - sp_start + 1) AS BIGINT) AS dup_tokens,
+       |  round(SUM(sp_end - sp_start + 1)::DOUBLE / MAX(n), 6) AS dup_frac
+       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Spark twin of [[sqlSubstrSpanTail]]: removable windows
+    * (doc_id, n, pos, endp) → merged maximal spans → per-doc report.
+    * The windows partition by doc_id — bounded by document length. */
+  private def substrSpanReport(r: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("endp")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = r
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-999)) + 1, 1L).otherwise(0L))
+      .withColumn("gid",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val sp = isl.groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("pos")).as("sp_start"), max(col("endp")).as("sp_end"),
+        max(col("n")).as("n"))
+    sp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("sp_end") - col("sp_start") + 1).as("dup_tokens"),
+        max(col("n")).as("nn"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("nn"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q23i's deterministic recall-sample rule: every doc with
     * doc_id % 10 == 0 is a monitored query point. Fixed RATE (not fixed
     * count) keeps the eval's cost profile constant per unit data while the
@@ -1030,20 +1073,7 @@ object DedupQueries {
          |r AS (SELECT w.doc_id, w.n, w.pos, w.pos + ${SubstrW - 1} AS endp
          |      FROM w JOIN dup ON w.wh = dup.wh
          |      WHERE ROW(w.doc_id, w.pos) <> dup.keeper),
-         |s AS (SELECT doc_id, n, pos, endp,
-         |  CASE WHEN pos > COALESCE(MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 1
-         |  THEN 1 ELSE 0 END AS brk FROM r),
-         |isl AS (SELECT doc_id, n, pos, endp,
-         |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
-         |  FROM s),
-         |sp AS (SELECT doc_id, gid, MIN(pos) AS sp_start, MAX(endp) AS sp_end,
-         |  MAX(n) AS n FROM isl GROUP BY doc_id, gid)
-         |SELECT doc_id, COUNT(*) AS n_spans,
-         |  CAST(SUM(sp_end - sp_start + 1) AS BIGINT) AS dup_tokens,
-         |  round(SUM(sp_end - sp_start + 1)::DOUBLE / MAX(n), 6) AS dup_frac
-         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+         |$sqlSubstrSpanTail""".stripMargin) { (s, dir) =>
       val w = substrWindows(s, dir)
       // skew-safe duplicate resolution: groupBy on the fingerprint with
       // map-side partial count/min (a heavy-hitter fingerprint collapses
@@ -1060,25 +1090,71 @@ object DedupQueries {
           col("pos") =!= col("keeper.pos"))
         .select(col("doc_id"), col("n"), col("pos"),
           (col("pos") + (SubstrW - 1)).as("endp"))
-      // gaps-and-islands: overlapping/adjacent removable windows merge into
-      // maximal spans (running max of endp decides island breaks)
-      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val prevEnd = max(col("endp")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-      val isl = r
-        .withColumn("brk",
-          when(col("pos") > coalesce(prevEnd, lit(-999)) + 1, 1L).otherwise(0L))
-        .withColumn("gid",
-          sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      val sp = isl.groupBy(col("doc_id"), col("gid"))
-        .agg(min(col("pos")).as("sp_start"), max(col("endp")).as("sp_end"),
-          max(col("n")).as("n"))
-      sp.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("sp_end") - col("sp_start") + 1).as("dup_tokens"),
-          max(col("n")).as("nn"))
-        .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
-          round(col("dup_tokens").cast("double") / col("nn"), 6).as("dup_frac"))
-        .orderBy("doc_id")
+      substrSpanReport(r)
+    },
+
+    // X1+++/Q47b — INCREMENTAL ExactSubstr: tonight's batch (q45's
+    // doc_id % 7 == 0 rule) substring-deduplicated against the STANDING
+    // corpus without re-resolving history-vs-history duplicates. The
+    // materialized width-8 fingerprint table (substrWindows) plays the
+    // standing index a production pipeline persists: a batch window is
+    // removable if it appears ANYWHERE in history (history is immutable,
+    // so the history copy is always the keeper — even when the batch doc
+    // id is lower) or if it repeats within the batch (min(struct) keeper,
+    // q47's rule). Marginal work is batch-proportional the q22d/q45 way:
+    // a Bloom sketch of the BATCH's fingerprints rides the history index
+    // scan (native might_contain, codegen'd, no shuffle of history), so
+    // only ~batch-sized survivors reach the distinct + confirm join —
+    // hash-of-hash keeps the no-false-negatives guarantee, and the exact
+    // equi-join on wh discards any false positive before it can flag a
+    // window. Span semantics are q47's verbatim (shared tail).
+    QueryDef(
+      "q47b_incremental_substring",
+      s"""WITH $sqlSubstrWindowCtes,
+         |bw AS (SELECT doc_id, n, pos, wh FROM w WHERE doc_id % 7 = 0),
+         |hw AS (SELECT DISTINCT wh AS hwh FROM w WHERE doc_id % 7 <> 0),
+         |bd AS (SELECT wh AS bwh, MIN(ROW(doc_id, pos)) AS keeper FROM bw
+         |       GROUP BY wh HAVING COUNT(*) >= 2),
+         |r AS (SELECT bw.doc_id, bw.n, bw.pos, bw.pos + ${SubstrW - 1} AS endp
+         |      FROM bw LEFT JOIN hw ON bw.wh = hw.hwh
+         |              LEFT JOIN bd ON bw.wh = bd.bwh
+         |      WHERE hw.hwh IS NOT NULL
+         |         OR (bd.bwh IS NOT NULL AND ROW(bw.doc_id, bw.pos) <> bd.keeper)),
+         |$sqlSubstrSpanTail""".stripMargin) { (s, dir) =>
+      val w = substrWindows(s, dir)
+      val bw = w.filter(col("doc_id") % 7 === 0)
+      // batch-fingerprint sketch: sized from the parquet footers (docs/7 ×
+      // a window-per-doc bound — metadata only, no counting job; a
+      // production index would size from its own stats), probed INSIDE the
+      // history scan so history is never shuffled wholesale
+      val expected = math.max(1000L,
+        Tables.parquetRowCount(s, s"$dir/documents.parquet") * 128 / 7 + 1)
+      val bloom = bw.select(xxhash64(col("wh")).as("kh"))
+        .stat.bloomFilter("kh", expected, 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      graft.functions.SketchFunctions.register(s)
+      val hw = w.filter(col("doc_id") % 7 =!= 0)
+        .filter(graft.functions.SketchFunctions.bloomMightContain(
+          lit(bytes), xxhash64(col("wh"))))
+        .select(col("wh").as("hwh")).distinct()
+      val bd = bw.groupBy(col("wh")).agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+        .filter(col("cnt") >= 2)
+        .select(col("wh").as("bwh"), col("keeper"))
+      val r = bw
+        .join(hw, col("wh") === col("hwh"), "left")
+        .join(bd, col("wh") === col("bwh"), "left")
+        .filter(col("hwh").isNotNull ||
+          (col("bwh").isNotNull && (col("doc_id") =!= col("keeper.doc_id") ||
+            col("pos") =!= col("keeper.pos"))))
+        .select(col("doc_id"), col("n"), col("pos"),
+          (col("pos") + (SubstrW - 1)).as("endp"))
+      substrSpanReport(r)
     },
 
     // X2+/Q49 — cross-source corpus-overlap matrix: the union MinHash of a

@@ -28,6 +28,17 @@ object QualityQueries {
   private[queries] val ValFrom = 90
   private[queries] val TestFrom = 95
 
+  /** q58 Gopher repetition bounds (Rae et al. 2021 table A1): maximum
+    * document-coverage fraction of the most frequent 2-/3-/4-gram, and of
+    * duplicated 3-grams by position. The 0.20/0.18/0.16 ladder is
+    * Gopher's own; the duplicate-coverage bound stands in for its
+    * dup-n-gram-characters family at this corpus's token granularity. */
+  private[queries] val RepKinds = Seq(2, 3, 4)
+  private[queries] val RepTop2Max = 0.20
+  private[queries] val RepTop3Max = 0.18
+  private[queries] val RepTop4Max = 0.16
+  private[queries] val RepDup3Max = 0.20
+
   /** q48 feature-hashing buckets (fastText's default is 2M bigram buckets;
     * scaled to the synthetic vocabulary) and the Knuth multiplier that
     * derives the deterministic stand-in weight for bucket b. */
@@ -211,6 +222,137 @@ object QualityQueries {
       clsScored(s, dir).select(col("doc_id"), col("n_feats"),
           round(col("wsum").cast("double") / (col("n_feats") * 500.0), 6).as("score"),
           (col("wsum") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // X4+/Q58 — Gopher REPETITION filter (Rae et al. 2021, table A1): the
+    // intra-document self-similarity battery q25h's rule set lacks. Two
+    // metric families, Gopher's thresholds verbatim:
+    //  - top-n-gram coverage ladder: the fraction of the doc covered by
+    //    its MOST FREQUENT 2-/3-/4-gram (count × n / n_tok — the token
+    //    form of Gopher's "fraction of characters in the most frequent
+    //    n-gram"; limits ≤ 0.20 / 0.18 / 0.16). Distinct from q25h's
+    //    top_bigram_frac, which is occurrence share among bigrams, not
+    //    document coverage.
+    //  - duplicate-n-gram POSITION coverage: the fraction of token
+    //    positions lying inside a 3-gram that occurs ≥2 times in the SAME
+    //    doc — overlapping repeats must not double-count, so removable
+    //    windows merge into maximal spans first (q47's gaps-and-islands,
+    //    applied intra-doc).
+    // Scale: the ladder is two doc-keyed hash aggregations with map-side
+    // partials (the q25h shape); the coverage path's windows partition by
+    // doc_id — bounded by DOC length, never a corpus key, so no
+    // heavy-hitter hazard exists (q47's global-fingerprint lesson does
+    // not transfer: the group key here is (doc, gram)) — and the dup
+    // probe is a (doc_id, gram) equi-join. Everything is linear in
+    // corpus tokens at 100 TB.
+    QueryDef(
+      "q58_repetition_filter", {
+        val gramCtes = RepKinds.map { k =>
+          val parts = (0 until k).map(j => s"toks[i+$j]").mkString(", ")
+          s"""SELECT doc_id, $k AS kind,
+             |  unnest(list_transform(generate_series(1, n - ${k - 1}),
+             |    i -> concat_ws(' ', $parts))) AS g FROM rd WHERE n >= $k"""
+            .stripMargin
+        }.mkString("\n UNION ALL ")
+        s"""WITH rsrc AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+           |rd AS (SELECT doc_id, toks, len(toks) AS n FROM rsrc),
+           |rg AS ($gramCtes),
+           |rc AS (SELECT doc_id, kind, g, COUNT(*) AS c FROM rg
+           |       GROUP BY doc_id, kind, g),
+           |rt AS (SELECT doc_id,
+           |  ${RepKinds.map(k => s"MAX(CASE WHEN kind = $k THEN c END) AS t$k").mkString(", ")}
+           |  FROM rc GROUP BY doc_id),
+           |rw AS (SELECT doc_id, i AS pos,
+           |  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+           |  FROM rd, unnest(generate_series(1, n - 2)) AS t(i) WHERE n >= 3),
+           |rdup AS (SELECT doc_id, g FROM rw GROUP BY doc_id, g
+           |         HAVING COUNT(*) >= 2),
+           |rr AS (SELECT rw.doc_id, rw.pos, rw.pos + 2 AS endp
+           |       FROM rw JOIN rdup ON rw.doc_id = rdup.doc_id AND rw.g = rdup.g),
+           |rs AS (SELECT doc_id, pos, endp,
+           |  CASE WHEN pos > COALESCE(MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+           |  THEN 1 ELSE 0 END AS brk FROM rr),
+           |risl AS (SELECT doc_id, pos, endp,
+           |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+           |  FROM rs),
+           |rsp AS (SELECT doc_id, gid, MIN(pos) AS a, MAX(endp) AS b
+           |        FROM risl GROUP BY doc_id, gid),
+           |rcov AS (SELECT doc_id, CAST(SUM(b - a + 1) AS BIGINT) AS cov
+           |         FROM rsp GROUP BY doc_id),
+           |rf AS (SELECT rd.doc_id, rd.n AS n_tok,
+           |  round(COALESCE(t2, 0) * 2.0 / rd.n, 6) AS top2_frac,
+           |  round(COALESCE(t3, 0) * 3.0 / rd.n, 6) AS top3_frac,
+           |  round(COALESCE(t4, 0) * 4.0 / rd.n, 6) AS top4_frac,
+           |  round(COALESCE(cov, 0) * 1.0 / rd.n, 6) AS dup3_frac
+           |  FROM rd LEFT JOIN rt ON rd.doc_id = rt.doc_id
+           |          LEFT JOIN rcov ON rd.doc_id = rcov.doc_id)
+           |SELECT doc_id, n_tok, top2_frac, top3_frac, top4_frac, dup3_frac,
+           |  (top2_frac <= $RepTop2Max AND top3_frac <= $RepTop3Max
+           |   AND top4_frac <= $RepTop4Max AND dup3_frac <= $RepDup3Max) AS keep
+           |FROM rf ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      // top-n-gram ladder: one kind-tagged union -> (doc, kind, gram)
+      // counts -> per-doc max per kind, all map-side-combinable
+      def grams(k: Int) = src.filter(col("n") >= k)
+        .select(col("doc_id"), lit(k).as("kind"),
+          explode(transform(sequence(lit(1), col("n") - (k - 1)),
+            i => concat_ws(" ",
+              (0 until k).map(j => try_element_at(col("toks"), i + lit(j))): _*)))
+            .as("g"))
+      val rt = RepKinds.map(grams).reduce(_ unionByName _)
+        .groupBy(col("doc_id"), col("kind"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("kind") === 2, col("c"))).as("t2"),
+          max(when(col("kind") === 3, col("c"))).as("t3"),
+          max(when(col("kind") === 4, col("c"))).as("t4"))
+      // dup-3gram position coverage: in-doc repeated windows merged to
+      // maximal spans (per-doc islands — the window key is doc_id, whose
+      // partition size is bounded by document length)
+      val rw = src.filter(col("n") >= 3)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), col("n") - 2)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", try_element_at(col("toks"), col("pos")),
+            try_element_at(col("toks"), col("pos") + lit(1)),
+            try_element_at(col("toks"), col("pos") + lit(2))).as("g"))
+      val rdup = rw.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("doc_id"), col("g"))
+      val rr = rw.join(rdup, Seq("doc_id", "g"))
+        .select(col("doc_id"), col("pos"), (col("pos") + 2).as("endp"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val prevEnd = max(col("endp")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val rcov = rr
+        .withColumn("brk",
+          when(col("pos") > coalesce(prevEnd, lit(-9)) + 1, 1L).otherwise(0L))
+        .withColumn("gid",
+          sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("pos")).as("a"), max(col("endp")).as("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("b") - col("a") + 1).as("cov"))
+      def frac(c: org.apache.spark.sql.Column, mult: Double) =
+        round(coalesce(c, lit(0L)) * lit(mult) / col("n"), 6)
+      val rf = src.select(col("doc_id"), col("n"))
+        .join(rt, Seq("doc_id"), "left")
+        .join(rcov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tok"),
+          frac(col("t2"), 2.0).as("top2_frac"),
+          frac(col("t3"), 3.0).as("top3_frac"),
+          frac(col("t4"), 4.0).as("top4_frac"),
+          frac(col("cov"), 1.0).as("dup3_frac"))
+      rf.select(col("doc_id"), col("n_tok"), col("top2_frac"), col("top3_frac"),
+          col("top4_frac"), col("dup3_frac"),
+          (col("top2_frac") <= RepTop2Max && col("top3_frac") <= RepTop3Max &&
+            col("top4_frac") <= RepTop4Max && col("dup3_frac") <= RepDup3Max)
+            .as("keep"))
         .orderBy("doc_id")
     }
   )

@@ -284,6 +284,38 @@ class DedupEdgeSpec extends SparkSpec {
     assert(out === List((2L, 1L, 9L, 0.642857)), out.toString)
   }
 
+  test("q47b incremental: history always keeps (even vs a lower batch id); batch dups resolve by struct-min") {
+    // batch docs are doc_id % 7 == 0. Three planted geometries:
+    //  - run X lives in history doc 1 and batch doc 7 -> doc 7's copy
+    //    removed (history keeper);
+    //  - run Z lives in history doc 8 and batch doc 0 -> doc 0's copy
+    //    removed EVEN THOUGH 0 < 8 — history is immutable, so its copy is
+    //    the keeper regardless of id order (the full-q47 rule would have
+    //    kept doc 0 and flagged doc 8);
+    //  - run Y lives only in batch docs 0 and 14 -> struct-min keeper is
+    //    doc 0's occurrence, doc 14 reports the span;
+    //  - batch doc 21 is unique -> absent from the report.
+    val x = (1 to 9).map(i => s"x$i").mkString(" ")
+    val y = (1 to 9).map(i => s"y$i").mkString(" ")
+    val z = (1 to 9).map(i => s"z$i").mkString(" ")
+    val d = TempDirs.create("graft_incsub_")
+    Seq(
+      (1L, s"$x h1 h2 h3", "en", "src0", 0L),          // history
+      (8L, s"g1 $z g2", "en", "src0", 0L),             // history
+      (0L, s"c1 c2 c3 $y c4 $z", "en", "src0", 0L),    // batch, n=22
+      (7L, s"b1 b2 $x b3", "en", "src0", 0L),          // batch, n=12
+      (14L, s"d1 $y d2 d3", "en", "src0", 0L),         // batch, n=12
+      (21L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q47b_incremental_substring")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out === List(
+      (0L, 1L, 9L, 0.409091),
+      (7L, 1L, 9L, 0.75),
+      (14L, 1L, 9L, 0.75)), out.toString)
+  }
+
   test("q47 corpus run: spans stay inside their docs and the keeper copy of a dup survives") {
     val out = SparkEntry.queries("q47_substring_dedup")(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
@@ -409,6 +441,41 @@ class DedupEdgeSpec extends SparkSpec {
     val byId = out.map(r => r._1 -> (r._3, r._4)).toMap
     assert(byId(valA) === ((5L, 2L)), out.toString)
     assert(byId(valB) === ((1L, 0L)), out.toString)
+  }
+
+  test("q58 repetition filter: exact Gopher metrics on a constructed repeat/clean pair") {
+    // docB front-loads "a b" ×4 (8 tokens) before 22 unique tokens: the
+    // most frequent 2/3/4-grams are the run's, and the duplicated-3gram
+    // positions [1..8] merge into ONE span (overlapping repeats must not
+    // double-count). docA is 30 unique tokens — every n-gram unique, zero
+    // dup coverage, inside every Gopher bound.
+    val uniq = (1 to 30).map(i => s"u$i")
+    val d = TempDirs.create("graft_rep_")
+    Seq(
+      (0L, uniq.mkString(" "), "en", "src0", 0L),
+      (1L, "a b a b a b a b " + uniq.take(22).mkString(" "), "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q58_repetition_filter")(spark, d)
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)].collect().toList
+    assert(out === List(
+      (0L, 30L, 0.066667, 0.1, 0.133333, 0.0, true),
+      (1L, 30L, 0.266667, 0.3, 0.4, 0.266667, false)), out.toString)
+  }
+
+  test("q58 corpus run: fractions bounded, keep consistent with its own thresholds") {
+    val out = SparkEntry.queries("q58_repetition_filter")(spark, sf)
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === nDocs, "one row per document")
+    out.foreach { case (doc, n, t2, t3, t4, d3, keep) =>
+      assert(n >= 1, s"doc $doc: empty")
+      Seq(t2, t3, t4, d3).foreach(f => assert(f >= 0.0 && f <= 1.0, s"doc $doc: $f"))
+      assert(keep === (t2 <= 0.20 && t3 <= 0.18 && t4 <= 0.16 && d3 <= 0.20),
+        s"doc $doc: keep disagrees with thresholds")
+    }
+    // the battery discriminates on the fixture corpus: both classes exist
+    assert(out.exists(_._7) && out.exists(!_._7), "thresholds never fired")
   }
 
   test("q52 corpus run: rows are val/test only and severity is bounded") {

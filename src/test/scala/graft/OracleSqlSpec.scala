@@ -47,6 +47,10 @@ class OracleSqlSpec extends AnyFunSuite {
     // q47: gid is the gaps-and-islands key (window SUM of 0/1 breaks),
     // GROUP BY only in the sp CTE — never emitted
     ("q47_substring_dedup", "gid"),
+    // q47b: the shared span tail's same key (GROUP BY doc_id, gid only)
+    ("q47b_incremental_substring", "gid"),
+    // q58: same gaps-and-islands key, intra-doc (GROUP BY doc_id, gid only)
+    ("q58_repetition_filter", "gid"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
     // emitted as `score_fp / 1000000.0` (DOUBLE division) and ORDER BY
     ("q25k_bm25_search", "total_tok"),
