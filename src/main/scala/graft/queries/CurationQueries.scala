@@ -34,6 +34,12 @@ object CurationQueries {
     * the permutation salt 'ord:' carries the epoch id in production). */
   private val OrderShards = 32
 
+  /** q62 dynamic-batching knobs: token budget per batch and the loader
+    * shard count the per-class running assignment is scoped to (the q53
+    * precedent — production scales shards with the cluster). */
+  private val BatchBudget = 512L
+  private val BatchShards = 32L
+
   /** Quality score in [0,1] (same formula as q25, shared constants):
     * 0.5·min(1, tokens/100) + 0.3·stopword_ratio + 0.2·(1-punct_ratio). */
   private def qualityCol(text: org.apache.spark.sql.Column,
@@ -585,6 +591,57 @@ object CurationQueries {
         .filter(col("rk") <= col("src_target"))
         .select(col("doc_id"), col("source"), col("rk"), col("src_target"))
         .orderBy("source", "rk")
+    },
+
+    // X4+/Q62 — token-budget DYNAMIC BATCHING (length-bucketed padding
+    // classes): the batch-shaping pass between q53's order shuffle and the
+    // trainer — docs padded to their power-of-two length class and packed
+    // into fixed-token-budget batches, the standard recipe for minimizing
+    // pad waste without per-batch ragged shapes. Within a class every doc
+    // costs exactly `pclass` padded tokens, so batching degenerates to
+    // fixed-capacity chunking: capacity = budget div pclass, batch =
+    // (rank-1) div capacity — pure integer arithmetic, no running-sum
+    // carry. The class is computed WITHOUT floats (Spark's log2 is
+    // log(x)/log(2) and lands off-by-ulp at exact powers; DuckDB's is libm
+    // log2): 1 << length(bin(n-1)) — both engines render the same binary
+    // string, so the class is exact at any length. Ranks are scoped to
+    // (pclass, shard) with a hash-derived shard (q53's scoping rule —
+    // per-window partitions are corpus/|classes·shards| and the shard
+    // count scales with the cluster; no corpus-global window exists).
+    // Linear at 100 TB: tokenize rides the scan, one hash exchange on
+    // (pclass, shard), per-shard local sorts.
+    QueryDef(
+      "q62_dynamic_batching",
+      s"""WITH n AS (SELECT doc_id, len(${sqlTokens("text")}) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    CASE WHEN n_tok <= 1 THEN 1
+         |         ELSE (1::BIGINT << length(bin(n_tok - 1))) END AS pclass,
+         |    ${sqlHash32("concat('shard:', doc_id)")} % $BatchShards AS shard
+         |  FROM n),
+         |r AS (SELECT doc_id, n_tok, pclass, shard,
+         |    ROW_NUMBER() OVER (PARTITION BY pclass, shard
+         |                       ORDER BY doc_id) AS rk
+         |  FROM c)
+         |SELECT doc_id, n_tok, pclass, shard,
+         |  (rk - 1) // GREATEST(1, $BatchBudget // pclass) AS batch,
+         |  pclass - n_tok AS pad_waste,
+         |  round(n_tok::DOUBLE / pclass, 6) AS fill
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val n = Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      val c = n.select(col("doc_id"), col("n_tok"),
+        when(col("n_tok") <= 1, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin(n_tok - 1)))"))
+          .as("pclass"),
+        (hash32(concat(lit("shard:"), col("doc_id"))) % BatchShards).as("shard"))
+      val w = Window.partitionBy(col("pclass"), col("shard")).orderBy(col("doc_id"))
+      c.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("n_tok"), col("pclass"), col("shard"),
+          expr(s"(rk - 1) div greatest(1L, $BatchBudget div pclass)").as("batch"),
+          (col("pclass") - col("n_tok")).as("pad_waste"),
+          round(col("n_tok").cast("double") / col("pclass"), 6).as("fill"))
+        .orderBy("doc_id")
     }
   )
 

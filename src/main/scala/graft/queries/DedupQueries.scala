@@ -1265,7 +1265,51 @@ object DedupQueries {
     // docs qualify (need ≥ 13 tokens) and hits are strictly rarer (a
     // 13-gram collision implies its 8-gram prefixes collide, not vice
     // versa); cost profile is identical to q52's.
-    contaminationDef("q52b_contamination_n13", 13)
+    contaminationDef("q52b_contamination_n13", 13),
+
+    // X1+/Q61 — SOURCE-PRECEDENCE exact dedup: when the same document
+    // arrives through multiple crawls/feeds, keep the copy from the
+    // highest-priority source (RefinedWeb/Dolma keep curated > crawl;
+    // CommonCrawl dedup keeps the newest snapshot) — the third keeper
+    // policy beside q22's first-occurrence and q50's quality-argmax, and
+    // the one an ingest pipeline with heterogeneous feeds actually runs.
+    // The priority is a deterministic hash of the source name standing in
+    // for the curated precedence list (q48's trained-weight precedent:
+    // swap the hash for a broadcast |sources|-row lookup and nothing else
+    // changes — it's scan-riding arithmetic either way, never a shuffle
+    // key). Resolution is q47's skew-safe shape verbatim: ONE
+    // sha-keyed groupBy with map-side partial count/min — a boilerplate
+    // doc duplicated across every feed collapses per map partition before
+    // the shuffle — then an AQE-splittable equi-join back; keeper =
+    // lexicographic min(struct(prio, source, doc_id)) (source breaks
+    // priority ties, doc_id totalizes). Linear at 100 TB.
+    QueryDef(
+      "q61_source_precedence",
+      s"""WITH d AS (SELECT doc_id, source,
+         |    ${sqlHash32("concat('prio:', source)")} % 100 AS prio,
+         |    sha256(lower(trim(text))) AS text_sha FROM documents),
+         |g AS (SELECT text_sha, COUNT(*) AS n_copies,
+         |    MIN(ROW(prio, source, doc_id)) AS keeper
+         |  FROM d GROUP BY text_sha)
+         |SELECT d.doc_id, d.source, d.prio, d.text_sha, g.n_copies,
+         |  ROW(d.prio, d.source, d.doc_id) = g.keeper AS kept
+         |FROM d JOIN g ON d.text_sha = g.text_sha
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (hash32(concat(lit("prio:"), col("source"))) % 100).as("prio"),
+          sha2(lower(trim(col("text"))), 256).as("text_sha"))
+      val g = d.groupBy(col("text_sha")).agg(
+        count(lit(1)).as("n_copies"),
+        min(struct(col("prio"), col("source"), col("doc_id"))).as("keeper"))
+      d.join(g, Seq("text_sha"))
+        .select(col("doc_id"), col("source"), col("prio"), col("text_sha"),
+          col("n_copies"),
+          (col("prio") === col("keeper.prio") &&
+            col("source") === col("keeper.source") &&
+            col("doc_id") === col("keeper.doc_id")).as("kept"))
+        .orderBy("doc_id")
+    }
   )
 
   /** Width-parameterized train→val/test contamination audit (q52/q52b):

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.{TopKByScore, VecFunctions}
+import graft.functions.TextHash.{hash32, sqlHash32}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1332,6 +1333,73 @@ object SimilarityQueries {
         .join(pj, Seq("vec_id"))
         .select(col("vec_id"), col("label"), col("proj"))
         .orderBy("vec_id")
+    },
+
+    // X1+X3/Q60 — SEMANTIC decontamination: the embedding-space twin of
+    // q52's verbatim-window audit — per held-out (val/test by q25j's hash
+    // rule, applied to the vector id) document, the maximum cosine against
+    // ANY train document and its nearest train neighbor; contaminated iff
+    // max cosine ≥ [[NearDupTau]] (THE shared near-dup bar, so q24c/q24d/
+    // q24h/q60 agree on what "near-duplicate" means). This is the eval-
+    // hygiene pass verbatim n-gram audits miss: a paraphrased or reformatted
+    // benchmark answer shares no 8-token window but sits at cosine ~1.
+    // Plan: the eval set is small BY CONSTRUCTION (a benchmark/held-out
+    // split — q22g's broadcast precedent), so it broadcasts into ONE scan
+    // of the train side; the per-pair cosine never materializes past the
+    // map side because max(struct(cos, vid)) aggregates with map-side
+    // partials — each task emits ≤ |eval| partial rows, the final shuffle
+    // is |eval|-keyed and tiny. Argmax is the lexicographic struct max
+    // (cos bit-identical across engines: index-ordered double dot / norm
+    // product on both sides; ties — exact duplicate vectors — resolve to
+    // the larger vec_id in both). At larger eval sets the LSH-bucketed
+    // (q24d) or IVF-routed (q24b) candidate streams compose in front of
+    // the same max — the contract this exact form oracles.
+    QueryDef(
+      "q60_semantic_decontamination",
+      s"""WITH $sqlBaseCte,
+         |sb AS (SELECT vec_id, embedding, nrm,
+         |    ${sqlHash32("concat('split:', vec_id)")} % 100 AS b FROM base),
+         |ev AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+         |    CASE WHEN b >= ${QualityQueries.TestFrom} THEN 'test'
+         |         ELSE 'val' END AS split
+         |  FROM sb WHERE b >= ${QualityQueries.ValFrom}),
+         |tr AS (SELECT vec_id, embedding, nrm FROM sb
+         |       WHERE b < ${QualityQueries.ValFrom}),
+         |mx AS (SELECT e.qid,
+         |    max(struct_pack(cos := ${sqlDot("t.embedding", "e.qemb")}
+         |                           / (t.nrm * e.qnrm),
+         |                    vid := t.vec_id)) AS best
+         |  FROM ev e, tr t GROUP BY e.qid),
+         |j AS (SELECT e.qid AS eval_id, e.split, x.best
+         |      FROM ev e JOIN mx x ON e.qid = x.qid)
+         |SELECT eval_id, split, round(best.cos, 6) AS max_cos,
+         |  best.vid AS nn_train_id, best.cos >= $NearDupTau AS contaminated
+         |FROM j ORDER BY eval_id""".stripMargin) { (s, dir) =>
+      import VecFunctions.vecDot
+      val sb = base(s, dir)
+        .withColumn("b", hash32(concat(lit("split:"), col("vec_id"))) % 100)
+      val ev = sb.filter(col("b") >= QualityQueries.ValFrom)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("nrm").as("qnrm"),
+          when(col("b") >= QualityQueries.TestFrom, "test")
+            .otherwise("val").as("split"))
+      val tr = sb.filter(col("b") < QualityQueries.ValFrom)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val mx = tr
+        .crossJoin(broadcast(ev.select(col("qid"), col("qemb"), col("qnrm"))))
+        .select(col("qid"),
+          struct(
+            (vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")))
+              .as("cos"),
+            col("vec_id").as("vid")).as("p"))
+        .groupBy(col("qid")).agg(max(col("p")).as("best"))
+      ev.select(col("qid"), col("split"))
+        .join(mx, Seq("qid"))
+        .select(col("qid").as("eval_id"), col("split"),
+          round(col("best.cos"), 6).as("max_cos"),
+          col("best.vid").as("nn_train_id"),
+          (col("best.cos") >= NearDupTau).as("contaminated"))
+        .orderBy("eval_id")
     }
   )
 

@@ -720,6 +720,75 @@ object TextAnalysisQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_units"),
           expr("(n_units * 10000) div n_tokens").as("fert_fp"))
         .orderBy("doc_id")
+    },
+
+    // X4+/Q59 — Heaps-law VOCABULARY GROWTH curve: new type count and
+    // cumulative type/token totals per corpus-prefix decile — the scaling
+    // diagnostic run before sizing a tokenizer vocabulary or projecting
+    // dedup yield (vocabulary growing ~n^β says the corpus still adds
+    // novelty; a flattening curve says more data is mostly repetition).
+    // The prefix bucket is SCAN-RIDING ARITHMETIC on the doc id against a
+    // broadcast 1-row (min, span) stats frame — deliberately not ntile():
+    // a global rank at 100 TB is a range-partitioned full-corpus sort,
+    // while (doc_id - min) * B div span is exact integer math both engines
+    // share (operands nonnegative, so DuckDB's floored // and Spark's
+    // truncating div agree). First-occurrence attribution is the dedup
+    // trick at type granularity: min(bucket) per token — one token-keyed
+    // hash agg whose key space is the VOCABULARY (bounded, Heaps-law
+    // sublinear), with map-side partials collapsing repeats before the
+    // shuffle; per-bucket token totals are a second linear agg. The only
+    // window runs over ≤ B rows (the decile frame), never the corpus.
+    QueryDef(
+      "q59_vocab_growth",
+      s"""WITH st AS (SELECT MIN(doc_id) AS mn,
+         |    MAX(doc_id) - MIN(doc_id) + 1 AS span FROM documents),
+         |db AS (SELECT LEAST(9, ((doc_id - mn) * 10) // span) AS bucket,
+         |    ${sqlTokens("text")} AS toks FROM documents, st),
+         |tk AS (SELECT bucket, unnest(toks) AS v FROM db),
+         |per AS (SELECT bucket, COUNT(*) AS n_tokens FROM tk GROUP BY bucket),
+         |fo AS (SELECT v, MIN(bucket) AS fb FROM tk GROUP BY v),
+         |nt AS (SELECT fb AS bucket, COUNT(*) AS new_types FROM fo GROUP BY fb),
+         |g AS (SELECT p.bucket, p.n_tokens,
+         |    COALESCE(nt.new_types, 0) AS new_types
+         |  FROM per p LEFT JOIN nt ON p.bucket = nt.bucket),
+         |cum AS (SELECT bucket, n_tokens, new_types,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |    CAST(SUM(new_types) OVER (ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |  FROM g)
+         |SELECT bucket, n_tokens, cum_tokens, new_types, cum_types,
+         |  round(cum_types::DOUBLE / cum_tokens, 6) AS cum_ttr
+         |FROM cum ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(s, dir)
+        .agg(min(col("doc_id")).as("mn"),
+          (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+      val db = Tables.documents(s, dir)
+        .crossJoin(broadcast(st))
+        .select(least(lit(9L), expr("((doc_id - mn) * 10) div span")).as("bucket"),
+          tokens(col("text")).as("toks"))
+      val tk = db.select(col("bucket"), explode(col("toks")).as("v"))
+      val per = tk.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+      val nt = tk.groupBy(col("v")).agg(min(col("bucket")).as("fb"))
+        .groupBy(col("fb")).agg(count(lit(1)).as("new_types"))
+        .withColumnRenamed("fb", "bucket")
+      // the running totals window sees <= 10 rows — a driver-scale frame,
+      // not a corpus-scale sort
+      val wc = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      per.join(nt, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .select(col("bucket"), col("n_tokens"),
+          sum(col("n_tokens")).over(wc).as("cum_tokens"),
+          col("new_types"),
+          sum(col("new_types")).over(wc).as("cum_types"))
+        .select(col("bucket"), col("n_tokens"), col("cum_tokens"),
+          col("new_types"), col("cum_types"),
+          round(col("cum_types").cast("double") / col("cum_tokens"), 6)
+            .as("cum_ttr"))
+        .orderBy("bucket")
     }
   )
 }

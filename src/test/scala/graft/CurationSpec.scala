@@ -347,4 +347,64 @@ class CurationSpec extends SparkSpec {
       assert(fMin + 1.0 / nMin >= fMax, s"no boost: $fMin vs $fMax")
     }
   }
+
+  test("q59 vocab growth: exact curve on a constructed two-tokens-per-doc corpus") {
+    // doc i = "t<i> common": bucket = i/2 (20 ids over 10 deciles), so each
+    // bucket holds 4 tokens; "common" is new only in bucket 0, t<i> always
+    // new -> new_types = 3, 2, 2, ... and cum_types = 3 + 2b.
+    val d = TempDirs.create("graft_vocab_")
+    (0 until 20).map(i => (i.toLong, s"t$i common", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q59_vocab_growth")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    val expected = (0 until 10).map { b =>
+      val nt = if (b == 0) 3L else 2L
+      val cumT = 3L + 2L * b
+      (b.toLong, 4L, 4L * (b + 1), nt, cumT,
+        BigDecimal(cumT.toDouble / (4 * (b + 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toList
+    assert(out === expected, out.toString)
+  }
+
+  test("q59 vocab growth: corpus totals reconcile with direct counts") {
+    val out = SparkEntry.queries("q59_vocab_growth")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("v"))
+    assert(out.map(_._2).sum === toks.count(), "token total")
+    assert(out.map(_._4).sum === toks.distinct().count(), "type total")
+    // cumulative columns are exactly the running sums, monotone
+    assert(out.map(_._3).toSeq === out.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+    assert(out.map(_._5).toSeq === out.map(_._4).scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
+  test("q62 dynamic batching: classes are tight powers of two and batches fill to capacity") {
+    val out = SparkEntry.queries("q62_dynamic_batching")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === nDocs, "one row per document")
+    out.foreach { case (doc, n, pc, shard, _, waste, fill) =>
+      assert((pc & (pc - 1)) == 0L && pc >= 1, s"doc $doc: pclass $pc not a power of 2")
+      // tight: the class admits n but its half does not
+      assert(n <= pc && (pc == 1 || n > pc / 2), s"doc $doc: n=$n pclass=$pc not tight")
+      assert(shard >= 0 && shard < 32, s"doc $doc: shard $shard")
+      assert(waste === pc - n, s"doc $doc: waste")
+      assert(math.abs(fill - BigDecimal(n.toDouble / pc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"doc $doc: fill")
+    }
+    // within every (pclass, shard) stream: doc-id order chunked at
+    // capacity = max(1, 512 / pclass) reproduces the batch ids exactly
+    out.groupBy(r => (r._3, r._4)).foreach { case ((pc, shard), rows) =>
+      val cap = math.max(1L, 512L / pc)
+      val expected = rows.sortBy(_._1).zipWithIndex
+        .map { case (r, i) => (r._1, i / cap) }.toMap
+      rows.foreach { r =>
+        assert(r._5 === expected(r._1), s"(pclass=$pc shard=$shard) doc ${r._1}: batch")
+      }
+    }
+    // the synthetic corpus spans at least two padding classes
+    assert(out.map(_._3).distinct.length >= 2, "one class only — fixture degenerate")
+  }
 }

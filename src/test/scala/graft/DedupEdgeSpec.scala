@@ -488,4 +488,37 @@ class DedupEdgeSpec extends SparkSpec {
       assert(math.abs(frac - nh.toDouble / nw) < 1e-5, s"doc $doc: frac")
     }
   }
+
+  test("q61 source precedence: one keeper per exact cluster, chosen by (prio, source, doc_id)") {
+    // the same text planted across three sources (plus normalization-only
+    // variants that must land in the SAME cluster), and two unique docs
+    val d = TempDirs.create("graft_prec_")
+    Seq(
+      (0L, "shared body text", "srcA", 0L),
+      (1L, "shared body text", "srcB", 0L),
+      (2L, "  Shared Body Text  ".toLowerCase, "srcC", 0L), // trim/case-normalized dup
+      (3L, "unique one", "srcA", 0L),
+      (4L, "unique two", "srcB", 0L)
+    ).map { case (id, t, s, n) => (id, t, "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q61_source_precedence")(spark, d)
+      .as[(Long, String, Long, String, Long, Boolean)].collect()
+    assert(out.length === 5)
+    out.groupBy(_._4).foreach { case (_, rows) =>
+      assert(rows.forall(_._5 === rows.length.toLong), "n_copies != cluster size")
+      val kept = rows.filter(_._6)
+      assert(kept.length === 1, s"cluster keeps ${kept.length} copies")
+      // the keeper is the lexicographic (prio, source, doc_id) minimum
+      val expect = rows.map(r => (r._3, r._2, r._1)).min
+      assert((kept.head._3, kept.head._2, kept.head._1) === expect, "wrong keeper")
+    }
+    // the three normalized copies share one cluster; uniques are singletons
+    val sizes = out.groupBy(_._4).values.map(_.length).toList.sorted
+    assert(sizes === List(1, 1, 3), sizes.toString)
+    // priorities depend only on the source name
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === 1, "prio varies within a source")
+    }
+  }
 }

@@ -254,4 +254,46 @@ class RecallSpec extends SparkSpec {
     // non-degenerate: the dominant direction separates the corpus
     assert(expected.values.toSet.size > 1)
   }
+
+  test("q60 semantic decontamination matches a local brute-force mirror") {
+    // local mirror of the whole pipeline: the q25j split hash, the index-
+    // ordered double dot (VectorDot's accumulation), the lexicographic
+    // (cos, vec_id) argmax — any divergence in split rule, norm handling
+    // or tie policy breaks the exact comparison
+    val data = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val withNorm = data.map { case (id, e) => (id, e, math.sqrt(dot(e, e))) }
+    val (ev, tr) = withNorm.partition { case (id, _, _) => h32(s"split:$id") % 100 >= 90 }
+    assert(ev.nonEmpty && tr.nonEmpty, "fixture split degenerate")
+    val expected = ev.map { case (qid, qe, qn) =>
+      val best = tr.map { case (vid, te, tn) => (dot(te, qe) / (tn * qn), vid) }.max
+      qid -> (BigDecimal(best._1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        best._2, best._1 >= 0.45,
+        if (h32(s"split:$qid") % 100 >= 95) "test" else "val")
+    }.toMap
+    val got = SimilarityQueries.defs.find(_.name == "q60_semantic_decontamination").get
+      .df(spark, sf)
+      .select("eval_id", "max_cos", "nn_train_id", "contaminated", "split")
+      .as[(Long, Double, Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet === expected.keySet, "eval id set")
+    got.foreach { case (qid, (cos, nn, cont, split)) =>
+      val (ecos, enn, econt, esplit) = expected(qid)
+      assert(nn === enn, s"qid $qid: nn $nn != $enn")
+      assert(math.abs(cos - ecos) < 1e-9, s"qid $qid: cos $cos != $ecos")
+      assert(cont === econt && split === esplit, s"qid $qid: flags")
+    }
+    // the bar discriminates on the fixture corpus (near-dups exist)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3), "tau never fired")
+  }
 }
