@@ -252,6 +252,120 @@ object SimilarityQueries {
       .map { case (p, b) => s"($b, ${p.mkString("[", ",", "]")}::FLOAT[])" }
       .mkString("planes AS (SELECT * FROM (VALUES ", ", ", ") AS t(b, v))")
 
+  /** Shared hyperplane-signature CTE (q24d + q60b): 16 sign bits summed
+    * into one BIGINT per vector. ONE text so the LSH paths can never
+    * desynchronize on the signature rule. */
+  private lazy val sqlSigCte: String =
+    s"""sig AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm,
+       |    SUM(CASE WHEN ${sqlDot("e.embedding", "p.v")} > 0
+       |        THEN CAST(power(2, p.b) AS BIGINT) ELSE 0 END) AS sig
+       |  FROM base e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding, e.nrm)"""
+      .stripMargin
+
+  /** Materialized (vec_id, embedding, nrm, sig) hyperplane signatures —
+    * built once per (session, dir), shared by q24d's near-dup pair scan
+    * and q60b's decontamination candidates. */
+  private def lshSigs(s: SparkSession, dir: String): DataFrame = {
+    import VecFunctions.vecDot
+    val sigBitCols = (0 until SigBits).map { b =>
+      when(vecDot(col("embedding"), typedlit(Planes(b))) > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }
+    Materialize(s, dir, "q24d_sig")(
+      base(s, dir).withColumn("sig", sigBitCols.reduce(_ + _)))
+  }
+
+  // -----------------------------------------------------------------------
+  // q60/q60b semantic decontamination: packed-argmax plumbing
+  // -----------------------------------------------------------------------
+
+  /** The (cos, vid) argmax is packed into ONE BIGINT so the per-eval-doc
+    * reduction is a codegen'd HashAggregate over a primitive column —
+    * max(struct(...)) has no mutable aggregation buffer, so past 128 keys
+    * per partition ObjectHashAggregate falls back to SORT-based
+    * aggregation and sorts the entire pair stream (measured: 1.1 GB of
+    * spill at ×20 corpus — the 100 TB scale-killer this packing removes).
+    * Encoding: floor(cos·1e8) ∈ [-1e8, 1e8] biased to [1e8, 3e8], shifted
+    * by 2^33, plus the train vec id — max key ≈ 2.6e18 < 2^63, ordering
+    * lexicographic in (fixed-point cos, vid). Ties inside 1e-8 of cosine
+    * resolve to the larger vid (documented granularity; both engines
+    * compute the identical floor, so parity is exact). Bound: vid < 2^33
+    * (8.6 B vectors); past that the same key widens to DECIMAL(38,0). */
+  private val DcCosScale = 100000000L
+  private val DcBias = 200000000L
+  private val DcVidSpace = 8589934592L
+  private val DcTauFp: Long = (NearDupTau * DcCosScale).toLong
+
+  /** Split CTEs over [[sqlSigCte]]-compatible `sb` input: q25j's hash rule
+    * on the vector id, eval = val/test buckets, train = the rest. `extra`
+    * carries the signature column into the LSH variant. */
+  private def sqlDeconSplitCtes(src: String, extra: String): String =
+    s"""sb AS (SELECT vec_id, embedding, nrm$extra,
+       |    ${sqlHash32("concat('split:', vec_id)")} % 100 AS b FROM $src),
+       |ev AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm$extra,
+       |    CASE WHEN b >= ${QualityQueries.TestFrom} THEN 'test'
+       |         ELSE 'val' END AS split
+       |  FROM sb WHERE b >= ${QualityQueries.ValFrom}),
+       |tr AS (SELECT vec_id, embedding, nrm$extra FROM sb
+       |       WHERE b < ${QualityQueries.ValFrom})""".stripMargin
+
+  /** Packed-key SQL expression for a (e=eval, t=train) pair. */
+  private val sqlDeconKey: String =
+    s"(CAST(floor(${sqlDot("t.embedding", "e.qemb")} / (t.nrm * e.qnrm)" +
+      s" * $DcCosScale) AS BIGINT) + $DcBias) * $DcVidSpace + t.vec_id"
+
+  /** Shared report tail over a `p(qid, ukey)` CTE: per-eval max key,
+    * decoded back to (fixed-point cos, nearest train id). */
+  private val sqlDeconReport: String =
+    s"""mx AS (SELECT qid, MAX(ukey) AS k FROM p GROUP BY qid),
+       |dec AS (SELECT qid, k // $DcVidSpace - $DcBias AS cfp,
+       |               k % $DcVidSpace AS vid FROM mx),
+       |r AS (SELECT e.qid AS eval_id, e.split, d.cfp, d.vid
+       |      FROM ev e JOIN dec d ON e.qid = d.qid)
+       |SELECT eval_id, split,
+       |  cfp / $DcCosScale.0 AS max_cos,
+       |  vid AS nn_train_id, cfp >= $DcTauFp AS contaminated
+       |FROM r ORDER BY eval_id""".stripMargin
+
+  /** Spark twins of the decon split / key / report pieces. */
+  private def deconSplit(src: DataFrame, extra: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val sb = src.withColumn("b",
+      hash32(concat(lit("split:"), col("vec_id"))) % 100)
+    val ev = sb.filter(col("b") >= QualityQueries.ValFrom)
+      .select(Seq(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"),
+        when(col("b") >= QualityQueries.TestFrom, "test")
+          .otherwise("val").as("split")) ++ extra.map(col): _*)
+    val tr = sb.filter(col("b") < QualityQueries.ValFrom)
+      .select(Seq(col("vec_id"), col("embedding"), col("nrm")) ++
+        extra.map(col): _*)
+    (ev, tr)
+  }
+
+  private def deconKey(cos: Column, vid: Column): Column =
+    (floor(cos * DcCosScale) + DcBias) * DcVidSpace + vid
+
+  private def deconReport(ev: DataFrame, pairs: DataFrame): DataFrame = {
+    val dec = pairs.groupBy(col("qid")).agg(max(col("ukey")).as("k"))
+      .select(col("qid"),
+        (expr(s"k div $DcVidSpace") - DcBias).as("cfp"),
+        (col("k") % DcVidSpace).as("vid"))
+    ev.select(col("qid"), col("split"))
+      .join(dec, Seq("qid"))
+      .select(col("qid").as("eval_id"), col("split"),
+        // NO round(): cfp/1e8 is one correctly-rounded IEEE division of
+        // exact inputs (identical in any engine), while round-to-6 of it
+        // hits a decimal half whenever cfp ends in 50 — and Spark rounds
+        // the shortest decimal rendering where DuckDB rounds the binary
+        // value, so halves diverge. The fixed-point value IS the result.
+        (col("cfp").cast("double") / DcCosScale).as("max_cos"),
+        col("vid").as("nn_train_id"),
+        (col("cfp") >= DcTauFp).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
   /** Deterministic high-precision mean for centroid computation: exact
     * decimal(38,12) sum (order-independent) divided by count, in double. */
   private def dmean12(c: Column): Column =
@@ -806,11 +920,7 @@ object SimilarityQueries {
       "q24d_lsh_neardup_pairs",
       s"""WITH $sqlBaseCte,
          |$sqlPlanesCte,
-         |sig AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm,
-         |    SUM(CASE WHEN ${sqlDot("e.embedding", "p.v")} > 0
-         |        THEN CAST(power(2, p.b) AS BIGINT) ELSE 0 END) AS sig
-         |  FROM base e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding, e.nrm),
+         |$sqlSigCte,
          |bands AS (
          |  SELECT vec_id, embedding, nrm, j,
          |    (sig // CAST(power(16, j) AS BIGINT)) % 16 AS bv
@@ -822,14 +932,9 @@ object SimilarityQueries {
          |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupTau
          |ORDER BY va, vb""".stripMargin) { (s, dir) =>
       import VecFunctions.vecDot
-      val sigBitCols = (0 until SigBits).map { b =>
-        when(vecDot(col("embedding"), typedlit(Planes(b))) > 0, lit(1L << b))
-          .otherwise(lit(0L))
-      }
       // signatures (16 hyperplane dots per row) materialized once, so the
       // self-join's two branches read them instead of each recomputing
-      val sigs = Materialize(s, dir, "q24d_sig")(
-        base(s, dir).withColumn("sig", sigBitCols.reduce(_ + _)))
+      val sigs = lshSigs(s, dir)
       def bandRows(name: String) = sigs
         .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
           explode(sequence(lit(0), lit(LshBands - 1))).as("j"))
@@ -1335,71 +1440,86 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
-    // X1+X3/Q60 — SEMANTIC decontamination: the embedding-space twin of
-    // q52's verbatim-window audit — per held-out (val/test by q25j's hash
-    // rule, applied to the vector id) document, the maximum cosine against
-    // ANY train document and its nearest train neighbor; contaminated iff
-    // max cosine ≥ [[NearDupTau]] (THE shared near-dup bar, so q24c/q24d/
-    // q24h/q60 agree on what "near-duplicate" means). This is the eval-
-    // hygiene pass verbatim n-gram audits miss: a paraphrased or reformatted
-    // benchmark answer shares no 8-token window but sits at cosine ~1.
-    // Plan: the eval set is small BY CONSTRUCTION (a benchmark/held-out
-    // split — q22g's broadcast precedent), so it broadcasts into ONE scan
-    // of the train side; the per-pair cosine never materializes past the
-    // map side because max(struct(cos, vid)) aggregates with map-side
-    // partials — each task emits ≤ |eval| partial rows, the final shuffle
-    // is |eval|-keyed and tiny. Argmax is the lexicographic struct max
-    // (cos bit-identical across engines: index-ordered double dot / norm
-    // product on both sides; ties — exact duplicate vectors — resolve to
-    // the larger vec_id in both). At larger eval sets the LSH-bucketed
-    // (q24d) or IVF-routed (q24b) candidate streams compose in front of
-    // the same max — the contract this exact form oracles.
+    // X1+X3/Q60 — SEMANTIC decontamination (exact form): the embedding-
+    // space twin of q52's verbatim-window audit — per held-out (val/test
+    // by q25j's hash rule, applied to the vector id) document, the maximum
+    // cosine against ANY train document and its nearest train neighbor;
+    // contaminated iff max cosine ≥ [[NearDupTau]] (THE shared near-dup
+    // bar, so q24c/q24d/q24h/q60 agree on what "near-duplicate" means).
+    // This is the eval-hygiene pass verbatim n-gram audits miss: a
+    // paraphrased or reformatted benchmark answer shares no 8-token window
+    // but sits at cosine ~1. Plan: the eval set is small BY CONSTRUCTION
+    // (a benchmark/held-out split — q22g's broadcast precedent), so it
+    // broadcasts into ONE scan of the train side; per-pair keys never
+    // survive the map side because the packed-BIGINT argmax (see
+    // [[DcCosScale]]) aggregates in a codegen'd HashAggregate with
+    // map-side partials — each task emits ≤ |eval| partial longs, the
+    // final shuffle is |eval|-keyed and tiny. The brute pair scan is the
+    // declared O(|eval|·|train|) oracle baseline (q24c's role); q60b is
+    // the LSH-routed scale path.
     QueryDef(
       "q60_semantic_decontamination",
       s"""WITH $sqlBaseCte,
-         |sb AS (SELECT vec_id, embedding, nrm,
-         |    ${sqlHash32("concat('split:', vec_id)")} % 100 AS b FROM base),
-         |ev AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
-         |    CASE WHEN b >= ${QualityQueries.TestFrom} THEN 'test'
-         |         ELSE 'val' END AS split
-         |  FROM sb WHERE b >= ${QualityQueries.ValFrom}),
-         |tr AS (SELECT vec_id, embedding, nrm FROM sb
-         |       WHERE b < ${QualityQueries.ValFrom}),
-         |mx AS (SELECT e.qid,
-         |    max(struct_pack(cos := ${sqlDot("t.embedding", "e.qemb")}
-         |                           / (t.nrm * e.qnrm),
-         |                    vid := t.vec_id)) AS best
-         |  FROM ev e, tr t GROUP BY e.qid),
-         |j AS (SELECT e.qid AS eval_id, e.split, x.best
-         |      FROM ev e JOIN mx x ON e.qid = x.qid)
-         |SELECT eval_id, split, round(best.cos, 6) AS max_cos,
-         |  best.vid AS nn_train_id, best.cos >= $NearDupTau AS contaminated
-         |FROM j ORDER BY eval_id""".stripMargin) { (s, dir) =>
+         |${sqlDeconSplitCtes("base", "")},
+         |p AS (SELECT e.qid, $sqlDeconKey AS ukey FROM ev e, tr t),
+         |$sqlDeconReport""".stripMargin) { (s, dir) =>
       import VecFunctions.vecDot
-      val sb = base(s, dir)
-        .withColumn("b", hash32(concat(lit("split:"), col("vec_id"))) % 100)
-      val ev = sb.filter(col("b") >= QualityQueries.ValFrom)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-          col("nrm").as("qnrm"),
-          when(col("b") >= QualityQueries.TestFrom, "test")
-            .otherwise("val").as("split"))
-      val tr = sb.filter(col("b") < QualityQueries.ValFrom)
-        .select(col("vec_id"), col("embedding"), col("nrm"))
-      val mx = tr
+      val (ev, tr) = deconSplit(base(s, dir), Seq.empty)
+      val pairs = tr
         .crossJoin(broadcast(ev.select(col("qid"), col("qemb"), col("qnrm"))))
         .select(col("qid"),
-          struct(
-            (vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")))
-              .as("cos"),
-            col("vec_id").as("vid")).as("p"))
-        .groupBy(col("qid")).agg(max(col("p")).as("best"))
-      ev.select(col("qid"), col("split"))
-        .join(mx, Seq("qid"))
-        .select(col("qid").as("eval_id"), col("split"),
-          round(col("best.cos"), 6).as("max_cos"),
-          col("best.vid").as("nn_train_id"),
-          (col("best.cos") >= NearDupTau).as("contaminated"))
-        .orderBy("eval_id")
+          deconKey(
+            vecDot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")),
+            col("vec_id")).as("ukey"))
+      deconReport(ev, pairs)
+    },
+
+    // X1+X3/Q60b — the LSH-ROUTED decontamination scale path: q24d's
+    // 16-bit hyperplane signatures (SHARED materialized table — one build
+    // serves the near-dup pair scan and this audit) bucket both splits
+    // into 4 bands × 4 bits; cosines are computed ONLY for (eval, train)
+    // pairs colliding in ≥1 band, then the identical packed-argmax tail
+    // runs over the candidate stream. The eval band rows broadcast, so
+    // candidate generation is a broadcast hash join keyed on (band,
+    // bucket) — the full-corpus dot-product sweep becomes |collisions|
+    // dots (~1/16 of all pairs per band at these widths; wider bands cut
+    // candidates geometrically at the recall cost RecallSpec measures —
+    // the knob every production vector store tunes). Eval docs whose
+    // buckets collide with NO train doc drop from the report (no
+    // candidate neighbor — at a near-dup bar, absence of collision IS the
+    // evidence of non-contamination); q60's exact rows are the recall
+    // reference. Own oracle: DuckDB mirrors the same planes, signatures,
+    // bands, and packed key, so the approximate path is hash-compared
+    // exactly, not just spec-bounded.
+    QueryDef(
+      "q60b_lsh_decontamination",
+      s"""WITH $sqlBaseCte,
+         |$sqlPlanesCte,
+         |$sqlSigCte,
+         |${sqlDeconSplitCtes("sig", ", sig")},
+         |js AS (SELECT unnest(generate_series(0, ${LshBands - 1})) AS j),
+         |eb AS (SELECT qid, qemb, qnrm, j,
+         |    (sig // CAST(power(16, j) AS BIGINT)) % 16 AS bv FROM ev, js),
+         |tb AS (SELECT vec_id, embedding, nrm, j,
+         |    (sig // CAST(power(16, j) AS BIGINT)) % 16 AS bv FROM tr, js),
+         |p AS (SELECT e.qid, $sqlDeconKey AS ukey
+         |      FROM eb e JOIN tb t ON e.j = t.j AND e.bv = t.bv),
+         |$sqlDeconReport""".stripMargin) { (s, dir) =>
+      import VecFunctions.vecDot
+      val (ev, tr) = deconSplit(lshSigs(s, dir), Seq("sig"))
+      def bands(df: DataFrame) = df
+        .withColumn("j", explode(sequence(lit(0), lit(LshBands - 1))))
+        .withColumn("bv", floor(col("sig") / pow(lit(16), col("j"))).cast("long") % 16)
+      val cand = bands(tr).alias("t")
+        .join(broadcast(bands(ev.select(col("qid"), col("qemb"), col("qnrm"),
+          col("sig"))).alias("e")),
+          col("e.j") === col("t.j") && col("e.bv") === col("t.bv"))
+      val pairs = cand.select(col("qid"),
+        deconKey(
+          vecDot(col("t.embedding"), col("e.qemb")) /
+            (col("t.nrm") * col("e.qnrm")),
+          col("t.vec_id")).as("ukey"))
+      deconReport(ev, pairs)
     }
   )
 

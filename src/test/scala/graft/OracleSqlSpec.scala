@@ -26,6 +26,8 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q20b_session_window", "sid"),
     // q24d: sig is re-sliced into 4-bit band values (`sig // 16^j % 16`)
     ("q24d_lsh_neardup_pairs", "sig"),
+    // q60b: same shared sig CTE, same band re-slicing — never emitted
+    ("q60b_lsh_decontamination", "sig"),
     // q25h: consumed via ::DOUBLE ratios (ttr, mean_wlen, top_bigram_frac)
     ("q25h_quality_rules", "n_types"),
     ("q25h_quality_rules", "wlen_sum"),

@@ -537,4 +537,30 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
     assert(p.contains("Scan parquet"), p)
   }
+
+  test("q60: eval split broadcasts; the train side never sort-merge joins") {
+    // the decontamination scan must stream the (large) train side through a
+    // broadcast of the (small-by-construction) eval set — a SortMergeJoin
+    // here would shuffle the full corpus on a non-key
+    val p = plan("q60_semantic_decontamination")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("vec_dot"), p)
+  }
+
+  test("q59: corpus-prefix bucketing is scan-riding — no rank window, stats broadcast") {
+    // the decile assignment must not be ntile/rank over the corpus: the only
+    // Window in the plan is the ≤10-row running total over the decile frame
+    val p = plan("q59_vocab_growth")
+    assert(!p.contains("ntile"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q62: batch ranks scope to (pclass, shard) — no corpus-global window") {
+    val p = plan("q62_dynamic_batching")
+    // the row_number window must partition by both class and shard columns
+    // (windowspecdefinition lists partition columns first)
+    assert("""windowspecdefinition\(pclass#\d+L?, shard#\d+L?,""".r
+      .findFirstIn(p).nonEmpty, p)
+  }
 }

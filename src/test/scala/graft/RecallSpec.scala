@@ -276,9 +276,11 @@ class RecallSpec extends SparkSpec {
     val (ev, tr) = withNorm.partition { case (id, _, _) => h32(s"split:$id") % 100 >= 90 }
     assert(ev.nonEmpty && tr.nonEmpty, "fixture split degenerate")
     val expected = ev.map { case (qid, qe, qn) =>
-      val best = tr.map { case (vid, te, tn) => (dot(te, qe) / (tn * qn), vid) }.max
-      qid -> (BigDecimal(best._1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        best._2, best._1 >= 0.45,
+      // the packed-argmax contract: ordering at floor(cos·1e8) granularity,
+      // ties to the larger vid; max_cos IS the fixed-point value
+      val best = tr.map { case (vid, te, tn) =>
+        (math.floor(dot(te, qe) / (tn * qn) * 1e8).toLong, vid) }.max
+      qid -> (best._1.toDouble / 1e8, best._2, best._1 >= 45000000L,
         if (h32(s"split:$qid") % 100 >= 95) "test" else "val")
     }.toMap
     val got = SimilarityQueries.defs.find(_.name == "q60_semantic_decontamination").get
@@ -295,5 +297,32 @@ class RecallSpec extends SparkSpec {
     }
     // the bar discriminates on the fixture corpus (near-dups exist)
     assert(got.values.exists(_._3) && got.values.exists(!_._3), "tau never fired")
+  }
+
+  test("q60b LSH routing is a sound under-approximation of exact decontamination") {
+    def rows(name: String): Map[Long, (Double, Boolean)] =
+      SimilarityQueries.defs.find(_.name == name).get
+        .df(spark, sf)
+        .select("eval_id", "max_cos", "contaminated")
+        .as[(Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = rows("q60_semantic_decontamination")
+    val lsh = rows("q60b_lsh_decontamination")
+    // candidates are a subset of all pairs: every LSH row exists exactly,
+    // its max never exceeds the exact max, and a contaminated verdict is
+    // never fabricated
+    assert(lsh.keySet.subsetOf(exact.keySet), "LSH fabricated an eval id")
+    lsh.foreach { case (qid, (cos, cont)) =>
+      assert(cos <= exact(qid)._1 + 1e-12, s"qid $qid: LSH max above exact")
+      assert(!cont || exact(qid)._2, s"qid $qid: fabricated contamination")
+    }
+    // recall of the contaminated set — near-dups collide in some band with
+    // high probability; the floor is test-data-honest (q24d's ~55% recall
+    // is at ALL pairs ≥ 0.45, this measures only flagged-vs-flagged)
+    val exactPos = exact.filter(_._2._2).keySet
+    assert(exactPos.nonEmpty, "fixture has no contaminated eval docs")
+    val hit = exactPos.count(q => lsh.get(q).exists(_._2))
+    val recall = hit.toDouble / exactPos.size
+    assert(recall >= 0.5, s"contaminated-set recall $recall below floor")
   }
 }
