@@ -14,11 +14,28 @@ SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" >"$LOG" 2>&1 || {
   echo "[driver-protocol] sbt rc=$? — tail:" >&2; tail -20 "$LOG" >&2; exit 1; }
 
 # the driver parses the LAST line that is a JSON object; replicate that
-grep '"metric":"total"' "$LOG" | tail -1 > "$OUT"
-if [ ! -s "$OUT" ]; then
+grep '"metric":"total"' "$LOG" | tail -1 > "$OUT.stdout"
+if [ ! -s "$OUT.stdout" ]; then
   echo "[driver-protocol] no bench JSON line found — tail:" >&2
   tail -20 "$LOG" >&2; exit 1
 fi
+# the stdout line must fit the harness's 2000-char tail window — fail loudly
+# here rather than silently shipping a line the driver can't parse (r12)
+LINELEN=$(wc -c < "$OUT.stdout")
+if [ "$LINELEN" -gt 2000 ]; then
+  echo "[driver-protocol] STDOUT LINE OVER BUDGET: $LINELEN chars (>2000)" >&2; exit 1
+fi
+# the CAPTURE (what gets compared and promoted as a reference) is the
+# untruncated line: full per-query map even when the stdout line degraded
+# its map to the slowest-K to fit the window (round 13, 168 queries)
+# (mtime guard: a git-tracked stale copy must not impersonate this run —
+#  the rerun_auto.metrics.json lesson from ADVICE r12)
+if [ -s bench/line_full.json ] && [ bench/line_full.json -nt "$LOG" ]; then
+  cp bench/line_full.json "$OUT"
+else
+  cp "$OUT.stdout" "$OUT"
+fi
+rm -f "$OUT.stdout"
 python3 - "$OUT" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))

@@ -573,7 +573,26 @@ object Bench {
       if (!s.contains('.')) s
       else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     }
-    val qs = names.map(n => s""""${key(n)}":${fmtQ(warm(n))}""").mkString("{", ",", "}")
+    // Full per-query map, and a bounded builder for when the suite has
+    // outgrown the stdout window (round 13: 168 queries render ~1850 chars
+    // of map alone — the r12 driver capture shows `parsed: null` with the
+    // line's head clipped, i.e. the map itself no longer fits and no trip-
+    // payload degradation can save it). The bounded form keeps the SLOWEST
+    // entries (the ones BASELINE quotes and regressions show up in) rendered
+    // in name order, and adds "queries_n" so a truncated map is self-
+    // describing; the untruncated line always lands in bench/line_full.json
+    // (committed), which the protocol runner archives as the capture — so
+    // promoted references keep full tripwire coverage.
+    def qsWith(limit: Int): String = {
+      val kept =
+        if (limit >= names.size) names
+        else {
+          val keep = names.sortBy(n => -warm(n)).take(limit).toSet
+          names.filter(keep)
+        }
+      kept.map(n => s""""${key(n)}":${fmtQ(warm(n))}""").mkString("{", ",", "}")
+    }
+    val qs = qsWith(Int.MaxValue)
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     // raw single-pass warm total alongside the min(mid,warm) composite, so a
@@ -730,7 +749,8 @@ object Bench {
     // fits ≤1950: full verdicts → capped → tripped-only → count-only. The
     // FULL verdict maps always land in the metrics file and stderr.
     val seedField = orderSeed.map(sd => s""""order_seed":$sd,""").getOrElse("")
-    def lineWith(nVerdicts: Int, nTrippedArr: Int): String = {
+    def lineWith(nVerdicts: Int, nTrippedArr: Int,
+                 qsStr: String = qs, qsN: Option[Int] = None): String = {
       val trippedPart =
         if (tripped.isEmpty) ""
         else {
@@ -750,7 +770,8 @@ object Bench {
       // at 144 queries the full-path form left no room for even two inline
       // verdicts); every consumer (tripwire, rerun script, analysis) already
       // normalizes through scaleToken, which maps both forms identically
-      s"""{"metric":"total","value":${fmtQ(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmtQ(total)},"unit":"sec","queries":$qsStr,""" +
+        qsN.map(n => s""""queries_n":$n,""").getOrElse("") +
         s""""cold_total":${fmtQ(coldTotal)},"warm_total":${fmtQ(warmTotal)},""" +
         trippedPart + seedField +
         s""""ref_ratio_median":${fmt(ratioMedian)},"promotable":$promotable,""" +
@@ -762,10 +783,37 @@ object Bench {
     // would otherwise drop all verdicts for a list of bare names). The
     // full lists always land in the metrics file and on stderr.
     val n = tripped.size
-    val line = Seq(
-      lineWith(n, n), lineWith(n, 0), lineWith(5, 0), lineWith(3, 0),
-      lineWith(0, 10), lineWith(0, 0))
-      .find(_.length <= 1992).getOrElse(lineWith(0, 0))
+    val stages = Seq((n, n), (n, 0), (5, 0), (3, 0), (0, 10), (0, 0))
+    // The full line — every query, every verdict — is NOT budget-bound; it
+    // goes to a committed file below and is what the protocol runner
+    // archives (and promotion copies), so reference captures never lose
+    // per-query tripwire coverage to stdout truncation.
+    val fullLine = lineWith(n, n)
+    val line = stages.view.map { case (a, b) => lineWith(a, b) }
+      .find(_.length <= 1992)
+      .getOrElse {
+        // Even the count-only trip payload overflows with the full map: the
+        // suite has outgrown the window. Shrink the map to the slowest K
+        // entries (K fitted greedily against the most-informative stage that
+        // the overhead allows), self-described via "queries_n".
+        val overhead = lineWith(math.min(3, n), 0, "{}", Some(names.size)).length - 2
+        val byTime = names.sortBy(nm => -warm(nm))
+          .map(nm => s""""${key(nm)}":${fmtQ(warm(nm))}""")
+        var used = overhead + 2 // re-add the "{}" the map will carry
+        var k = 0
+        while (k < byTime.size && used + byTime(k).length + (if (k > 0) 1 else 0) <= 1992) {
+          used += byTime(k).length + (if (k > 0) 1 else 0); k += 1
+        }
+        System.err.println(s"[bench] stdout line over budget with all ${names.size} " +
+          s"queries — emitting slowest $k (full line -> bench/line_full.json)")
+        stages.view
+          .map { case (a, b) => lineWith(a, b, qsWith(k), Some(names.size)) }
+          .find(_.length <= 1992)
+          .getOrElse(lineWith(0, 0, qsWith(k), Some(names.size)))
+      }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench/line_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] line_full.json write failed: $e") }
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
     // Per-query task metrics go to a FILE, not the stdout JSON line: the

@@ -228,6 +228,51 @@ object DedupQueries {
   private val sqlRecallSampleMod: String =
     s"(SELECT GREATEST(COUNT(*) // $RecallSampleTarget, 1) FROM documents)"
 
+  /** q63 suffix-order resolution depth, in tokens (a power of two —
+    * ⌈log₂ SaDepth⌉ = 5 doubling rounds). Suffixes agreeing on their first
+    * SaDepth tokens tie-break on (doc_id, pos): ExactSubstr only needs
+    * suffix ORDER to the minimum-match length (Lee et al. 2022 use 50
+    * chars), so relative order past the bound carries no information the
+    * dedup consumer reads — bounding the depth is what makes the round
+    * count fixed and data-independent. */
+  private[graft] val SaDepth = 32
+
+  /** q63 reported suffix-array prefix length (the full array is computed;
+    * the report takes the first SaTopK entries). */
+  private[graft] val SaTopK = 500
+
+  /** Distributed DENSE RANK over the (already-distinct) key rows of
+    * `keysDf`, ascending — the scalable re-rank a prefix-doubling round
+    * needs, built so NO single-partition window ever sees the data:
+    * range-repartition on the keys (Spark's parallel sampled range
+    * exchange, identical keys land together by construction), dense-rank
+    * LOCALLY inside each range (window partitioned by the range id — every
+    * partition sorts in parallel), then add broadcast cumulative
+    * per-range distinct counts. The only global window runs over the
+    * ≤ `spark.sql.shuffle.partitions` per-range count rows. The sampled
+    * range boundaries are not deterministic, but the returned rank is
+    * boundary-invariant: local rank + preceding-range total is the same
+    * global dense rank under ANY ordered partitioning of the key space
+    * (AQE coalescing merges adjacent ranges, which preserves that).
+    * Output: the key columns + `r` (1-based BIGINT). */
+  private def distDenseRank(keysDf: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val local = keysDf.repartitionByRange(kc: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lr",
+        dense_rank().over(Window.partitionBy(col("_pid")).orderBy(kc: _*)).cast("long"))
+    val offs = local.groupBy(col("_pid")).agg(max(col("_lr")).as("_cnt"))
+      .withColumn("_off",
+        coalesce(sum(col("_cnt")).over(
+          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offs), Seq("_pid"))
+      .withColumn("r", col("_lr") + col("_off"))
+      .drop("_pid", "_lr")
+  }
+
   /** Banding-recall eval oracle, parameterized on the sample-modulus
     * expression — ONE text for q23i (literal rate) and q23j (corpus-derived
     * fixed count) so the two monitors can never diverge on eval semantics. */
@@ -1309,6 +1354,108 @@ object DedupQueries {
             col("source") === col("keeper.source") &&
             col("doc_id") === col("keeper.doc_id")).as("kept"))
         .orderBy("doc_id")
+    },
+
+    // X1+++/Q63 — GENERALIZED SUFFIX ARRAY by distributed PREFIX DOUBLING:
+    // the actual index Lee et al. 2022 build for ExactSubstr (q47
+    // approximates it with fixed-width fingerprints; the suffix array is
+    // the exact, width-free structure — longest-match queries, LCP-based
+    // duplicate mining, substring search all read it). Construction is
+    // Manber–Myers prefix doubling in its distributed-sort formulation
+    // (Flick & Aluru, SC'15): rank suffixes by their first 2^k tokens,
+    // then pair each position's rank with the rank at pos+2^k and
+    // re-rank — depth doubles per round.
+    //
+    // Scale shape (the reason this is Spark-expressible at 100 TB):
+    //  - GENERALIZED (per-document) suffixes, ordered globally: suffixes
+    //    end at their doc's end, so no corpus-global token offset — and
+    //    therefore no global prefix-sum — ever exists. Cross-doc suffixes
+    //    are meaningless for dedup anyway (production separators stop
+    //    matches at doc boundaries).
+    //  - Depth bounded at SaDepth=32 tokens (ties → (doc_id, pos)):
+    //    fixes the round count at 5, data-independent. See [[SaDepth]].
+    //  - Each round: ONE (doc_id, pos)-keyed shifted SELF-JOIN (plain
+    //    equi-join — AQE-splittable, no window), one distinct over
+    //    (r1, r2) pairs, one [[distDenseRank]] (range exchange + parallel
+    //    local ranks + broadcast range offsets — the two-phase distributed
+    //    re-rank; NO single-partition window anywhere), one rank
+    //    join-back. ~4 linear shuffles × 5 rounds, all AQE-managed.
+    //  - Rounds checkpoint eagerly (local snapshot here; parquet in
+    //    production, the substrWindows precedent) because the shifted
+    //    self-join reads the previous round twice — un-truncated lineage
+    //    doubles the LOGICAL PLAN per round (2^rounds copies of the base
+    //    chain by the end) and recomputes the whole chain per branch.
+    // The oracle is a DIFFERENT algorithm for the same object — DuckDB
+    // sorts the depth-32 suffix prefixes directly as strings (chr(1)
+    // separator: below every token byte, so concatenated-string order ==
+    // token-sequence order, and a doc-end prefix sorts before its
+    // extensions exactly like the rank chain's r2 = -1) — so parity pins
+    // the construction, not a shared formula.
+    QueryDef(
+      "q63_suffix_array",
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |p AS (SELECT doc_id, i AS pos,
+         |    array_to_string(toks[i:least(i + ${SaDepth - 1}, len(toks))], chr(1)) AS sfx
+         |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+         |sel AS (SELECT doc_id, pos,
+         |    ROW_NUMBER() OVER (ORDER BY sfx, doc_id, pos) AS sa_pos FROM p)
+         |SELECT s.sa_pos, s.doc_id, s.pos,
+         |  array_to_string(t.toks[s.pos:least(s.pos + 7, len(t.toks))], ' ') AS prefix8
+         |FROM sel s JOIN t ON s.doc_id = t.doc_id
+         |WHERE s.sa_pos <= $SaTopK ORDER BY s.sa_pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val pos = docs
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      // depth-1 ranks: dense rank of the token itself over the distinct
+      // vocabulary (Heaps-sublinear in corpus size)
+      val vocab = distDenseRank(pos.select(col("tok")).distinct(), Seq("tok"))
+      // Each round is CHECKPOINTED eagerly (production: parquet, the
+      // substrWindows precedent). A lazy persist is not enough here: the
+      // shifted self-join reads the previous round TWICE, so unchecked
+      // lineage doubles per round — by round 5 the logical plan holds 2^5
+      // copies of the base chain and the optimizer itself becomes the
+      // bottleneck (iterative-algorithm plan explosion). Truncating the
+      // lineage keeps every round's plan the same constant size.
+      var r = pos.join(vocab, Seq("tok"))
+        .select(col("doc_id"), col("pos"), col("r"))
+        .localCheckpoint(true)
+      var depth = 1
+      while (depth < SaDepth) {
+        // r2 = rank of the suffix 2^k positions later in the SAME doc;
+        // -1 (below every real rank) when the doc ends first — the same
+        // order the oracle's shorter-prefix-sorts-first string compare gives
+        val paired = r.as("a")
+          .join(r.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.pos") + lit(depth) === col("b.pos"),
+            "left")
+          .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+            col("a.r").as("r1"), coalesce(col("b.r"), lit(-1L)).as("r2"))
+        val ranks = distDenseRank(
+          paired.select(col("r1"), col("r2")).distinct(), Seq("r1", "r2"))
+        r = paired.join(ranks, Seq("r1", "r2"))
+          .select(col("doc_id"), col("pos"), col("r"))
+          .localCheckpoint(true)
+        depth *= 2
+      }
+      // the report: first SaTopK array entries (TakeOrderedAndProject —
+      // map-side top-k partials, never a full result sort) + an 8-token
+      // prefix as human-readable evidence (broadcast join back to the docs)
+      val top = r.orderBy(col("r"), col("doc_id"), col("pos")).limit(SaTopK)
+      docs.join(broadcast(top), Seq("doc_id"))
+        .select(col("doc_id"), col("pos"), col("r"),
+          concat_ws(" ",
+            (0 until 8).map(j =>
+              try_element_at(col("toks"), (col("pos") + lit(j)).cast("int"))): _*)
+            .as("prefix8"))
+        .withColumn("sa_pos",
+          row_number().over(Window.orderBy(col("r"), col("doc_id"), col("pos")))
+            .cast("long"))
+        .select(col("sa_pos"), col("doc_id"), col("pos"), col("prefix8"))
+        .orderBy("sa_pos")
     }
   )
 

@@ -521,4 +521,46 @@ class DedupEdgeSpec extends SparkSpec {
       assert(rows.map(_._3).distinct.length === 1, "prio varies within a source")
     }
   }
+
+  /** q63: the prefix-doubling suffix array must equal a sequential
+    * brute-force suffix sort (depth-32 token prefixes, shorter-prefix-first,
+    * (doc_id, pos) ties) on a fixture engineered for every tie class:
+    * identical suffixes across docs, a proper-prefix suffix at a doc end,
+    * and a 40-token shared run whose suffixes are EQUAL through the depth
+    * bound but diverge beyond it. */
+  test("q63 suffix array matches a sequential suffix sort on tie fixtures") {
+    import scala.math.Ordering.Implicits.seqOrdering
+    val run40 = (0 until 40).map(i => f"run$i%02d").mkString(" ")
+    val docsFixture = Seq(
+      (10L, "b c d e"),              // suffix [b,c,d,e] ties with doc 11 pos 2
+      (11L, "a b c d e"),
+      (12L, "b c"),                  // proper prefix of [b,c,d,e] — sorts first
+      (13L, s"$run40 zz end"),       // depth-32-equal with doc 14, differs later
+      (14L, s"$run40 aa tail")
+    )
+    val d = TempDirs.create("graft_sa_")
+    docsFixture.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val expected = docsFixture.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq
+      (1 to toks.length).map { pos =>
+        (toks.slice(pos - 1, pos - 1 + DedupQueries.SaDepth), id, pos.toLong)
+      }
+    }.sorted.zipWithIndex.map { case ((_, id, pos), i) => (i + 1L, id, pos) }
+    val out = SparkEntry.queries("q63_suffix_array")(spark, d)
+      .select("sa_pos", "doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out === expected)
+    // the depth-bound tie really is exercised: doc 13/14 suffixes at pos 1
+    // share their first 32 tokens, so doc 13 precedes purely by doc_id even
+    // though its full suffix ("zz...") sorts AFTER doc 14's ("aa...")
+    val sa13 = out.find(r => r._2 === 13L && r._3 === 1L).get._1
+    val sa14 = out.find(r => r._2 === 14L && r._3 === 1L).get._1
+    assert(sa13 === sa14 - 1)
+    // doc-end prefix order: [b,c] < [b,c,d,e] (doc 10) < doc 11's copy
+    val bc = Seq(out.find(r => r._2 === 12L && r._3 === 1L).get._1,
+      out.find(r => r._2 === 10L && r._3 === 1L).get._1,
+      out.find(r => r._2 === 11L && r._3 === 2L).get._1)
+    assert(bc === bc.sorted && bc(1) === bc(0) + 1 && bc(2) === bc(1) + 1)
+  }
 }
