@@ -273,6 +273,50 @@ object DedupQueries {
       .drop("_pid", "_lr")
   }
 
+  /** q63/q63b shared construction: per-document suffix ranks by distributed
+    * prefix doubling (see the q63 entry for the full scale argument).
+    * Returns (docs(doc_id, toks), ranks(doc_id, pos, r)) where `r` is the
+    * dense rank of the suffix's depth-[[SaDepth]] token prefix over the
+    * whole corpus — equal prefixes share a rank; (doc_id, pos) breaks the
+    * tie downstream. Rounds are eagerly checkpointed: the shifted self-join
+    * reads the previous round TWICE, so un-truncated lineage doubles the
+    * logical plan per round (2^rounds copies of the base chain by the end)
+    * and the optimizer itself becomes the bottleneck. */
+  private def suffixRanks(s: org.apache.spark.sql.SparkSession, dir: String)
+    : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    // depth-1 ranks: dense rank of the token itself over the distinct
+    // vocabulary (Heaps-sublinear in corpus size)
+    val vocab = distDenseRank(pos.select(col("tok")).distinct(), Seq("tok"))
+    var r = pos.join(vocab, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("r"))
+      .localCheckpoint(true)
+    var depth = 1
+    while (depth < SaDepth) {
+      // r2 = rank of the suffix 2^k positions later in the SAME doc;
+      // -1 (below every real rank) when the doc ends first — the same
+      // order the oracle's shorter-prefix-sorts-first string compare gives
+      val paired = r.as("a")
+        .join(r.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.pos") + lit(depth) === col("b.pos"),
+          "left")
+        .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+          col("a.r").as("r1"), coalesce(col("b.r"), lit(-1L)).as("r2"))
+      val ranks = distDenseRank(
+        paired.select(col("r1"), col("r2")).distinct(), Seq("r1", "r2"))
+      r = paired.join(ranks, Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), col("r"))
+        .localCheckpoint(true)
+      depth *= 2
+    }
+    (docs, r)
+  }
+
   /** Banding-recall eval oracle, parameterized on the sample-modulus
     * expression — ONE text for q23i (literal rate) and q23j (corpus-derived
     * fixed count) so the two monitors can never diverge on eval semantics. */
@@ -1404,43 +1448,7 @@ object DedupQueries {
          |FROM sel s JOIN t ON s.doc_id = t.doc_id
          |WHERE s.sa_pos <= $SaTopK ORDER BY s.sa_pos""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val pos = docs
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-      // depth-1 ranks: dense rank of the token itself over the distinct
-      // vocabulary (Heaps-sublinear in corpus size)
-      val vocab = distDenseRank(pos.select(col("tok")).distinct(), Seq("tok"))
-      // Each round is CHECKPOINTED eagerly (production: parquet, the
-      // substrWindows precedent). A lazy persist is not enough here: the
-      // shifted self-join reads the previous round TWICE, so unchecked
-      // lineage doubles per round — by round 5 the logical plan holds 2^5
-      // copies of the base chain and the optimizer itself becomes the
-      // bottleneck (iterative-algorithm plan explosion). Truncating the
-      // lineage keeps every round's plan the same constant size.
-      var r = pos.join(vocab, Seq("tok"))
-        .select(col("doc_id"), col("pos"), col("r"))
-        .localCheckpoint(true)
-      var depth = 1
-      while (depth < SaDepth) {
-        // r2 = rank of the suffix 2^k positions later in the SAME doc;
-        // -1 (below every real rank) when the doc ends first — the same
-        // order the oracle's shorter-prefix-sorts-first string compare gives
-        val paired = r.as("a")
-          .join(r.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              col("a.pos") + lit(depth) === col("b.pos"),
-            "left")
-          .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
-            col("a.r").as("r1"), coalesce(col("b.r"), lit(-1L)).as("r2"))
-        val ranks = distDenseRank(
-          paired.select(col("r1"), col("r2")).distinct(), Seq("r1", "r2"))
-        r = paired.join(ranks, Seq("r1", "r2"))
-          .select(col("doc_id"), col("pos"), col("r"))
-          .localCheckpoint(true)
-        depth *= 2
-      }
+      val (docs, r) = suffixRanks(s, dir)
       // the report: first SaTopK array entries (TakeOrderedAndProject —
       // map-side top-k partials, never a full result sort) + an 8-token
       // prefix as human-readable evidence (broadcast join back to the docs)
@@ -1456,6 +1464,86 @@ object DedupQueries {
             .cast("long"))
         .select(col("sa_pos"), col("doc_id"), col("pos"), col("prefix8"))
         .orderBy("sa_pos")
+    },
+
+    // X1+++/Q63b — LCP DUPLICATE-MASS SPECTRUM: the consumer the suffix
+    // array exists for. LCP[i] = length of the common token prefix of
+    // suffix-array neighbors i and i+1 (bounded at SaDepth, like the array
+    // order itself); every duplicated substring of length L in the corpus
+    // appears as a maximal run of adjacent entries with LCP ≥ L, so the
+    // histogram of LCP values is the corpus's duplication spectrum — the
+    // figure that tells you what ExactSubstr's minimum-match threshold
+    // would remove BEFORE running removal (Lee et al. 2022 §4 pick 50
+    // chars by exactly this kind of profile). Per LCP value: pair count +
+    // the lexicographically-least witness (doc_id, pos).
+    //
+    // Scale shape:
+    //  - Global SA adjacency WITHOUT a global sort: the prefix-doubling
+    //    ranks are dense over depth-32 prefix classes, so appending the
+    //    (doc_id, pos) tie-break makes every row's key unique and a dense
+    //    rank over (r, doc_id, pos) IS the suffix-array position — the
+    //    same two-phase distributed re-rank (range exchange + per-range
+    //    local windows + broadcast offsets) assigns it; neighbor pairing
+    //    is then ONE equi-join on sa_pos = sa_pos + 1, AQE-splittable.
+    //  - The LCP compare joins each entry's depth-32 token slice
+    //    (~SaDepth small tokens/row, one shuffle each side). That is the
+    //    same per-round shuffle mass as carrying the 6 rank tables through
+    //    the classic rank-chain LCP walk (12 joins of ~24-byte rows), in
+    //    TWO joins instead of twelve — at any scale the bytes tie and the
+    //    stage count wins.
+    //  - The compare itself is zip_with + array_position over the two
+    //    bounded slices — codegen'd, no UDF; the final aggregate has
+    //    ≤ SaDepth+1 groups (map-side partials collapse everything).
+    QueryDef(
+      "q63b_lcp_mining",
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |p AS (SELECT doc_id, i AS pos,
+         |    toks[i:least(i + ${SaDepth - 1}, len(toks))] AS a,
+         |    array_to_string(toks[i:least(i + ${SaDepth - 1}, len(toks))], chr(1)) AS sfx
+         |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+         |sel AS (SELECT doc_id, pos, a,
+         |    ROW_NUMBER() OVER (ORDER BY sfx, doc_id, pos) AS sa_pos FROM p),
+         |pr AS (SELECT x.doc_id, x.pos, x.a AS a, y.a AS b
+         |  FROM sel x JOIN sel y ON y.sa_pos = x.sa_pos + 1),
+         |l AS (SELECT doc_id, pos,
+         |    (coalesce(nullif(list_position(list_transform(range(1, greatest(len(a), len(b)) + 1),
+         |        i -> a[i] IS NOT DISTINCT FROM b[i]), false), 0) - 1,
+         |      least(len(a), len(b))))::BIGINT AS lcp
+         |  FROM pr),
+         |l2 AS (SELECT lcp, doc_id, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY lcp ORDER BY doc_id, pos) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lcp) AS cnt FROM l)
+         |SELECT lcp, cnt AS n_pairs, doc_id AS example_doc_id, pos AS example_pos
+         |FROM l2 WHERE rn = 1 ORDER BY lcp""".stripMargin) { (s, dir) =>
+      val (docs, r) = suffixRanks(s, dir)
+      val sa = distDenseRank(
+        r.select(col("r").as("rk"), col("doc_id"), col("pos")),
+        Seq("rk", "doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), col("r").as("sa_pos"))
+      val withToks = sa.join(docs, Seq("doc_id"))
+        .select(col("sa_pos"), col("doc_id"), col("pos"),
+          slice(col("toks"), col("pos").cast("int"), lit(SaDepth)).as("sfx"))
+      val pairs = withToks.as("x")
+        .join(withToks.as("y"), col("x.sa_pos") + 1 === col("y.sa_pos"))
+        .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
+          col("x.sfx").as("a"), col("y.sfx").as("b"))
+      // first mismatch position over the zipped slices; zip_with pads the
+      // shorter side with null and <=> reads that as a mismatch, exactly
+      // the oracle's IS NOT DISTINCT FROM over the range-capped index list;
+      // no mismatch (array_position = 0) ⇒ identical slices ⇒ lcp = length
+      val ap = array_position(
+        zip_with(col("a"), col("b"), (u, v) => u.eqNullSafe(v)), false)
+      pairs
+        .withColumn("lcp",
+          coalesce(when(ap > 0, ap - 1),
+            least(size(col("a")), size(col("b"))).cast("long")))
+        .groupBy("lcp")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(struct(col("doc_id"), col("pos"))).as("ex"))
+        .select(col("lcp"), col("n_pairs"),
+          col("ex.doc_id").as("example_doc_id"),
+          col("ex.pos").as("example_pos"))
+        .orderBy("lcp")
     }
   )
 

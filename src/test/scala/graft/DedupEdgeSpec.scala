@@ -563,4 +563,39 @@ class DedupEdgeSpec extends SparkSpec {
       out.find(r => r._2 === 11L && r._3 === 2L).get._1)
     assert(bc === bc.sorted && bc(1) === bc(0) + 1 && bc(2) === bc(1) + 1)
   }
+
+  /** q63b: the LCP histogram must equal a sequential brute force over the
+    * same tie fixture — whose pairs exercise the full range: identical
+    * cross-doc suffixes (lcp = full suffix length), the doc-end proper
+    * prefix (lcp = shorter length), and the 40-token run shared past the
+    * depth bound (lcp capped at exactly SaDepth). */
+  test("q63b LCP histogram matches a sequential brute force on tie fixtures") {
+    val run40 = (0 until 40).map(i => f"run$i%02d").mkString(" ")
+    val docsFixture = Seq(
+      (10L, "b c d e"), (11L, "a b c d e"), (12L, "b c"),
+      (13L, s"$run40 zz end"), (14L, s"$run40 aa tail"))
+    val d = TempDirs.create("graft_lcp_")
+    docsFixture.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    import scala.math.Ordering.Implicits.seqOrdering
+    val sa = docsFixture.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq
+      (1 to toks.length).map { pos =>
+        (toks.slice(pos - 1, pos - 1 + DedupQueries.SaDepth), id, pos.toLong)
+      }
+    }.sorted
+    val expected = sa.zip(sa.tail).map { case ((a, id, pos), (b, _, _)) =>
+      (a.zip(b).takeWhile(t => t._1 == t._2).length.toLong, id, pos)
+    }.groupBy(_._1).toSeq.map { case (lcp, g) =>
+      val w = g.map(p => (p._2, p._3)).min
+      (lcp, g.size.toLong, w._1, w._2)
+    }.sortBy(_._1)
+    // the fixture really spans the spectrum: a depth-capped pair (docs
+    // 13/14 share 40 > SaDepth tokens) and an exact cross-doc duplicate
+    assert(expected.exists(_._1 === DedupQueries.SaDepth.toLong))
+    val out = SparkEntry.queries("q63b_lcp_mining")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === expected)
+  }
 }
