@@ -178,6 +178,20 @@ object DedupQueries {
        |  round(SUM(sp_end - sp_start + 1)::DOUBLE / MAX(n), 6) AS dup_frac
        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The FULL ExactSubstr oracle (windows → repeated-fingerprint keeper
+    * resolution → span merge → per-doc report). ONE text shared by q47
+    * (the fingerprint fast path) and q63c (the suffix-array exact path):
+    * two independent algorithms hash-compared against the same SQL is the
+    * cross-validation — if either diverges, the gate catches both. */
+  private lazy val sqlExactSubstrOracle: String =
+    s"""WITH $sqlSubstrWindowCtes,
+       |dup AS (SELECT wh, MIN(ROW(doc_id, pos)) AS keeper FROM w
+       |        GROUP BY wh HAVING COUNT(*) >= 2),
+       |r AS (SELECT w.doc_id, w.n, w.pos, w.pos + ${SubstrW - 1} AS endp
+       |      FROM w JOIN dup ON w.wh = dup.wh
+       |      WHERE ROW(w.doc_id, w.pos) <> dup.keeper),
+       |$sqlSubstrSpanTail""".stripMargin
+
   /** Spark twin of [[sqlSubstrSpanTail]]: removable windows
     * (doc_id, n, pos, endp) → merged maximal spans → per-doc report.
     * The windows partition by doc_id — bounded by document length. */
@@ -286,35 +300,43 @@ object DedupQueries {
     : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val pos = docs
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-    // depth-1 ranks: dense rank of the token itself over the distinct
-    // vocabulary (Heaps-sublinear in corpus size)
-    val vocab = distDenseRank(pos.select(col("tok")).distinct(), Seq("tok"))
-    var r = pos.join(vocab, Seq("tok"))
-      .select(col("doc_id"), col("pos"), col("r"))
-      .localCheckpoint(true)
-    var depth = 1
-    while (depth < SaDepth) {
-      // r2 = rank of the suffix 2^k positions later in the SAME doc;
-      // -1 (below every real rank) when the doc ends first — the same
-      // order the oracle's shorter-prefix-sorts-first string compare gives
-      val paired = r.as("a")
-        .join(r.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            col("a.pos") + lit(depth) === col("b.pos"),
-          "left")
-        .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
-          col("a.r").as("r1"), coalesce(col("b.r"), lit(-1L)).as("r2"))
-      val ranks = distDenseRank(
-        paired.select(col("r1"), col("r2")).distinct(), Seq("r1", "r2"))
-      r = paired.join(ranks, Seq("r1", "r2"))
+    // The finished rank table is MATERIALIZED (the substrWindows
+    // precedent): the suffix array is exactly the index Lee et al. build
+    // once and persist — construction runs in whichever consumer touches
+    // it first (q63), and the report (q63), LCP spectrum (q63b), and
+    // removal pass (q63c) all serve from the stored table.
+    val ranks = Materialize(s, dir, "sa_ranks") {
+      val pos = docs
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      // depth-1 ranks: dense rank of the token itself over the distinct
+      // vocabulary (Heaps-sublinear in corpus size)
+      val vocab = distDenseRank(pos.select(col("tok")).distinct(), Seq("tok"))
+      var r = pos.join(vocab, Seq("tok"))
         .select(col("doc_id"), col("pos"), col("r"))
         .localCheckpoint(true)
-      depth *= 2
+      var depth = 1
+      while (depth < SaDepth) {
+        // r2 = rank of the suffix 2^k positions later in the SAME doc;
+        // -1 (below every real rank) when the doc ends first — the same
+        // order the oracle's shorter-prefix-sorts-first string compare gives
+        val paired = r.as("a")
+          .join(r.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.pos") + lit(depth) === col("b.pos"),
+            "left")
+          .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+            col("a.r").as("r1"), coalesce(col("b.r"), lit(-1L)).as("r2"))
+        val ranks = distDenseRank(
+          paired.select(col("r1"), col("r2")).distinct(), Seq("r1", "r2"))
+        r = paired.join(ranks, Seq("r1", "r2"))
+          .select(col("doc_id"), col("pos"), col("r"))
+          .localCheckpoint(true)
+        depth *= 2
+      }
+      r
     }
-    (docs, r)
+    (docs, ranks)
   }
 
   /** Banding-recall eval oracle, parameterized on the sample-modulus
@@ -1156,13 +1178,7 @@ object DedupQueries {
     // 100 TB.
     QueryDef(
       "q47_substring_dedup",
-      s"""WITH $sqlSubstrWindowCtes,
-         |dup AS (SELECT wh, MIN(ROW(doc_id, pos)) AS keeper FROM w
-         |        GROUP BY wh HAVING COUNT(*) >= 2),
-         |r AS (SELECT w.doc_id, w.n, w.pos, w.pos + ${SubstrW - 1} AS endp
-         |      FROM w JOIN dup ON w.wh = dup.wh
-         |      WHERE ROW(w.doc_id, w.pos) <> dup.keeper),
-         |$sqlSubstrSpanTail""".stripMargin) { (s, dir) =>
+      sqlExactSubstrOracle) { (s, dir) =>
       val w = substrWindows(s, dir)
       // skew-safe duplicate resolution: groupBy on the fingerprint with
       // map-side partial count/min (a heavy-hitter fingerprint collapses
@@ -1544,6 +1560,64 @@ object DedupQueries {
           col("ex.doc_id").as("example_doc_id"),
           col("ex.pos").as("example_pos"))
         .orderBy("lcp")
+    },
+
+    // X1+++/Q63c — SUFFIX-ARRAY ExactSubstr removal: the paper-faithful
+    // path. Lee et al. 2022 mine duplicated spans from the suffix array
+    // itself; q47 replaces that with width-SubstrW fingerprints (fast, but
+    // a 60-bit hash admits collisions in principle). Here the array does
+    // the detection EXACTLY: a width-SubstrW window occurs ≥ 2 times in
+    // the corpus iff its suffix shares an LCP ≥ SubstrW with a suffix-
+    // array NEIGHBOR (equal-prefix suffixes form a contiguous SA block;
+    // every member of a ≥2 block touches an adjacent pair with LCP ≥
+    // SubstrW, a size-1 block touches none) — no hashing anywhere in the
+    // detection. Keeper resolution then groups the MARKED positions by
+    // the literal 8-token window content (the marked set is only the
+    // duplicated windows — the group-by runs over the duplicate mass, not
+    // the corpus) with q47's min(struct(doc_id, pos)) rule, and the span
+    // merge + report is the shared tail. The ORACLE IS q47's, verbatim
+    // ([[sqlExactSubstrOracle]]): two independent algorithms — hash
+    // resolution vs suffix-array adjacency — pinned to byte-identical
+    // output by the same gate, which is simultaneously the collision
+    // certification for q47's fingerprints on this corpus.
+    QueryDef("q63c_sa_substring_dedup", sqlExactSubstrOracle) { (s, dir) =>
+      val (docs, rr) = suffixRanks(s, dir)
+      val sa = distDenseRank(
+        rr.select(col("r").as("rk"), col("doc_id"), col("pos")),
+        Seq("rk", "doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), col("r").as("sa_pos"))
+      val withToks = sa.join(docs, Seq("doc_id"))
+        .select(col("sa_pos"), col("doc_id"), col("pos"),
+          slice(col("toks"), col("pos").cast("int"), lit(SaDepth)).as("sfx"))
+      val pairs = withToks.as("x")
+        .join(withToks.as("y"), col("x.sa_pos") + 1 === col("y.sa_pos"))
+      val ap = array_position(
+        zip_with(col("x.sfx"), col("y.sfx"), (u, v) => u.eqNullSafe(v)), false)
+      val lcp = coalesce(when(ap > 0, ap - 1),
+        least(size(col("x.sfx")), size(col("y.sfx"))).cast("long"))
+      // both elements of a ≥SubstrW pair are duplicated-window starts;
+      // the window key is the literal first-SubstrW-token content
+      val marked = pairs.filter(lcp >= SubstrW)
+        .select(
+          array(
+            struct(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
+              concat_ws("\u0001", slice(col("x.sfx"), 1, SubstrW)).as("win")),
+            struct(col("y.doc_id").as("doc_id"), col("y.pos").as("pos"),
+              concat_ws("\u0001", slice(col("y.sfx"), 1, SubstrW)).as("win")))
+            .as("m"))
+        .select(explode(col("m")).as("m"))
+        .select(col("m.doc_id"), col("m.pos"), col("m.win"))
+        .distinct()
+      val keeper = marked.groupBy(col("win"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
+      val nByDoc = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      val r = marked.join(keeper, Seq("win"))
+        .filter(col("doc_id") =!= col("keeper.doc_id") ||
+          col("pos") =!= col("keeper.pos"))
+        .join(nByDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("n"), col("pos"),
+          (col("pos") + (SubstrW - 1)).as("endp"))
+      substrSpanReport(r)
     }
   )
 

@@ -598,4 +598,30 @@ class DedupEdgeSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(out === expected)
   }
+
+  /** q63c: the suffix-array removal path must produce byte-identical spans
+    * to q47's fingerprint path on a fixture with a cross-doc 40-token run
+    * (multi-window span), a WITHIN-doc verbatim 8-run repeat (keeper =
+    * earlier pos of the same doc), and short docs that yield no windows. */
+  test("q63c SA removal equals q47's fingerprint path on repeat fixtures") {
+    val run40 = (0 until 40).map(i => f"run$i%02d").mkString(" ")
+    val rep8 = (0 until 8).map(i => s"rep$i").mkString(" ")
+    val docsFixture = Seq(
+      (10L, "b c d e"),                      // < 8 tokens: no windows
+      (13L, s"$run40 zz end"),               // shares the 40-run with 14
+      (14L, s"$run40 aa tail"),
+      (15L, s"$rep8 mid $rep8 post"),        // internal repeat, keeper pos 1
+      (16L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))   // unique: must not appear
+    val d = TempDirs.create("graft_sac_")
+    docsFixture.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val viaHash = SparkEntry.queries("q47_substring_dedup")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val viaSa = SparkEntry.queries("q63c_sa_substring_dedup")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(viaSa === viaHash)
+    // the fixture actually removes something, from the right docs only
+    assert(viaSa.map(_._1).toSet === Set(14L, 15L))
+  }
 }

@@ -51,6 +51,9 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q47_substring_dedup", "gid"),
     // q47b: the shared span tail's same key (GROUP BY doc_id, gid only)
     ("q47b_incremental_substring", "gid"),
+    // q63c: q47's oracle SQL VERBATIM (sqlExactSubstrOracle) — same
+    // gaps-and-islands key, same GROUP-BY-only consumption
+    ("q63c_sa_substring_dedup", "gid"),
     // q58: same gaps-and-islands key, intra-doc (GROUP BY doc_id, gid only)
     ("q58_repetition_filter", "gid"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
