@@ -10,6 +10,13 @@ OUT="${2:-bench/driver_protocol_last.json}"
 LOG="$(mktemp /tmp/graft_driver_protocol_XXXX.log)"
 
 echo "[driver-protocol] sf=$SF_DIR log=$LOG" >&2
+# Freshness stamp taken IMMEDIATELY before launch (ADVICE r13): comparing
+# line_full.json against $LOG is always false — the log keeps receiving
+# Spark-shutdown/sbt output after Bench writes the capture mid-run, so the
+# log's mtime always wins and the guard silently degraded every capture to
+# the stdout line. Against a pre-launch stamp, any line_full.json written
+# DURING this run tests newer; a stale git-tracked copy tests older.
+STAMP="$(mktemp /tmp/graft_driver_stamp_XXXX)"
 SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" >"$LOG" 2>&1 || {
   echo "[driver-protocol] sbt rc=$? — tail:" >&2; tail -20 "$LOG" >&2; exit 1; }
 
@@ -28,14 +35,16 @@ fi
 # the CAPTURE (what gets compared and promoted as a reference) is the
 # untruncated line: full per-query map even when the stdout line degraded
 # its map to the slowest-K to fit the window (round 13, 168 queries)
-# (mtime guard: a git-tracked stale copy must not impersonate this run —
-#  the rerun_auto.metrics.json lesson from ADVICE r12)
-if [ -s bench/line_full.json ] && [ bench/line_full.json -nt "$LOG" ]; then
+# (mtime guard vs the PRE-LAUNCH stamp: a git-tracked stale copy must not
+#  impersonate this run — the rerun_auto.metrics.json lesson from ADVICE
+#  r12, guard repaired per ADVICE r13)
+if [ -s bench/line_full.json ] && [ bench/line_full.json -nt "$STAMP" ]; then
   cp bench/line_full.json "$OUT"
 else
+  echo "[driver-protocol] WARNING: no fresh line_full.json — falling back to stdout line" >&2
   cp "$OUT.stdout" "$OUT"
 fi
-rm -f "$OUT.stdout"
+rm -f "$OUT.stdout" "$STAMP"
 python3 - "$OUT" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))

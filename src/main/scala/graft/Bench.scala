@@ -811,9 +811,16 @@ object Bench {
           .find(_.length <= 1992)
           .getOrElse(lineWith(0, 0, qsWith(k), Some(names.size)))
       }
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench/line_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] line_full.json write failed: $e") }
+    // The fresh-JVM rerun child must NOT write line_full.json (ADVICE r13):
+    // its filtered tripped+controls subset would overwrite the parent's full
+    // capture and — being newer than any freshness stamp — impersonate it if
+    // the parent dies before its own final write. Mirrors the
+    // SPARK_GRAFT_METRICS_OUT redirect that already isolates child metrics.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_RERUN")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench/line_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] line_full.json write failed: $e") }
+    }
     if (failed.nonEmpty) System.err.println(
       s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed; totals EXCLUDE them")
     // Per-query task metrics go to a FILE, not the stdout JSON line: the

@@ -41,4 +41,17 @@ object TempDirs {
     created.add(p)
     p.toFile.getAbsolutePath
   }
+
+  /** Eagerly reclaim a tracked dir whose contents are no longer referenced
+    * by any live plan (iterative builders drop superseded rounds here so
+    * scratch residency stays O(2 rounds), not O(all rounds)). Safe to call
+    * before JVM exit: the shutdown hook tolerates already-deleted paths. */
+  def delete(dir: String): Unit = {
+    try {
+      val walk = Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { try Files.deleteIfExists(f) catch { case _: Exception => () } })
+      finally walk.close()
+    } catch { case _: Exception => () }
+  }
 }

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions.call_function
 
 /** Sketch-probe primitives. Spark's `BloomFilterMightContain` is the codegen
@@ -30,11 +31,47 @@ object SketchFunctions {
         new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
         (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1)))
     }
+    // the BUILD side of the same pair (VERDICT r13 #4): Spark's
+    // `BloomFilterAggregate` — the TypedImperativeAggregate
+    // InjectRuntimeFilter emits — builds the sketch DISTRIBUTED (per-task
+    // partial filters OR-merged up the agg tree), so no `df.stat
+    // .bloomFilter` driver materialization and no multi-GB filter literal
+    // baked into task binaries; the expression itself clamps
+    // estimatedNumItems/numBits to the runtime-bloom-filter conf caps.
+    val idAgg = FunctionIdentifier("bloom_sketch_agg")
+    if (!reg.functionExists(idAgg)) {
+      reg.registerFunction(
+        idAgg,
+        new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_sketch_agg"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case other => throw new IllegalArgumentException(
+            s"bloom_sketch_agg expects 1-3 args, got ${other.size}")
+        })
+    }
   }
 
   /** Probe a serialized `org.apache.spark.util.sketch.BloomFilter` (binary
-    * literal) with an `xxhash64(...)` long — the sketch must have been built
-    * over the same `xxhash64` hashes (requires [[register]]). */
+    * literal or scalar subquery) with an `xxhash64(...)` long — the sketch
+    * must have been built over the same `xxhash64` hashes (requires
+    * [[register]]). */
   def bloomMightContain(sketch: Column, valueHash: Column): Column =
     call_function("bloom_might_contain", sketch, valueHash)
+
+  /** Aggregate a column of `xxhash64(...)` longs into a serialized Bloom
+    * filter, built distributed with map-side partials (requires
+    * [[register]]). `fpp` sizes the bit array via the standard
+    * `-n·ln(p)/ln²2` formula (the sketch library's own sizing); the
+    * expression clamps the result to the runtime-bloom-filter conf cap, so
+    * a mis-estimated `expected` degrades the false-positive rate — never
+    * driver or executor memory. Consume via `.agg(...).scalar()`: the
+    * probe side then carries a scalar subquery, not a literal. */
+  def bloomSketchAgg(valueHash: Column, expected: Long, fpp: Double): Column = {
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expected, fpp)
+    call_function("bloom_sketch_agg", valueHash,
+      org.apache.spark.sql.functions.lit(expected),
+      org.apache.spark.sql.functions.lit(numBits))
+  }
 }

@@ -46,6 +46,12 @@ object Materialize {
                   partCols: Seq[String])(df: => DataFrame): DataFrame =
     write(s, srcDir, tag, partCols)(df)
 
+  /** The scratch dir backing an ALREADY-BUILT unpartitioned tag, if any —
+    * for footer-level statistics (row counts) on the stored table without
+    * a counting job. None until the tag's first consumer materializes it. */
+  def pathFor(s: SparkSession, srcDir: String, tag: String): Option[String] =
+    Option(cache.get(s"${graft.SessionToken(s)}|$tag||$srcDir"))
+
   private def write(s: SparkSession, srcDir: String, tag: String,
                     partCols: Seq[String])(df: => DataFrame): DataFrame = {
     val key = s"${graft.SessionToken(s)}|$tag|${partCols.mkString(",")}|$srcDir"

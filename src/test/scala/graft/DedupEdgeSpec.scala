@@ -624,4 +624,51 @@ class DedupEdgeSpec extends SparkSpec {
     // the fixture actually removes something, from the right docs only
     assert(viaSa.map(_._1).toSet === Set(14L, 15L))
   }
+
+  /** q63d: the minimum-match knob must actually change the operating
+    * point — a 40-token cross-doc run is removed at width SaMinMatch=16
+    * (its LCP caps at SaDepth ≥ 16), while an 8-token verbatim repeat is
+    * INVISIBLE at 16 (no width-16 window repeats) though q63c removes it
+    * at width 8. Same stored index, different threshold, different
+    * removal set. */
+  test("q63d min-match removal keeps sub-threshold repeats that q63c removes") {
+    val run40 = (0 until 40).map(i => f"run$i%02d").mkString(" ")
+    val rep8 = (0 until 8).map(i => s"rep$i").mkString(" ")
+    val docsFixture = Seq(
+      (10L, "b c d e"),
+      (13L, s"$run40 zz end"),
+      (14L, s"$run40 aa tail"),
+      (15L, s"$rep8 mid $rep8 post"),
+      (16L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+    val d = TempDirs.create("graft_sad_")
+    docsFixture.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val at16 = SparkEntry.queries("q63d_sa_substring_minmatch")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // only the 40-run doc loses tokens; keeper = lexicographic min → doc 13
+    assert(at16.map(_._1) === Seq(14L))
+    val (_, _, dupToks, _) = at16.head
+    assert(dupToks === 40L, s"expected the full 40-token run marked, got $dupToks")
+    val at8 = SparkEntry.queries("q63c_sa_substring_dedup")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(at8.map(_._1).toSet === Set(14L, 15L),
+      "width-8 must still remove the 8-token repeat the 16 threshold ignores")
+  }
+
+  /** VERDICT r13 #4: the incremental sketches must be built DISTRIBUTED
+    * (bloom_filter_agg partials merged up the agg tree) and reach the
+    * probe as a scalar subquery — not a driver-built filter baked into
+    * the expression tree as a batch-proportional binary literal. */
+  test("q47b/q22d sketches are scalar subqueries over bloom_filter_agg, not literals") {
+    for ((name, df) <- Seq(
+      "q47b" -> SparkEntry.queries("q47b_incremental_substring")(spark, sf),
+      "q22d" -> DedupQueries.incrementalDedup(spark, sf, fpp = 0.01))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain(Subquery subquery"),
+        s"$name: expected the bloom probe to read a scalar subquery, got:\n$plan")
+      assert(!plan.contains("might_contain(0x"),
+        s"$name: driver-built binary literal sketch survived in the plan")
+    }
+  }
 }

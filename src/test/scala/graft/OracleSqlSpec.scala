@@ -54,6 +54,8 @@ class OracleSqlSpec extends AnyFunSuite {
     // q63c: q47's oracle SQL VERBATIM (sqlExactSubstrOracle) — same
     // gaps-and-islands key, same GROUP-BY-only consumption
     ("q63c_sa_substring_dedup", "gid"),
+    // q63d: the same shared span tail at width SaMinMatch
+    ("q63d_sa_substring_minmatch", "gid"),
     // q58: same gaps-and-islands key, intra-doc (GROUP BY doc_id, gid only)
     ("q58_repetition_filter", "gid"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
