@@ -39,6 +39,45 @@ object QualityQueries {
   private[queries] val RepTop4Max = 0.16
   private[queries] val RepDup3Max = 0.20
 
+  /** q25i2 PII pattern battery. Explicit ASCII classes only ([0-9],
+    * [A-Za-z]) so the same text means the same thing to Java regex
+    * (Spark) and RE2 (DuckDB); no `$`, `\d`, or backrefs. Application
+    * order matters and is part of the contract: email → UUID → IPv4 →
+    * phone → residual digit runs, each class counting/redacting on the
+    * text the previous classes already scrubbed (a UUID's hex digits must
+    * not re-count as digit runs). */
+  private[queries] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PiiUuid =
+    "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+  private[queries] val PiiIpv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[queries] val PiiPhone = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** q25i2's projection over an `(event_id, props)` frame — exposed so
+    * QualitySpec can run the identical battery over a fixture that plants
+    * one instance of every PII class (the synthetic corpus only exercises
+    * the digit-run tail). One select: the five replace/count cascades
+    * fuse into a single codegen'd projection riding the scan. */
+  private[graft] def piiRedaction(events: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val s0 = col("props")
+    val nEmail = regexp_count(s0, lit(PiiEmail)).cast("long")
+    val s1 = regexp_replace(s0, PiiEmail, "<EMAIL>")
+    val nUuid = regexp_count(s1, lit(PiiUuid)).cast("long")
+    val s2 = regexp_replace(s1, PiiUuid, "<UUID>")
+    val nIp = regexp_count(s2, lit(PiiIpv4)).cast("long")
+    val s3 = regexp_replace(s2, PiiIpv4, "<IP>")
+    val nPhone = regexp_count(s3, lit(PiiPhone)).cast("long")
+    val s4 = regexp_replace(s3, PiiPhone, "<PHONE>")
+    val nNum = regexp_count(s4, lit("[0-9]+")).cast("long")
+    val s5 = regexp_replace(s4, "[0-9]+", "<NUM>")
+    events.select(
+      col("event_id"), s5.as("redacted"),
+      nEmail.as("n_email"), nUuid.as("n_uuid"), nIp.as("n_ip"),
+      nPhone.as("n_phone"), nNum.as("n_num"),
+      (nEmail + nUuid + nIp + nPhone + nNum > 0).as("has_pii"))
+      .orderBy("event_id")
+  }
+
   /** q48 feature-hashing buckets (fastText's default is 2M bigram buckets;
     * scaled to the synthetic vocabulary) and the Knuth multiplier that
     * derives the deterministic stand-in weight for bucket b. */
@@ -170,6 +209,45 @@ object QualityQueries {
           regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_matches"),
           (regexp_count(col("props"), lit("[0-9]+")) > 0).as("has_match"))
         .orderBy("event_id")
+    },
+
+    // X4+/Q25i2 — MULTI-CLASS PII redaction (VERDICT r13 "what's missing"
+    // #3): q25i generalized to the battery a production curation pass
+    // actually runs — emails, UUIDs, IPv4 addresses, phone-shaped digit
+    // groups, then residual digit runs, each with its own placeholder and
+    // match count, in ONE scan-riding projection (five chained
+    // regexp_replace calls fuse into the same whole-stage-codegen
+    // projection; no shuffle, embarrassingly parallel at any scale).
+    // Counts are STAGE-WISE — each class counts on the text AFTER the
+    // previous classes redacted (an email's digits must not double-count
+    // as digit runs) — which makes the per-class attribution well-defined
+    // and engine-comparable; the oracle mirrors the same cascade in
+    // chained CTEs. Patterns use explicit ASCII classes ([0-9], [A-Za-z])
+    // so Java regex (Spark) and RE2 (DuckDB) agree; the synthetic props
+    // exercise the digit-run tail at sf scale, and QualitySpec plants one
+    // instance of every class to pin each pattern's replace semantics.
+    QueryDef(
+      "q25i2_pii_redaction",
+      s"""WITH r0 AS (SELECT event_id, props AS s0 FROM events),
+         |r1 AS (SELECT event_id,
+         |  len(regexp_extract_all(s0, '$PiiEmail')) AS n_email,
+         |  regexp_replace(s0, '$PiiEmail', '<EMAIL>', 'g') AS s1 FROM r0),
+         |r2 AS (SELECT event_id, n_email,
+         |  len(regexp_extract_all(s1, '$PiiUuid')) AS n_uuid,
+         |  regexp_replace(s1, '$PiiUuid', '<UUID>', 'g') AS s2 FROM r1),
+         |r3 AS (SELECT event_id, n_email, n_uuid,
+         |  len(regexp_extract_all(s2, '$PiiIpv4')) AS n_ip,
+         |  regexp_replace(s2, '$PiiIpv4', '<IP>', 'g') AS s3 FROM r2),
+         |r4 AS (SELECT event_id, n_email, n_uuid, n_ip,
+         |  len(regexp_extract_all(s3, '$PiiPhone')) AS n_phone,
+         |  regexp_replace(s3, '$PiiPhone', '<PHONE>', 'g') AS s4 FROM r3),
+         |r5 AS (SELECT event_id, n_email, n_uuid, n_ip, n_phone,
+         |  len(regexp_extract_all(s4, '[0-9]+')) AS n_num,
+         |  regexp_replace(s4, '[0-9]+', '<NUM>', 'g') AS s5 FROM r4)
+         |SELECT event_id, s5 AS redacted, n_email, n_uuid, n_ip, n_phone, n_num,
+         |  (n_email + n_uuid + n_ip + n_phone + n_num) > 0 AS has_pii
+         |FROM r5 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      piiRedaction(Tables.events(s, dir))
     },
 
     // X4+/Q25j — deterministic train/val/test split: bucket =

@@ -380,6 +380,36 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._5).toSeq === out.map(_._4).scanLeft(0L)(_ + _).tail.toSeq)
   }
 
+  test("q25i2 PII battery: every class redacts, counts stage-wise, leaves clean text alone") {
+    // one instance of EVERY class (VERDICT r13 #6) — the synthetic corpus
+    // only exercises the digit-run tail, so the per-pattern replace
+    // semantics are pinned here
+    val fixture = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk for details"),
+      (2L, "req id 550e8400-e29b-41d4-a716-446655440000 logged"),
+      (3L, "from 192.168.10.254 port 8080"),
+      (4L, "call +1 555-867-5309 or 415.555.2671 now"),
+      (5L, "plain digits 12345 and 007"),
+      (6L, "no pii here at all"),
+      (7L, "mixed: bob@corp.io at 10.0.0.1 ref 99"))
+      .toDF("event_id", "props")
+    val out = graft.queries.QualityQueries.piiRedaction(fixture)
+      .as[(Long, String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "contact <EMAIL> for details" && out(1L)._3 === 1L)
+    assert(out(2L)._2 === "req id <UUID> logged" && out(2L)._4 === 1L)
+    assert(out(3L)._2 === "from <IP> port <NUM>" && out(3L)._5 === 1L && out(3L)._7 === 1L)
+    // "+1 555-867-5309": the phone pattern anchors on the 3-3-4 groups, the
+    // leading "+1 " digit falls through to the residual digit-run class
+    assert(out(4L)._2 === "call +<NUM> <PHONE> or <PHONE> now" && out(4L)._6 === 2L)
+    assert(out(5L)._2 === "plain digits <NUM> and <NUM>" && out(5L)._7 === 2L)
+    assert(out(6L)._2 === "no pii here at all" && !out(6L)._8)
+    // stage-wise counts: the email's and IP's digits never re-count as runs
+    assert(out(7L)._2 === "mixed: <EMAIL> at <IP> ref <NUM>")
+    assert(out(7L)._3 === 1L && out(7L)._5 === 1L && out(7L)._7 === 1L)
+    assert(out.values.count(_._8) === 6)
+  }
+
   test("q62 dynamic batching: classes are tight powers of two and batches fill to capacity") {
     val out = SparkEntry.queries("q62_dynamic_batching")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
