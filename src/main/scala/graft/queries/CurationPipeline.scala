@@ -239,6 +239,165 @@ object CurationPipeline {
       packable(tokenized(histCurated(s, dir)))
         .groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))
 
+  /** q45b's slice count: the nightly batch arrives as this many
+    * doc_id-ordered micro-batches (files-arriving source, one file per
+    * trigger). */
+  private val StreamSlices = 4
+
+  /** The streaming form of the q45 DAG (see the q45b QueryDef): replay
+    * the nightly batch as doc_id-ordered slices and run the SAME imported
+    * stage programs per micro-batch inside `foreachBatch`, carrying the
+    * two pieces of cross-batch state a continuous curation job owns —
+    * the seen-key set (cross-slice exact dedup: a doc in slice 3 that
+    * duplicates a slice-1 keeper must drop exactly as q45's whole-batch
+    * first-wins rank drops it; doc_id-ordered slices make "first seen"
+    * and "lowest doc_id" coincide) and the per-lang packed-token offsets
+    * (seeded from the standing corpus's totals, advanced by each slice's
+    * packed mass — sequence offsets stay dense across micro-batches).
+    * Both state tables write VERSIONED parquet dirs per batch id (never
+    * in place over the dir being read) — the idempotent `toUpsert` MERGE
+    * shape, so a retried micro-batch overwrites its own version. At scale
+    * each slice's work is slice-proportional: the history is probed
+    * through a slice-side Bloom (scalar subquery, the q45 machinery), the
+    * boilerplate list is the frozen standing artifact, and the quality /
+    * packing stages see only the slice's survivors. */
+  private[graft] def streamingCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamRunner
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val key = lower(trim(col("text")))
+    // standing artifacts, shared object-for-object with q45
+    val histK = histKept(s, dir)
+    val bp = histBoilerplate(s, dir)
+    val base0 = histTokenBase(s, dir)
+    graft.functions.SketchFunctions.register(s)
+    val batchDocs = Tables.documents(s, dir)
+      .filter(col("doc_id") % batchMod(s, dir) === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("dts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val sdf = StreamRunner.replayPaced(s, batchDocs, "dts", StreamSlices, "q45b")
+    val outDir = graft.TempDirs.create("graft_q45b_out_")
+    val stateRoot = graft.TempDirs.create("graft_q45b_state_")
+    val keySchema = StructType(Seq(StructField("k", StringType)))
+    val outSchema = StructType(Seq(
+      StructField("lang", StringType), StructField("doc_id", LongType),
+      StructField("seq", LongType), StructField("seg_begin", LongType),
+      StructField("seg_len", LongType), StructField("offset_in_seq", LongType)))
+    @volatile var seenDir: Option[String] = None
+    @volatile var baseDir: Option[String] = None
+    StreamRunner.runBatches(s, sdf, "q45b") { (slice0, id) =>
+      val ss = slice0.sparkSession
+      val slice = slice0.drop("dts").withColumn("k", key)
+      // slice-side sketch riding the history scan: the batch rule is
+      // fixed-count, so a constant bound sizes it (the max(1000, ·) floor
+      // dominates at BatchTarget volumes)
+      val sketch = slice.select(xxhash64(col("k")).as("kh"))
+        .agg(graft.functions.SketchFunctions
+          .bloomSketchAgg(col("kh"), math.max(1000L, 2L * BatchTarget), 0.01).as("sk"))
+        .scalar()
+      val histCand = histK.select(key.as("hk"))
+        .filter(graft.functions.SketchFunctions.bloomMightContain(
+          sketch, xxhash64(col("hk"))))
+      val seen = seenDir.map(d => ss.read.schema(keySchema).parquet(d))
+        .getOrElse(ss.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), keySchema))
+      val kept = slice
+        .join(broadcast(histCand), col("k") === col("hk"), "left_anti")
+        .join(seen.select(col("k").as("sk0")), col("k") === col("sk0"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("text"), col("k"),
+          row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("doc_id"))).as("rnk"))
+        .filter(col("rnk") === 1)
+      // slice-sized stage-boundary pin (the q45 checkpoint shape): the
+      // packing branch and both state updates read it without replaying
+      // the dedup+clean pipeline per branch
+      val cleanDir = s"$stateRoot/clean_v$id"
+      spanClean(segsOf(kept.select(col("doc_id"), col("lang"), col("text"))), bp)
+        .write.mode("overwrite").parquet(cleanDir)
+      val t = packable(tokenized(ss.read.parquet(cleanDir)))
+      val baseNow = baseDir.map(d => ss.read.parquet(d)).getOrElse(base0)
+      packFrom(t, baseNow).write.mode("append").parquet(outDir)
+      val nb = baseNow
+        .unionByName(t.groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))
+        .groupBy(col("lang")).agg(sum(col("base")).as("base"))
+      val bv = s"$stateRoot/base_v$id"
+      nb.write.mode("overwrite").parquet(bv)
+      baseDir = Some(bv)
+      val sv = s"$stateRoot/seen_v$id"
+      seen.unionByName(kept.select(col("k"))).distinct()
+        .write.mode("overwrite").parquet(sv)
+      seenDir = Some(sv)
+      ()
+    }
+    s.read.schema(outSchema).parquet(outDir).orderBy("lang", "seq", "doc_id")
+  }
+
+  /** The q45 oracle text — shared VERBATIM by q45 (the batch
+    * incremental form) and q45b (the same DAG run as a Structured
+    * Streaming job): stream-batch parity is pinned by one gate. */
+  private lazy val sqlQ45Oracle: String =
+        s"""WITH hist AS (SELECT doc_id, lang, text FROM documents
+           |        WHERE doc_id % $sqlBatchMod <> 0),
+           |batch AS (SELECT doc_id, lang, text FROM documents
+           |        WHERE doc_id % $sqlBatchMod = 0),
+           |hd AS (SELECT doc_id, lang, text,
+           |    ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+           |                       ORDER BY doc_id) AS rnk FROM hist),
+           |hk AS (SELECT doc_id, lang, text FROM hd WHERE rnk = 1),
+           |hsrc AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM hk),
+           |hsegs AS (SELECT doc_id, lang, j,
+           |    array_to_string(toks[(j*$SpanLen+1):(j*$SpanLen+$SpanLen)], ' ') AS stext
+           |  FROM hsrc, unnest(generate_series(0,
+           |    CAST(ceil(len(toks)/$SpanLen.0) AS BIGINT) - 1)) AS g(j)),
+           |hsg AS (SELECT doc_id, lang, j, stext, ${sqlHash32("stext")} AS hh FROM hsegs),
+           |bp AS (SELECT hh FROM (SELECT hh, COUNT(DISTINCT doc_id) AS df
+           |                       FROM hsg GROUP BY 1) WHERE df >= $BoilerplateDf),
+           |hkeptseg AS (SELECT doc_id, j, stext FROM hsg
+           |             WHERE hh NOT IN (SELECT hh FROM bp)),
+           |hagg AS (SELECT doc_id, string_agg(stext, ' ' ORDER BY j) AS clean_text
+           |         FROM hkeptseg GROUP BY 1),
+           |hcur AS (SELECT t.doc_id, t.lang, COALESCE(hagg.clean_text, '') AS ctext
+           |         FROM (SELECT DISTINCT doc_id, lang FROM hsg) t
+           |         LEFT JOIN hagg ON t.doc_id = hagg.doc_id),
+           |ct AS (SELECT doc_id, lang, ${sqlTokens("ctext")} AS toks FROM hcur),
+           |${sqlQualityTrainCtes("ct", "")},
+           |ht AS (SELECT ct.lang, ct.doc_id,
+           |    len(list_filter(ct.toks, x -> x <> '')) AS n_tok
+           |  FROM ct JOIN tr ON ct.doc_id = tr.doc_id),
+           |htot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS base FROM ht GROUP BY 1),
+           |hkeys AS (SELECT DISTINCT lower(trim(text)) AS hkey FROM hk),
+           |bk1 AS (SELECT doc_id, lang, text, lower(trim(text)) AS k FROM batch
+           |        WHERE lower(trim(text)) NOT IN (SELECT hkey FROM hkeys)),
+           |bk AS (SELECT doc_id, lang, text FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rnk
+           |    FROM bk1) WHERE rnk = 1),
+           |bsrc AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM bk),
+           |bsegs AS (SELECT doc_id, lang, j,
+           |    array_to_string(toks[(j*$SpanLen+1):(j*$SpanLen+$SpanLen)], ' ') AS stext
+           |  FROM bsrc, unnest(generate_series(0,
+           |    CAST(ceil(len(toks)/$SpanLen.0) AS BIGINT) - 1)) AS g2(j)),
+           |bh AS (SELECT doc_id, lang, j, stext, ${sqlHash32("stext")} AS hh FROM bsegs),
+           |bkeptseg AS (SELECT doc_id, j, stext FROM bh
+           |             WHERE bh.hh NOT IN (SELECT hh FROM bp)),
+           |bagg AS (SELECT doc_id, string_agg(stext, ' ' ORDER BY j) AS clean_text
+           |         FROM bkeptseg GROUP BY 1),
+           |bcur AS (SELECT t.doc_id, t.lang, COALESCE(bagg.clean_text, '') AS ctext
+           |         FROM (SELECT DISTINCT doc_id, lang FROM bh) t
+           |         LEFT JOIN bagg ON t.doc_id = bagg.doc_id),
+           |bct AS (SELECT doc_id, lang, ${sqlTokens("ctext")} AS toks FROM bcur),
+           |${sqlQualityTrainCtes("bct", "b")},
+           |bt AS (SELECT bct.lang, bct.doc_id,
+           |    len(list_filter(bct.toks, x -> x <> '')) AS n_tok
+           |  FROM bct JOIN btr ON bct.doc_id = btr.doc_id),
+           |o AS (SELECT bt.lang, bt.doc_id, bt.n_tok,
+           |  COALESCE(htot.base, 0) +
+           |  CAST(SUM(bt.n_tok) OVER (PARTITION BY bt.lang ORDER BY bt.doc_id
+           |    ROWS UNBOUNDED PRECEDING) - bt.n_tok AS BIGINT) AS off
+           |  FROM bt LEFT JOIN htot ON bt.lang = htot.lang),
+           |sq AS (SELECT lang, doc_id, n_tok, off,
+           |  unnest(generate_series(off // $SeqLen, (off + n_tok - 1) // $SeqLen)) AS seq
+           |  FROM o WHERE n_tok > 0)
+           |$sqlPackSelect""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q44_curation_pipeline",
@@ -301,68 +460,7 @@ object CurationPipeline {
     // hash-checked end to end.
     QueryDef(
       "q45_incremental_curation",
-      s"""WITH hist AS (SELECT doc_id, lang, text FROM documents
-         |        WHERE doc_id % $sqlBatchMod <> 0),
-         |batch AS (SELECT doc_id, lang, text FROM documents
-         |        WHERE doc_id % $sqlBatchMod = 0),
-         |hd AS (SELECT doc_id, lang, text,
-         |    ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
-         |                       ORDER BY doc_id) AS rnk FROM hist),
-         |hk AS (SELECT doc_id, lang, text FROM hd WHERE rnk = 1),
-         |hsrc AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM hk),
-         |hsegs AS (SELECT doc_id, lang, j,
-         |    array_to_string(toks[(j*$SpanLen+1):(j*$SpanLen+$SpanLen)], ' ') AS stext
-         |  FROM hsrc, unnest(generate_series(0,
-         |    CAST(ceil(len(toks)/$SpanLen.0) AS BIGINT) - 1)) AS g(j)),
-         |hsg AS (SELECT doc_id, lang, j, stext, ${sqlHash32("stext")} AS hh FROM hsegs),
-         |bp AS (SELECT hh FROM (SELECT hh, COUNT(DISTINCT doc_id) AS df
-         |                       FROM hsg GROUP BY 1) WHERE df >= $BoilerplateDf),
-         |hkeptseg AS (SELECT doc_id, j, stext FROM hsg
-         |             WHERE hh NOT IN (SELECT hh FROM bp)),
-         |hagg AS (SELECT doc_id, string_agg(stext, ' ' ORDER BY j) AS clean_text
-         |         FROM hkeptseg GROUP BY 1),
-         |hcur AS (SELECT t.doc_id, t.lang, COALESCE(hagg.clean_text, '') AS ctext
-         |         FROM (SELECT DISTINCT doc_id, lang FROM hsg) t
-         |         LEFT JOIN hagg ON t.doc_id = hagg.doc_id),
-         |ct AS (SELECT doc_id, lang, ${sqlTokens("ctext")} AS toks FROM hcur),
-         |${sqlQualityTrainCtes("ct", "")},
-         |ht AS (SELECT ct.lang, ct.doc_id,
-         |    len(list_filter(ct.toks, x -> x <> '')) AS n_tok
-         |  FROM ct JOIN tr ON ct.doc_id = tr.doc_id),
-         |htot AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS base FROM ht GROUP BY 1),
-         |hkeys AS (SELECT DISTINCT lower(trim(text)) AS hkey FROM hk),
-         |bk1 AS (SELECT doc_id, lang, text, lower(trim(text)) AS k FROM batch
-         |        WHERE lower(trim(text)) NOT IN (SELECT hkey FROM hkeys)),
-         |bk AS (SELECT doc_id, lang, text FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rnk
-         |    FROM bk1) WHERE rnk = 1),
-         |bsrc AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM bk),
-         |bsegs AS (SELECT doc_id, lang, j,
-         |    array_to_string(toks[(j*$SpanLen+1):(j*$SpanLen+$SpanLen)], ' ') AS stext
-         |  FROM bsrc, unnest(generate_series(0,
-         |    CAST(ceil(len(toks)/$SpanLen.0) AS BIGINT) - 1)) AS g2(j)),
-         |bh AS (SELECT doc_id, lang, j, stext, ${sqlHash32("stext")} AS hh FROM bsegs),
-         |bkeptseg AS (SELECT doc_id, j, stext FROM bh
-         |             WHERE bh.hh NOT IN (SELECT hh FROM bp)),
-         |bagg AS (SELECT doc_id, string_agg(stext, ' ' ORDER BY j) AS clean_text
-         |         FROM bkeptseg GROUP BY 1),
-         |bcur AS (SELECT t.doc_id, t.lang, COALESCE(bagg.clean_text, '') AS ctext
-         |         FROM (SELECT DISTINCT doc_id, lang FROM bh) t
-         |         LEFT JOIN bagg ON t.doc_id = bagg.doc_id),
-         |bct AS (SELECT doc_id, lang, ${sqlTokens("ctext")} AS toks FROM bcur),
-         |${sqlQualityTrainCtes("bct", "b")},
-         |bt AS (SELECT bct.lang, bct.doc_id,
-         |    len(list_filter(bct.toks, x -> x <> '')) AS n_tok
-         |  FROM bct JOIN btr ON bct.doc_id = btr.doc_id),
-         |o AS (SELECT bt.lang, bt.doc_id, bt.n_tok,
-         |  COALESCE(htot.base, 0) +
-         |  CAST(SUM(bt.n_tok) OVER (PARTITION BY bt.lang ORDER BY bt.doc_id
-         |    ROWS UNBOUNDED PRECEDING) - bt.n_tok AS BIGINT) AS off
-         |  FROM bt LEFT JOIN htot ON bt.lang = htot.lang),
-         |sq AS (SELECT lang, doc_id, n_tok, off,
-         |  unnest(generate_series(off // $SeqLen, (off + n_tok - 1) // $SeqLen)) AS seq
-         |  FROM o WHERE n_tok > 0)
-         |$sqlPackSelect""".stripMargin) { (s, dir) =>
+      sqlQ45Oracle) { (s, dir) =>
       // incremental dedup: Bloom of the batch keys rides the history scan
       // (native might_contain — the q22d machinery), survivors broadcast
       // into the anti-join, then within-batch first-wins rank
@@ -376,23 +474,21 @@ object CurationPipeline {
       // the FPP and balloon the history scan's survivor volume (ADVICE r11)
       val expected = math.max(1000L,
         2L * (Tables.parquetRowCount(s, s"$dir/documents.parquet") / batchMod(s, dir)))
-      // the sketch is per-batch state (rebuilt nightly in production, once
-      // per session here): .stat.bloomFilter is an EAGER action, and
-      // without the cache every bench pass would re-scan the batch to
-      // rebuild an identical sketch at frame-construction time
-      val bytes = bloomCache.computeIfAbsent(
-        s"${graft.SessionToken(s)}|$dir",
-        _ => {
-          val bloom = batch.select(xxhash64(col("k")).as("kh"))
-            .stat.bloomFilter("kh", expected, 0.01)
-          val bos = new java.io.ByteArrayOutputStream()
-          bloom.writeTo(bos)
-          bos.toByteArray
-        })
+      // the sketch is per-batch state (rebuilt nightly in production),
+      // built DISTRIBUTED via bloom_filter_agg and delivered to the
+      // history scan as a scalar subquery — the q47b/q22d machinery
+      // (VERDICT r13 #4): no driver-built filter, no batch-proportional
+      // literal in the task binaries, and the subquery executes lazily at
+      // query run time (one small batch-side aggregation per execution)
+      // instead of an eager .stat.bloomFilter action at frame construction
       graft.functions.SketchFunctions.register(s)
+      val sketch = batch.select(xxhash64(col("k")).as("kh"))
+        .agg(graft.functions.SketchFunctions
+          .bloomSketchAgg(col("kh"), expected, 0.01).as("sk"))
+        .scalar()
       val histCand = histKept(s, dir).select(key.as("hk"))
         .filter(graft.functions.SketchFunctions.bloomMightContain(
-          lit(bytes), xxhash64(col("hk"))))
+          sketch, xxhash64(col("hk"))))
       val batchKept = batch
         .join(broadcast(histCand), col("k") === col("hk"), "left_anti")
         .select(col("doc_id"), col("lang"), col("text"),
@@ -405,6 +501,24 @@ object CurationPipeline {
       val bclean = Materialize(s, dir, "q45_batch_curated")(
         spanClean(segsOf(batchKept), histBoilerplate(s, dir)))
       packFrom(packable(tokenized(bclean)), histTokenBase(s, dir))
+    },
+
+    // Q45b — STREAMING incremental curation (VERDICT r13 #8): q45's
+    // nightly DAG as a Structured Streaming job over a files-arriving
+    // source — the continuous-ingestion form a production corpus pipeline
+    // eventually runs. The batch replays as doc_id-ordered slices, one
+    // micro-batch each (the T4 pacing machinery); each micro-batch runs
+    // the SAME imported stage programs (Bloom-vs-history dedup →
+    // cross-batch seen-key dedup → frozen-boilerplate span clean →
+    // quality gates → packing) inside `foreachBatch`, with the two pieces
+    // of cross-batch state a continuous curation job must carry — the
+    // seen-key set and the per-lang packed-token offsets (seeded from the
+    // standing corpus's totals) — maintained as versioned parquet tables,
+    // the idempotent MERGE shape `toUpsert` uses. The oracle IS q45's
+    // verbatim: stream-batch parity (q19–q21's pattern), pinned by the
+    // same gate at every SF.
+    QueryDef("q45b_streaming_curation", sqlQ45Oracle) { (s, dir) =>
+      streamingCuration(s, dir)
     },
 
     // Q46 — the corpus DATA CARD: the per-language funnel every shipped
@@ -653,9 +767,6 @@ object CurationPipeline {
        |    AND COALESCE(top_bg, 0)::DOUBLE / greatest(n_bg, 1) <= $MaxTopBigramFrac),
        |${p}tr AS (SELECT doc_id FROM ${p}q
        |  WHERE ${sqlHash32("concat('split:', doc_id)")} % 100 < $ValFrom)""".stripMargin
-
-  private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
   /** The shared final SELECT of both packing oracles (over a CTE `sq`). */
   private lazy val sqlPackSelect: String =

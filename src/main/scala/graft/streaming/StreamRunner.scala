@@ -307,6 +307,22 @@ object StreamRunner {
     * per stateful operator at sf0.1) — those pass `flush = false` and skip
     * it. Production streams keep the default: there, eviction IS the
     * mechanism that bounds state. */
+  /** Run a streaming frame to completion with a caller-supplied
+    * `foreachBatch` body — the `toParquet`/`toUpsert` lifecycle
+    * (AvailableNow trigger, fresh checkpoint, bounded await, state-store
+    * unload) exposed for pipelines that maintain their own cross-batch
+    * state tables (q45b's seen-key set and packing offsets). */
+  def runBatches(spark: SparkSession, sdf: DataFrame, tag: String,
+                 flush: Boolean = true)(f: (DataFrame, Long) => Unit): Unit =
+    withStateParts(spark, flush) {
+      val q = sdf.writeStream
+        .foreachBatch(f)
+        .option("checkpointLocation", tempDir(s"chk_$tag"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitAndUnload(q, tag)
+    }
+
   private def withStateParts[T](spark: SparkSession, flush: Boolean)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)

@@ -43,6 +43,11 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q45_incremental_curation", "n_types"),
     ("q45_incremental_curation", "wlen_sum"),
     ("q45_incremental_curation", "n_bg"),
+    // q45b: q45's oracle text VERBATIM (stream-batch parity) — same
+    // vetted intermediates
+    ("q45b_streaming_curation", "n_types"),
+    ("q45b_streaming_curation", "wlen_sum"),
+    ("q45b_streaming_curation", "n_bg"),
     ("q46_corpus_datacard", "n_types"),
     ("q46_corpus_datacard", "wlen_sum"),
     ("q46_corpus_datacard", "n_bg"),

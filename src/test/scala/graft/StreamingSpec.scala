@@ -299,4 +299,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(q.exception.isEmpty, "stop must be clean")
   }
+
+  /** q45b stream-batch parity under FORCED cross-slice state: a fixture
+    * where a later micro-batch carries (a) an exact duplicate of an
+    * earlier slice's keeper — only the seen-key state can drop it — and
+    * (b) a duplicate of a history doc. The sf-scale oracle run can pass
+    * without ever exercising (a); this pins it. */
+  test("q45b streaming curation: cross-slice dedup + offset state match the batch DAG") {
+    // 120 docs, all-distinct 20-word texts (pass every quality gate);
+    // batch rule at this size is doc_id % 7 == 0 -> 18 batch docs over 4
+    // doc_id-ordered slices
+    val texts = (0 until 120).map { d =>
+      (0 until 20).map(i => s"w${d * 31 + i}x").mkString(" ")
+    }.toArray
+    texts(70) = texts(7)   // cross-slice batch dup (slice ~1 vs ~3)
+    texts(21) = texts(1)   // batch doc duplicating standing history
+    texts(28) = texts(14)  // second cross-slice pair
+    val d = TempDirs.create("graft_q45b_fix_")
+    (0 until 120).map(i =>
+        (i.toLong, texts(i), if (i % 3 == 0) "en" else "de", "src0", texts(i).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val batch = SparkEntry.queries("q45_incremental_curation")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val stream = SparkEntry.queries("q45b_streaming_curation")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stream === batch, "stream and batch DAGs diverged on the fixture")
+    assert(stream.nonEmpty)
+    val docs = stream.map(_._2).toSet
+    assert(docs.contains(7L), "slice-1 keeper must survive")
+    assert(!docs.contains(70L), "cross-slice duplicate must be dropped by seen-key state")
+    assert(!docs.contains(21L), "history duplicate must be dropped")
+    assert(!docs.contains(28L), "second cross-slice duplicate must be dropped")
+    assert(docs.contains(14L), "second pair's keeper must survive")
+  }
 }
