@@ -667,6 +667,8 @@ class DedupEdgeSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain(Subquery subquery"),
         s"$name: expected the bloom probe to read a scalar subquery, got:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"$name: expected the distributed bloom_filter_agg build in the subquery tree")
       assert(!plan.contains("might_contain(0x"),
         s"$name: driver-built binary literal sketch survived in the plan")
     }
