@@ -284,7 +284,10 @@ object CurationPipeline {
       StructField("seg_len", LongType), StructField("offset_in_seq", LongType)))
     @volatile var seenDir: Option[String] = None
     @volatile var baseDir: Option[String] = None
-    StreamRunner.runBatches(s, sdf, "q45b") { (slice0, id) =>
+    // flush=false: the job is stateless-at-the-engine level (all state is
+    // caller-managed parquet), so no-data flush micro-batches would plan
+    // and commit without ever doing work
+    StreamRunner.runBatches(s, sdf, "q45b", flush = false) { (slice0, id) =>
       val ss = slice0.sparkSession
       val slice = slice0.drop("dts").withColumn("k", key)
       // slice-side sketch riding the history scan: the batch rule is
@@ -307,13 +310,17 @@ object CurationPipeline {
           row_number().over(
             Window.partitionBy(col("k")).orderBy(col("doc_id"))).as("rnk"))
         .filter(col("rnk") === 1)
-      // slice-sized stage-boundary pin (the q45 checkpoint shape): the
-      // packing branch and both state updates read it without replaying
-      // the dedup+clean pipeline per branch
-      val cleanDir = s"$stateRoot/clean_v$id"
-      spanClean(segsOf(kept.select(col("doc_id"), col("lang"), col("text"))), bp)
-        .write.mode("overwrite").parquet(cleanDir)
-      val t = packable(tokenized(ss.read.parquet(cleanDir)))
+      // slice-sized stage-boundary pin (the q45 checkpoint shape), taken
+      // AFTER the quality gate: the packing append and the offset-state
+      // update both consume the 3-column (lang, doc_id, n_tok) table, so
+      // pinning it (rather than the text-heavy cleaned table) keeps the
+      // whole dedup→clean→quality pipeline to ONE execution per slice and
+      // the pin bytes to a few longs per surviving doc
+      val tDir = s"$stateRoot/t_v$id"
+      packable(tokenized(spanClean(
+          segsOf(kept.select(col("doc_id"), col("lang"), col("text"))), bp)))
+        .write.mode("overwrite").parquet(tDir)
+      val t = ss.read.parquet(tDir)
       val baseNow = baseDir.map(d => ss.read.parquet(d)).getOrElse(base0)
       packFrom(t, baseNow).write.mode("append").parquet(outDir)
       val nb = baseNow
@@ -322,8 +329,10 @@ object CurationPipeline {
       val bv = s"$stateRoot/base_v$id"
       nb.write.mode("overwrite").parquet(bv)
       baseDir = Some(bv)
+      // no distinct needed: within a slice the rank-1 filter leaves one
+      // row per key, and the seen anti-join above makes slices key-disjoint
       val sv = s"$stateRoot/seen_v$id"
-      seen.unionByName(kept.select(col("k"))).distinct()
+      seen.unionByName(kept.select(col("k")))
         .write.mode("overwrite").parquet(sv)
       seenDir = Some(sv)
       ()
