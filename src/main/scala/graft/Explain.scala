@@ -70,7 +70,11 @@ object Explain {
     "q44_curation_pipeline", // composed curation DAG off the curated materialization
     "q45_incremental_curation", // nightly batch: bloom-vs-history dedup, frozen bp, offset-continuing pack
     "q24o_filtered_topk", // pre-filtered ANN: predicate on the candidate stream between routing and ADC
-    "q46_corpus_datacard") // per-lang curation funnel off the stage-boundary materializations
+    "q46_corpus_datacard", // per-lang curation funnel off the stage-boundary materializations
+    "q47b_incremental_substring", // distributed bloom_filter_agg scalar subquery riding the history scan
+    "q25i2_pii_redaction", // five-class redaction cascade fused into one scan-riding projection
+    "q63c_sa_substring_dedup", // SA removal off the stored LCP table; keeper over duplicate mass
+    "q63d_sa_substring_minmatch") // same index, lcp >= minMatch knob — no rebuild at a new width
 
   /** The streaming members of the BENCH_r08 heavy tail (VERDICT r8 #4):
     * their incremental shapes (append-mode eviction, the stream-static band
