@@ -487,6 +487,33 @@ object DedupQueries {
     substrSpanReport(r)
   }
 
+  /** Oracle CTE chain ending in `l(doc_id, pos, lcp)` — the DuckDB
+    * string-sorted SA + list_position LCP construction, shared by the
+    * spectrum (q63b) and the threshold selector (q63e) so the two can
+    * never diverge on what "the LCP array" means. */
+  private lazy val sqlSaLcpCtes: String =
+    s"""t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |p AS (SELECT doc_id, i AS pos,
+       |    toks[i:least(i + ${SaDepth - 1}, len(toks))] AS a,
+       |    array_to_string(toks[i:least(i + ${SaDepth - 1}, len(toks))], chr(1)) AS sfx
+       |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+       |sel AS (SELECT doc_id, pos, a,
+       |    ROW_NUMBER() OVER (ORDER BY sfx, doc_id, pos) AS sa_pos FROM p),
+       |pr AS (SELECT x.doc_id, x.pos, x.a AS a, y.a AS b
+       |  FROM sel x JOIN sel y ON y.sa_pos = x.sa_pos + 1),
+       |l AS (SELECT doc_id, pos,
+       |    (coalesce(nullif(list_position(list_transform(range(1, greatest(len(a), len(b)) + 1),
+       |        i -> a[i] IS NOT DISTINCT FROM b[i]), false), 0) - 1,
+       |      least(len(a), len(b))))::BIGINT AS lcp
+       |  FROM pr)""".stripMargin
+
+  /** q63e's duplication budget: the recommended minimum-match threshold is
+    * the smallest width whose duplicated-adjacency rate (SA-neighbor pairs
+    * with LCP ≥ L, over all adjacencies) is at or under this fraction —
+    * the quantitative form of how Lee et al. read ~50 chars off the LCP
+    * profile. */
+  private[queries] val DupFracBudget = 0.05
+
   /** Banding-recall eval oracle, parameterized on the sample-modulus
     * expression — ONE text for q23i (literal rate) and q23j (corpus-derived
     * fixed count) so the two monitors can never diverge on eval semantics. */
@@ -1595,8 +1622,9 @@ object DedupQueries {
     //    local ranks + broadcast range offsets — the two-phase distributed
     //    re-rank; NO single-partition window anywhere), one rank
     //    join-back. ~4 linear shuffles × 5 rounds, all AQE-managed.
-    //  - Rounds checkpoint eagerly (local snapshot here; parquet in
-    //    production, the substrWindows precedent) because the shifted
+    //  - Rounds materialize eagerly TO PARQUET (durable — recomputable
+    //    after executor loss, unlike a local checkpoint; superseded
+    //    rounds reclaimed as the next lands) because the shifted
     //    self-join reads the previous round twice — un-truncated lineage
     //    doubles the LOGICAL PLAN per round (2^rounds copies of the base
     //    chain by the end) and recomputes the whole chain per branch.
@@ -1667,20 +1695,7 @@ object DedupQueries {
     //    ≤ SaDepth+1 groups (map-side partials collapse everything).
     QueryDef(
       "q63b_lcp_mining",
-      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
-         |p AS (SELECT doc_id, i AS pos,
-         |    toks[i:least(i + ${SaDepth - 1}, len(toks))] AS a,
-         |    array_to_string(toks[i:least(i + ${SaDepth - 1}, len(toks))], chr(1)) AS sfx
-         |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
-         |sel AS (SELECT doc_id, pos, a,
-         |    ROW_NUMBER() OVER (ORDER BY sfx, doc_id, pos) AS sa_pos FROM p),
-         |pr AS (SELECT x.doc_id, x.pos, x.a AS a, y.a AS b
-         |  FROM sel x JOIN sel y ON y.sa_pos = x.sa_pos + 1),
-         |l AS (SELECT doc_id, pos,
-         |    (coalesce(nullif(list_position(list_transform(range(1, greatest(len(a), len(b)) + 1),
-         |        i -> a[i] IS NOT DISTINCT FROM b[i]), false), 0) - 1,
-         |      least(len(a), len(b))))::BIGINT AS lcp
-         |  FROM pr),
+      s"""WITH $sqlSaLcpCtes,
          |l2 AS (SELECT lcp, doc_id, pos,
          |    ROW_NUMBER() OVER (PARTITION BY lcp ORDER BY doc_id, pos) AS rn,
          |    COUNT(*) OVER (PARTITION BY lcp) AS cnt FROM l)
@@ -1738,6 +1753,50 @@ object DedupQueries {
     // to q47 byte-for-byte).
     QueryDef("q63d_sa_substring_minmatch", sqlExactSubstrOracleW(SaMinMatch)) {
       (s, dir) => saSubstrDedup(s, dir, SaMinMatch)
+    },
+
+    // X1+++/Q63e — THRESHOLD SELECTION off the LCP spectrum: the decision
+    // step between q63b (the spectrum) and q63d (removal at a width) —
+    // for every candidate minimum-match width L ≤ SaDepth, the number of
+    // SA adjacencies with LCP ≥ L and its rate over all adjacencies, plus
+    // the RECOMMENDED width (smallest L at or under [[DupFracBudget]]) —
+    // the quantitative form of Lee et al. reading ~50 chars off the
+    // profile. Everything is bounded arithmetic over the stored LCP
+    // table: one ≤ SaDepth-group count, a 32-row candidate grid theta-
+    // joined to it (NO window, not even a 32-row one), and two broadcast
+    // 1-row frames (total adjacencies; the argmin). Changing the budget
+    // re-runs only this report — the index never rebuilds.
+    QueryDef(
+      "q63e_threshold_select",
+      s"""WITH $sqlSaLcpCtes,
+         |spec AS (SELECT lcp, COUNT(*) AS np FROM l WHERE lcp >= 1 GROUP BY lcp),
+         |tot AS (SELECT COUNT(*) AS tot FROM l),
+         |grid AS (SELECT i AS min_match FROM unnest(generate_series(1, $SaDepth)) g(i)),
+         |curve AS (SELECT g.min_match,
+         |    CAST(COALESCE(SUM(s.np), 0) AS BIGINT) AS n_pairs_ge
+         |  FROM grid g LEFT JOIN spec s ON s.lcp >= g.min_match GROUP BY 1),
+         |rec AS (SELECT MIN(min_match) AS rm FROM curve, tot
+         |        WHERE n_pairs_ge::DOUBLE / tot <= $DupFracBudget)
+         |SELECT c.min_match, c.n_pairs_ge,
+         |  round(c.n_pairs_ge::DOUBLE / tot.tot, 6) AS dup_frac,
+         |  COALESCE(c.min_match = rec.rm, false) AS recommended
+         |FROM curve c, tot, rec ORDER BY c.min_match""".stripMargin) { (s, dir) =>
+      val (_, lcpT) = saLcp(s, dir)
+      val spec = lcpT.filter(col("lcp") >= 1)
+        .groupBy(col("lcp")).agg(count(lit(1)).as("np"))
+      val tot = lcpT.agg(count(lit(1)).as("tot"))
+      val grid = s.range(1, SaDepth + 1).select(col("id").as("min_match"))
+      val curve = grid.join(broadcast(spec), col("lcp") >= col("min_match"), "left")
+        .groupBy(col("min_match"))
+        .agg(coalesce(sum(col("np")), lit(0L)).as("n_pairs_ge"))
+      val rec = curve.crossJoin(broadcast(tot))
+        .filter(col("n_pairs_ge").cast("double") / col("tot") <= DupFracBudget)
+        .agg(min(col("min_match")).as("rm"))
+      curve.crossJoin(broadcast(tot)).crossJoin(broadcast(rec))
+        .select(col("min_match"), col("n_pairs_ge"),
+          round(col("n_pairs_ge").cast("double") / col("tot"), 6).as("dup_frac"),
+          coalesce(col("min_match") === col("rm"), lit(false)).as("recommended"))
+        .orderBy("min_match")
     }
   )
 

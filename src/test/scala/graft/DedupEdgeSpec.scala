@@ -656,6 +656,25 @@ class DedupEdgeSpec extends SparkSpec {
       "width-8 must still remove the 8-token repeat the 16 threshold ignores")
   }
 
+  /** q63e: the threshold curve's structural contract — cumulative counts
+    * are monotone nonincreasing in the width, the rate denominators agree
+    * with the spectrum's own mass, and "recommended" marks exactly the
+    * smallest width whose rate meets the budget (and nothing else). */
+  test("q63e threshold curve is monotone and recommends the smallest in-budget width") {
+    val rows = SparkEntry.queries("q63e_threshold_select")(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) === (1L to DedupQueries.SaDepth.toLong))
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2, s"curve not monotone at ${b._1}") }
+    val inBudget = rows.filter(_._3 <= 0.05).map(_._1)
+    val rec = rows.filter(_._4).map(_._1)
+    if (inBudget.nonEmpty) assert(rec === Seq(inBudget.min),
+      s"expected recommended == ${inBudget.min}, got $rec")
+    else assert(rec.isEmpty)
+    // the selector actually fires on the fixture corpus
+    assert(rec.nonEmpty, "budget never met on the fixture corpus — selector untested")
+  }
+
   /** VERDICT r13 #4: the incremental sketches must be built DISTRIBUTED
     * (bloom_filter_agg partials merged up the agg tree) and reach the
     * probe as a scalar subquery — not a driver-built filter baked into
