@@ -277,7 +277,7 @@ object CurationPipeline {
     val sdf = StreamRunner.replayPaced(s, batchDocs, "dts", StreamSlices, "q45b")
     val outDir = graft.TempDirs.create("graft_q45b_out_")
     val stateRoot = graft.TempDirs.create("graft_q45b_state_")
-    val keySchema = StructType(Seq(StructField("k", StringType)))
+    val keySchema = StructType(Seq(StructField("kh", StringType)))
     val outSchema = StructType(Seq(
       StructField("lang", StringType), StructField("doc_id", LongType),
       StructField("seq", LongType), StructField("seg_begin", LongType),
@@ -303,9 +303,16 @@ object CurationPipeline {
       val seen = seenDir.map(d => ss.read.schema(keySchema).parquet(d))
         .getOrElse(ss.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), keySchema))
+      // the seen-key state stores sha256(k), not the normalized text: at a
+      // production nightly volume the state table is what every future
+      // slice anti-joins against, and 32 bytes/key vs document-sized
+      // strings is the difference between a broadcastable digest table and
+      // a text-sized shuffle (dedupKeep's hash-the-key precedent; a
+      // 256-bit digest adds no practical collision risk to an exact path)
       val kept = slice
         .join(broadcast(histCand), col("k") === col("hk"), "left_anti")
-        .join(seen.select(col("k").as("sk0")), col("k") === col("sk0"), "left_anti")
+        .join(seen.select(col("kh").as("skh")),
+          sha2(col("k"), 256) === col("skh"), "left_anti")
         .select(col("doc_id"), col("lang"), col("text"), col("k"),
           row_number().over(
             Window.partitionBy(col("k")).orderBy(col("doc_id"))).as("rnk"))
@@ -332,7 +339,7 @@ object CurationPipeline {
       // no distinct needed: within a slice the rank-1 filter leaves one
       // row per key, and the seen anti-join above makes slices key-disjoint
       val sv = s"$stateRoot/seen_v$id"
-      seen.unionByName(kept.select(col("k")))
+      seen.unionByName(kept.select(sha2(col("k"), 256).as("kh")))
         .write.mode("overwrite").parquet(sv)
       seenDir = Some(sv)
       ()
