@@ -563,4 +563,22 @@ class PlanSpec extends SparkSpec {
     assert("""windowspecdefinition\(pclass#\d+L?, shard#\d+L?,""".r
       .findFirstIn(p).nonEmpty, p)
   }
+
+  test("q25i2: the five-class redaction cascade rides the scan in one projection") {
+    val p = plan("q25i2_pii_redaction")
+    // per-row projection: the only exchange is the final presentation sort,
+    // and no aggregate/join/window/UDF exists anywhere in the plan
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Aggregate") && !p.contains("Join") &&
+      !p.contains("Window") && !p.contains("UDF"), p)
+  }
+
+  test("q63e: threshold selection is window-free bounded arithmetic off the stored LCP table") {
+    val p = plan("q63e_threshold_select")
+    // the candidate grid joins the ≤32-group spectrum and two 1-row frames
+    // broadcast — a corpus-global rank/window here would mean the report
+    // rebuilt what the index already stores
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
