@@ -642,6 +642,64 @@ object CurationQueries {
           (col("pclass") - col("n_tok")).as("pad_waste"),
           round(col("n_tok").cast("double") / col("pclass"), 6).as("fill"))
         .orderBy("doc_id")
+    },
+
+    // X4++/Q64 — VOCABULARY-DRIFT monitor: tonight's batch (the q47b/q45
+    // doc_id % 7 rule) against the STANDING corpus's word-type vocabulary,
+    // per source — the drift telemetry that tells a pipeline when its
+    // tokenizer (q25t's BPE trains on exactly this vocabulary) and its
+    // LM-familiarity filters (q25n) have gone stale: a source whose
+    // new-type rate jumps is shifting domain. The third instance of the
+    // batch-vs-history incremental pattern: q22d probes standing KEYS,
+    // q47b standing WINDOWS, this the standing VOCABULARY. Scale shape:
+    // the history vocab is a Heaps-SUBLINEAR materialized table (distinct
+    // types grow ~n^0.5-0.8, the q59-measured curve); the batch explodes
+    // to per-(source, type) rows BEFORE the vocab join (map-side count
+    // partials — occurrences never reach the shuffle), so the join is
+    // types-vs-types, AQE-splittable, and marginal cost is
+    // batch-proportional. No countDistinct anywhere: the per-type
+    // pre-aggregation makes every downstream stat a plain SUM/COUNT —
+    // no Expand, one pass.
+    QueryDef(
+      "q64_vocab_drift",
+      s"""WITH hv AS (SELECT DISTINCT unnest(${sqlTokens("text")}) AS v
+         |           FROM documents WHERE doc_id % 7 <> 0),
+         |bt AS (SELECT source, unnest(${sqlTokens("text")}) AS v
+         |       FROM documents WHERE doc_id % 7 = 0),
+         |pt AS (SELECT source, v, COUNT(*) AS cnt FROM bt GROUP BY 1, 2),
+         |j AS (SELECT pt.source, pt.cnt, hv.v AS hvv
+         |      FROM pt LEFT JOIN hv ON pt.v = hv.v)
+         |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+         |  COUNT(*) AS n_types,
+         |  CAST(SUM(CASE WHEN hvv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_types,
+         |  round(SUM(CASE WHEN hvv IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         |    AS new_type_frac,
+         |  round(SUM(CASE WHEN hvv IS NULL THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt), 6)
+         |    AS oov_token_frac
+         |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // the standing vocabulary is a materialized artifact (rebuilt when
+      // the corpus snapshot changes, not per batch) — the table q25t's
+      // BPE and q59's growth curve already conceptually share
+      val vocab = Materialize(s, dir, "q64_hist_vocab")(
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .select(explode(tokens(col("text"))).as("v")).distinct())
+      val pt = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("source"), explode(tokens(col("text"))).as("v"))
+        .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+      val isNew = col("known").isNull
+      pt.join(vocab.withColumn("known", lit(1)), Seq("v"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(isNew, 1L).otherwise(0L)).as("new_types"),
+          sum(when(isNew, col("cnt")).otherwise(0L)).as("oov_tokens"))
+        .select(col("source"), col("n_tok"), col("n_types"), col("new_types"),
+          round(col("new_types").cast("double") / col("n_types"), 6)
+            .as("new_type_frac"),
+          round(col("oov_tokens").cast("double") / col("n_tok"), 6)
+            .as("oov_token_frac"))
+        .orderBy("source")
     }
   )
 

@@ -410,6 +410,30 @@ class CurationSpec extends SparkSpec {
     assert(out.values.count(_._8) === 6)
   }
 
+  test("q64 vocab drift: a shifted-domain source reads high, in-vocab sources read zero") {
+    // history (ids 1..97, not %7==0): vocabulary = w0..w59 spread over
+    // docs; batch (ids %7==0): doc 7/src_a repeats history words (zero
+    // drift), doc 14/src_b is half new words, doc 21/src_c entirely new
+    val histWords = (0 until 60).map(i => s"w$i")
+    def t(ws: Seq[String]) = ws.mkString(" ")
+    val rows = (1 to 97).filter(_ % 7 != 0).map { i =>
+      (i.toLong, t((0 until 20).map(j => histWords((i * 3 + j) % 60))), "en", "hist", 10L)
+    } ++ Seq(
+      (7L, t(histWords.take(20)), "en", "src_a", 10L),
+      (14L, t(histWords.take(10) ++ (0 until 10).map(i => s"fresh$i")), "en", "src_b", 10L),
+      (21L, t((0 until 20).map(i => s"alien$i")), "en", "src_c", 10L))
+    val d = TempDirs.create("graft_q64_")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q64_vocab_drift")(spark, d)
+      .as[(String, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("src_a", "src_b", "src_c"))
+    assert(out("src_a")._4 === 0L && out("src_a")._6 === 0.0)
+    assert(out("src_b")._4 === 10L && out("src_b")._5 === 0.5)
+    assert(out("src_c")._4 === 20L && out("src_c")._5 === 1.0 && out("src_c")._6 === 1.0)
+  }
+
   test("q62 dynamic batching: classes are tight powers of two and batches fill to capacity") {
     val out = SparkEntry.queries("q62_dynamic_batching")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
