@@ -1797,6 +1797,75 @@ object DedupQueries {
           round(col("n_pairs_ge").cast("double") / col("tot"), 6).as("dup_frac"),
           coalesce(col("min_match") === col("rm"), lit(false)).as("recommended"))
         .orderBy("min_match")
+    },
+
+    // X2++/Q65 — batch-vs-history NEAR-DUP drift: the per-source rate of
+    // tonight's batch (the q47b/q45/q64 doc_id % 7 rule) that is a
+    // NEAR-duplicate of the standing corpus — band collision against the
+    // history's LSH index, confirmed by exact shingle Jaccard ≥ 0.2. The
+    // fourth instance of the batch-vs-history pattern (q22d exact keys,
+    // q47b substring windows, q64 vocabulary, q65 near-dup content), and
+    // q29c's streaming gate in its nightly-report form: a source whose
+    // near-dup-of-history rate spikes is re-crawling content the corpus
+    // already holds. Scale shape: signatures come from the SHARED
+    // materialized sigtok table (one compute serves q23/q23b/q29c/q49 and
+    // this), the history band index is a standing materialized artifact
+    // (rebuilt per corpus snapshot, not per batch), the probe is a
+    // batch-side band equi-join (AQE-splittable; candidates only —
+    // never history × batch), and the confirm joins touch candidate
+    // pairs only. Marginal cost is batch-proportional.
+    QueryDef(
+      "q65_neardup_drift",
+      s"""WITH $sqlSigCtes,
+         |hb AS (SELECT doc_id AS hid, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
+         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)
+         |  WHERE doc_id % 7 <> 0),
+         |bb AS (SELECT doc_id AS bid, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
+         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)
+         |  WHERE doc_id % 7 = 0),
+         |cand AS (SELECT DISTINCT bb.bid, hb.hid
+         |  FROM bb JOIN hb ON bb.j = hb.j AND bb.bk = hb.bk),
+         |conf AS (SELECT DISTINCT bid FROM cand
+         |  JOIN sig x ON bid = x.doc_id JOIN sig y ON hid = y.doc_id
+         |  WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2),
+         |b AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN conf.bid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_neardup,
+         |  round(SUM(CASE WHEN conf.bid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*), 6) AS neardup_frac
+         |FROM b LEFT JOIN conf ON b.doc_id = conf.bid
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val sigs = sigTable(s, dir)
+      // standing artifact: the history's band index (q29c materializes the
+      // full-corpus form for its gate; the drift report needs history-only)
+      val histIdx = Materialize(s, dir, "q65_hist_bands")(
+        sigs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id").as("hid"),
+            posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk"))))
+      val batchBands = sigs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("bid"),
+          posexplode(lshBandKeys(col("sig"))).as(Seq("bj", "bbk")))
+      val cand = batchBands
+        .join(histIdx, col("bj") === col("j") && col("bbk") === col("bk"))
+        .select(col("bid"), col("hid")).distinct()
+      val conf = cand
+        .join(sigs.select(col("doc_id").as("xid"), col("shash").as("xsh")),
+          col("bid") === col("xid"))
+        .join(sigs.select(col("doc_id").as("yid"), col("shash").as("ysh")),
+          col("hid") === col("yid"))
+        .filter(jaccard(col("xsh"), col("ysh")) >= 0.2)
+        .select(col("bid")).distinct()
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"))
+        .join(conf, col("doc_id") === col("bid"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bid").isNotNull, 1L).otherwise(0L)).as("n_neardup"))
+        .select(col("source"), col("n_docs"), col("n_neardup"),
+          round(col("n_neardup").cast("double") / col("n_docs"), 6)
+            .as("neardup_frac"))
+        .orderBy("source")
     }
   )
 

@@ -656,6 +656,34 @@ class DedupEdgeSpec extends SparkSpec {
       "width-8 must still remove the 8-token repeat the 16 threshold ignores")
   }
 
+  /** q65: planted drift — a batch doc that near-duplicates a history doc
+    * (one token changed out of 30) must flag; an all-fresh batch doc must
+    * not; a batch doc duplicating another BATCH doc must not flag either
+    * (the monitor measures drift against the STANDING corpus only). */
+  test("q65 near-dup drift flags history near-dups only") {
+    val run30 = (0 until 30).map(i => s"nd$i").mkString(" ")
+    val run30b = ((0 until 15).map(i => s"nd$i") ++ Seq("CHANGED") ++
+      (16 until 30).map(i => s"nd$i")).mkString(" ")
+    val fresh = (0 until 30).map(i => s"zq$i").mkString(" ")
+    val fresh2 = (0 until 30).map(i => s"yk$i").mkString(" ")
+    val rows = Seq(
+      (1L, run30, "en", "hist", 10L),            // history
+      (2L, (0 until 30).map(i => s"hx$i").mkString(" "), "en", "hist", 10L),
+      (7L, run30b, "en", "src_dup", 10L),        // batch: near-dup of doc 1
+      (14L, fresh, "en", "src_new", 10L),        // batch: fresh
+      (21L, fresh2, "en", "src_pair", 10L),      // batch pair: dup of 28,
+      (28L, fresh2, "en", "src_pair", 10L))      //   but NOT of history
+    val d = TempDirs.create("graft_q65_")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q65_neardup_drift")(spark, d)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("src_dup")._3 === 1L && out("src_dup")._4 === 1.0)
+    assert(out("src_new")._3 === 0L)
+    assert(out("src_pair")._3 === 0L,
+      "within-batch duplicates must not count as history drift")
+  }
+
   /** q63e: the threshold curve's structural contract — cumulative counts
     * are monotone nonincreasing in the width, the rate denominators agree
     * with the spectrum's own mass, and "recommended" marks exactly the
