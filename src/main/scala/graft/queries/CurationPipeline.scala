@@ -115,7 +115,7 @@ object CurationPipeline {
     cur.select(col("doc_id"), col("lang"), tokens(col("ctext")).as("toks"))
 
   /** Stage 3 (q25h): doc_ids of `ct` that pass the quality rules. */
-  private def qualityDocs(ct: DataFrame): DataFrame = {
+  private[graft] def qualityDocs(ct: DataFrame): DataFrame = {
     val tok = ct.select(col("doc_id"), lit(0).as("kind"), explode(col("toks")).as("v"))
     val bg = ct.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), lit(1).as("kind"),

@@ -117,6 +117,32 @@ object QualityQueries {
           .as("wsum"))
   }
 
+  /** q25h's oracle CTE chain ending in m(doc_id, n_tok, n_types,
+    * wlen_sum, top_bg, n_bg), and the rule predicate over it — ONE text
+    * shared by q25h and the calibration report (q66) so the two can never
+    * diverge on what "passes the rules" means. */
+  private[queries] val sqlQualityMCtes: String =
+    s"""src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |tok AS (SELECT doc_id, 0 AS kind, unnest(toks) AS v FROM src),
+       |bg AS (SELECT doc_id, 1 AS kind,
+       |  unnest(${sqlShingles("toks", n = 2)}) AS v FROM src
+       |  WHERE len(toks) >= 2),
+       |c AS (SELECT doc_id, kind, v, COUNT(*) AS cnt
+       |      FROM (SELECT * FROM tok UNION ALL SELECT * FROM bg)
+       |      GROUP BY doc_id, kind, v),
+       |m AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN kind = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_tok,
+       |  SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS n_types,
+       |  SUM(CASE WHEN kind = 0 THEN cnt * length(v) ELSE 0 END) AS wlen_sum,
+       |  MAX(CASE WHEN kind = 1 THEN cnt END) AS top_bg,
+       |  SUM(CASE WHEN kind = 1 THEN cnt ELSE 0 END) AS n_bg
+       |  FROM c GROUP BY doc_id)""".stripMargin
+
+  private[queries] val sqlRulePredicate: String =
+    s"""(wlen_sum::DOUBLE / n_tok BETWEEN $MinMeanWordLen AND $MaxMeanWordLen
+       |   AND n_types::DOUBLE / n_tok >= $MinTypeTokenRatio
+       |   AND COALESCE(top_bg, 0)::DOUBLE / greatest(n_bg, 1) <= $MaxTopBigramFrac)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // X4+/Q25h — repetition/quality filter rules: per document, mean word
     // length, type-token ratio, and the frequency share of the most-repeated
@@ -130,29 +156,12 @@ object QualityQueries {
     // computation does.
     QueryDef(
       "q25h_quality_rules",
-      s"""WITH src AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
-         |tok AS (SELECT doc_id, 0 AS kind, unnest(toks) AS v FROM src),
-         |bg AS (SELECT doc_id, 1 AS kind,
-         |  unnest(${sqlShingles("toks", n = 2)}) AS v FROM src
-         |  WHERE len(toks) >= 2),
-         |c AS (SELECT doc_id, kind, v, COUNT(*) AS cnt
-         |      FROM (SELECT * FROM tok UNION ALL SELECT * FROM bg)
-         |      GROUP BY doc_id, kind, v),
-         |m AS (SELECT doc_id,
-         |  CAST(SUM(CASE WHEN kind = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_tok,
-         |  SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS n_types,
-         |  SUM(CASE WHEN kind = 0 THEN cnt * length(v) ELSE 0 END) AS wlen_sum,
-         |  MAX(CASE WHEN kind = 1 THEN cnt END) AS top_bg,
-         |  SUM(CASE WHEN kind = 1 THEN cnt ELSE 0 END) AS n_bg
-         |  FROM c GROUP BY doc_id)
+      s"""WITH $sqlQualityMCtes
          |SELECT doc_id, n_tok,
          |  round(wlen_sum::DOUBLE / n_tok, 6) AS mean_wlen,
          |  round(n_types::DOUBLE / n_tok, 6) AS ttr,
          |  round(COALESCE(top_bg, 0)::DOUBLE / greatest(n_bg, 1), 6) AS top_bigram_frac,
-         |  (wlen_sum::DOUBLE / n_tok BETWEEN $MinMeanWordLen AND $MaxMeanWordLen
-         |   AND n_types::DOUBLE / n_tok >= $MinTypeTokenRatio
-         |   AND COALESCE(top_bg, 0)::DOUBLE / greatest(n_bg, 1) <= $MaxTopBigramFrac)
-         |    AS keep
+         |  $sqlRulePredicate AS keep
          |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val src = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -432,6 +441,65 @@ object QualityQueries {
             col("top4_frac") <= RepTop4Max && col("dup3_frac") <= RepDup3Max)
             .as("keep"))
         .orderBy("doc_id")
+    },
+
+    // X4++/Q66 — CLASSIFIER CALIBRATION: the q48 model's scores binned
+    // against the q25h rule battery's verdicts — the agreement table a
+    // pipeline reads before trusting the model-based filter to replace
+    // (or gate ahead of) the heuristic battery, and the drift check it
+    // re-reads whenever either side is retrained/retuned. Per score band
+    // (floor(score·10) over q48's score ∈ [-1, 1]): doc count, rule-pass
+    // rate, classifier-keep rate, and the agreement rate. Both verdicts
+    // come from the SHARED stage programs (clsScored; CurationPipeline's
+    // qualityDocs — the same imported q25h gate q44/q45 run), and the
+    // oracle composes the SAME two CTE chains (sqlClsCtes is c-prefixed
+    // precisely so it coexists with the quality chain), so neither side
+    // can drift from the operator it calibrates. Banding is
+    // floor-of-identical-IEEE-doubles (exact integer wsum/n_feats on both
+    // engines — the q50 ranking-key precedent). Scale: two doc-keyed
+    // aggregations (both linear, map-side partials) + one doc-keyed join
+    // + a ≤21-group report aggregate.
+    QueryDef(
+      "q66_classifier_calibration",
+      s"""WITH $sqlQualityMCtes,
+         |$sqlClsCtes,
+         |rq AS (SELECT doc_id, $sqlRulePredicate AS rule_keep FROM m),
+         |sb AS (SELECT cm.doc_id,
+         |    CAST(floor(cm.wsum::DOUBLE / (cm.n_feats * 500.0) * 10) AS BIGINT) AS band,
+         |    cm.wsum > 0 AS cls_keep, rq.rule_keep
+         |  FROM cm JOIN rq ON cm.doc_id = rq.doc_id)
+         |SELECT band, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_pass,
+         |  CAST(SUM(CASE WHEN cls_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_cls_keep,
+         |  CAST(SUM(CASE WHEN rule_keep = cls_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  round(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         |    AS rule_pass_frac,
+         |  round(SUM(CASE WHEN rule_keep = cls_keep THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*), 6) AS agree_frac
+         |FROM sb GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      val ct = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      val ruleKeep = CurationPipeline.qualityDocs(ct).withColumn("rk", lit(1))
+      val clsKeep = col("wsum") > 0
+      val ruled = clsScored(s, dir)
+        .join(ruleKeep, Seq("doc_id"), "left")
+        .select(
+          floor(col("wsum").cast("double") / (col("n_feats") * 500.0) * 10)
+            .cast("long").as("band"),
+          col("rk").isNotNull.as("rule_keep"), clsKeep.as("cls_keep"))
+      ruled.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rule_keep"), 1L).otherwise(0L)).as("n_rule_pass"),
+          sum(when(col("cls_keep"), 1L).otherwise(0L)).as("n_cls_keep"),
+          sum(when(col("rule_keep") === col("cls_keep"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("band"), col("n_docs"), col("n_rule_pass"), col("n_cls_keep"),
+          col("n_agree"),
+          round(col("n_rule_pass").cast("double") / col("n_docs"), 6)
+            .as("rule_pass_frac"),
+          round(col("n_agree").cast("double") / col("n_docs"), 6).as("agree_frac"))
+        .orderBy("band")
     }
   )
 }

@@ -410,6 +410,22 @@ class CurationSpec extends SparkSpec {
     assert(out.values.count(_._8) === 6)
   }
 
+  test("q66 calibration: classifier verdicts are sign-consistent with their score bands") {
+    val rows = graft.queries.QualityQueries.defs
+      .find(_.name == "q66_classifier_calibration").get.df(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (band, nDocs, nRule, nCls, nAgree, _, _) =>
+      // strictly positive bands keep everything, strictly negative keep
+      // nothing (band 0 mixes wsum=0 with small positives)
+      if (band >= 1) assert(nCls === nDocs, s"band $band")
+      if (band <= -1) assert(nCls === 0L, s"band $band")
+      assert(nRule <= nDocs && nAgree <= nDocs)
+    }
+    // the report actually spans both sides of the decision boundary
+    assert(rows.exists(_._1 < 0) && rows.exists(_._1 >= 0))
+  }
+
   test("q64 vocab drift: a shifted-domain source reads high, in-vocab sources read zero") {
     // history (ids 1..97, not %7==0): vocabulary = w0..w59 spread over
     // docs; batch (ids %7==0): doc 7/src_a repeats history words (zero

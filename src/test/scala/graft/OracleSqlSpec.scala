@@ -46,6 +46,11 @@ class OracleSqlSpec extends AnyFunSuite {
     // q45b: q45's oracle text VERBATIM (stream-batch parity) — same
     // vetted intermediates
     ("q45b_streaming_curation", "n_types"),
+    // q66: composes q25h's m-chain verbatim (sqlQualityMCtes) — same
+    // vetted intermediates, consumed only inside the rule predicate
+    ("q66_classifier_calibration", "n_types"),
+    ("q66_classifier_calibration", "wlen_sum"),
+    ("q66_classifier_calibration", "n_bg"),
     ("q45b_streaming_curation", "wlen_sum"),
     ("q45b_streaming_curation", "n_bg"),
     ("q46_corpus_datacard", "n_types"),
