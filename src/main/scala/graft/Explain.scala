@@ -74,7 +74,11 @@ object Explain {
     "q47b_incremental_substring", // distributed bloom_filter_agg scalar subquery riding the history scan
     "q25i2_pii_redaction", // five-class redaction cascade fused into one scan-riding projection
     "q63c_sa_substring_dedup", // SA removal off the stored LCP table; keeper over duplicate mass
-    "q63d_sa_substring_minmatch") // same index, lcp >= minMatch knob — no rebuild at a new width
+    "q63d_sa_substring_minmatch", // same index, lcp >= minMatch knob — no rebuild at a new width
+    "q63e_threshold_select", // window-free grid × spectrum report off the stored LCP table
+    "q64_vocab_drift", // batch types vs materialized Heaps-sublinear vocab; no countDistinct
+    "q65_neardup_drift", // batch bands probe the standing LSH index; confirm on candidates only
+    "q66_classifier_calibration") // two shared doc-keyed aggs joined; <=21-group report
 
   /** The streaming members of the BENCH_r08 heavy tail (VERDICT r8 #4):
     * their incremental shapes (append-mode eviction, the stream-static band
