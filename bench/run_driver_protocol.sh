@@ -17,6 +17,10 @@ echo "[driver-protocol] sf=$SF_DIR log=$LOG" >&2
 # the stdout line. Against a pre-launch stamp, any line_full.json written
 # DURING this run tests newer; a stale git-tracked copy tests older.
 STAMP="$(mktemp /tmp/graft_driver_stamp_XXXX)"
+# backdate the stamp: -nt is false on mtime TIES, so on coarse-granularity
+# (1s) filesystems a capture written in the stamp's second would read as
+# stale and silently degrade to the stdout line (ADVICE r14)
+touch -d '1 second ago' "$STAMP"
 SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" >"$LOG" 2>&1 || {
   echo "[driver-protocol] sbt rc=$? — tail:" >&2; tail -20 "$LOG" >&2; exit 1; }
 

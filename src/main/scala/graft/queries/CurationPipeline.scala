@@ -244,50 +244,145 @@ object CurationPipeline {
     * trigger). */
   private val StreamSlices = 4
 
-  /** The streaming form of the q45 DAG (see the q45b QueryDef): replay
-    * the nightly batch as doc_id-ordered slices and run the SAME imported
-    * stage programs per micro-batch inside `foreachBatch`, carrying the
-    * two pieces of cross-batch state a continuous curation job owns —
-    * the seen-key set (cross-slice exact dedup: a doc in slice 3 that
-    * duplicates a slice-1 keeper must drop exactly as q45's whole-batch
-    * first-wins rank drops it; doc_id-ordered slices make "first seen"
-    * and "lowest doc_id" coincide) and the per-lang packed-token offsets
-    * (seeded from the standing corpus's totals, advanced by each slice's
-    * packed mass — sequence offsets stay dense across micro-batches).
-    * Both state tables write VERSIONED parquet dirs per batch id (never
-    * in place over the dir being read) — the idempotent `toUpsert` MERGE
-    * shape, so a retried micro-batch overwrites its own version. At scale
-    * each slice's work is slice-proportional: the history is probed
-    * through a slice-side Bloom (scalar subquery, the q45 machinery), the
-    * boilerplate list is the frozen standing artifact, and the quality /
-    * packing stages see only the slice's survivors. */
-  private[graft] def streamingCuration(s: SparkSession, dir: String): DataFrame = {
+  /** Compact the seen-key deltas once this many accumulate past the last
+    * compact (4 slices → one compaction fires on every full q45b run, so
+    * the path is always exercised, and a continuous stream's read fan-in
+    * stays ≤ 1 compact + [[CompactEvery]] delta dirs). */
+  private val CompactEvery = 3
+
+  private val keySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kh",
+      org.apache.spark.sql.types.StringType)))
+  private val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("base",
+      org.apache.spark.sql.types.LongType)))
+  private val packedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("seq",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("seg_begin",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("seg_len",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("offset_in_seq",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Ids of committed versioned dirs `<root>/<prefix><id>` with id strictly
+    * below `before`, ascending. `before` = the running micro-batch's id:
+    * foreachBatch is at-least-once, so a dir AT the current id is a failed
+    * earlier attempt of this very batch (its offsets never committed) and
+    * must be invisible to the retry — the retry rereads exactly the state
+    * the first attempt saw and overwrites its own versions, which is what
+    * makes every state write idempotent. This listing is ALSO the recovery
+    * path: a restarted job derives its entire cross-batch state from here,
+    * never from driver memory (VERDICT r14 #1). */
+  private def versionsBelow(s: SparkSession, root: String, prefix: String,
+                            before: Long): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) &&
+        n.length > prefix.length && n.drop(prefix.length).forall(_.isDigit) =>
+        n.drop(prefix.length).toLong }
+      .filter(_ < before).sorted
+  }
+
+  private def deleteDir(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  /** The nightly batch with the replay event-time column (exposed so the
+    * restart spec can publish it to a source dir in halves). */
+  private[graft] def curationBatchDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % batchMod(s, dir) === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("dts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+
+  /** The packed output of a (possibly multi-run) streaming-curation job:
+    * the union of its per-batch versioned output dirs. */
+  private[graft] def readPacked(s: SparkSession, outRoot: String): DataFrame = {
+    val vs = versionsBelow(s, outRoot, "out_v", Long.MaxValue)
+    if (vs.isEmpty)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        packedSchema)
+    else s.read.schema(packedSchema)
+      .parquet(vs.map(v => s"$outRoot/out_v$v"): _*)
+      .orderBy("lang", "seq", "doc_id")
+  }
+
+  /** Sorted (version, rows, bytes) of the committed seen-key DELTA dirs —
+    * the spec's instrument for the state-maintenance contract: each delta
+    * holds only its own slice's new keys, so per-slice state-write bytes
+    * are ∝ slice, never ∝ accumulated history. */
+  private[graft] def seenDeltaStats(s: SparkSession,
+                                    stateRoot: String): Seq[(Long, Long, Long)] =
+    versionsBelow(s, stateRoot, "seen_v", Long.MaxValue).map { v =>
+      val d = s"$stateRoot/seen_v$v"
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      (v, s.read.schema(keySchema).parquet(d).count(),
+        fs.getContentSummary(p).getLength)
+    }
+
+  /** The streaming form of the q45 DAG (see the q45b QueryDef), RESUMABLE:
+    * consume doc_id-ordered slices from `sdf` (one micro-batch each) and
+    * run the SAME imported stage programs per micro-batch inside
+    * `foreachBatch`, carrying the two pieces of cross-batch state a
+    * continuous curation job owns — the seen-key set (cross-slice exact
+    * dedup: a doc in slice 3 that duplicates a slice-1 keeper must drop
+    * exactly as q45's whole-batch first-wins rank drops it; doc_id-ordered
+    * slices make "first seen" and "lowest doc_id" coincide) and the
+    * per-lang packed-token offsets (seeded from the standing corpus's
+    * totals, advanced by each slice's packed mass — sequence offsets stay
+    * dense across micro-batches).
+    *
+    * State design (VERDICT r14 #1): every piece of cross-batch state lives
+    * under `stateRoot` as versioned parquet and is re-derived per batch
+    * from the directory listing — no driver-memory pointers, so a job
+    * restarted mid-stream (same checkpoint + stateRoot) resumes with its
+    * full seen-set and offsets (the restart spec pins byte-identical
+    * output). The seen-key state is a DELTA LOG: each batch writes only
+    * its own slice's new keys (slices are key-disjoint by the seen
+    * anti-join), read as the union of the last compact + later deltas, and
+    * compacted every [[CompactEvery]] deltas — per-batch state write is
+    * O(slice) and cumulative write over a stream's life is O(n·n/K)
+    * amortized to O(n) between compactions, not the O(n²) a full-union
+    * rewrite per batch costs. The offsets table rewrites whole per batch —
+    * it is one row per lang, bounded. Writes are idempotent under
+    * foreachBatch's at-least-once contract: versions are keyed by batch
+    * id, a retry sees only versions < its id (the exact state the failed
+    * attempt saw) and overwrites its own. Output is versioned the same way
+    * (`out_v<id>`, overwrite — a retried batch replaces, never
+    * double-appends) and read back as the union of committed versions.
+    *
+    * At scale each slice's work is slice-proportional: the history is
+    * probed through a slice-side Bloom (scalar subquery, the q45
+    * machinery), the boilerplate list is the frozen standing artifact, and
+    * the quality / packing stages see only the slice's survivors. */
+  private[graft] def runStreamingCuration(s: SparkSession, dir: String,
+      sdf: DataFrame, outRoot: String, stateRoot: String,
+      checkpoint: String): Unit = {
     import graft.streaming.StreamRunner
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val key = lower(trim(col("text")))
     // standing artifacts, shared object-for-object with q45
     val histK = histKept(s, dir)
     val bp = histBoilerplate(s, dir)
     val base0 = histTokenBase(s, dir)
     graft.functions.SketchFunctions.register(s)
-    val batchDocs = Tables.documents(s, dir)
-      .filter(col("doc_id") % batchMod(s, dir) === 0)
-      .select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("dts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
-    val sdf = StreamRunner.replayPaced(s, batchDocs, "dts", StreamSlices, "q45b")
-    val outDir = graft.TempDirs.create("graft_q45b_out_")
-    val stateRoot = graft.TempDirs.create("graft_q45b_state_")
-    val keySchema = StructType(Seq(StructField("kh", StringType)))
-    val outSchema = StructType(Seq(
-      StructField("lang", StringType), StructField("doc_id", LongType),
-      StructField("seq", LongType), StructField("seg_begin", LongType),
-      StructField("seg_len", LongType), StructField("offset_in_seq", LongType)))
-    @volatile var seenDir: Option[String] = None
-    @volatile var baseDir: Option[String] = None
     // flush=false: the job is stateless-at-the-engine level (all state is
     // caller-managed parquet), so no-data flush micro-batches would plan
     // and commit without ever doing work
-    StreamRunner.runBatches(s, sdf, "q45b", flush = false) { (slice0, id) =>
+    StreamRunner.runBatches(s, sdf, "q45b", flush = false,
+        checkpoint = Some(checkpoint)) { (slice0, id) =>
       val ss = slice0.sparkSession
       val slice = slice0.drop("dts").withColumn("k", key)
       // slice-side sketch riding the history scan: the batch rule is
@@ -300,9 +395,20 @@ object CurationPipeline {
       val histCand = histK.select(key.as("hk"))
         .filter(graft.functions.SketchFunctions.bloomMightContain(
           sketch, xxhash64(col("hk"))))
-      val seen = seenDir.map(d => ss.read.schema(keySchema).parquet(d))
-        .getOrElse(ss.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), keySchema))
+      // recovered state: last compact + later deltas, all from the listing
+      val deltas = versionsBelow(ss, stateRoot, "seen_v", id)
+      val lastCompact = versionsBelow(ss, stateRoot, "seen_compact_v", id)
+        .lastOption
+      val seenDirs = lastCompact.map(c => s"$stateRoot/seen_compact_v$c").toSeq ++
+        deltas.filter(d => lastCompact.forall(d > _))
+          .map(d => s"$stateRoot/seen_v$d")
+      val seen =
+        if (seenDirs.isEmpty) ss.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), keySchema)
+        else ss.read.schema(keySchema).parquet(seenDirs: _*)
+      val baseNow = versionsBelow(ss, stateRoot, "base_v", id).lastOption
+        .map(b => ss.read.schema(baseSchema).parquet(s"$stateRoot/base_v$b"))
+        .getOrElse(base0)
       // the seen-key state stores sha256(k), not the normalized text: at a
       // production nightly volume the state table is what every future
       // slice anti-joins against, and 32 bytes/key vs document-sized
@@ -328,23 +434,51 @@ object CurationPipeline {
           segsOf(kept.select(col("doc_id"), col("lang"), col("text"))), bp)))
         .write.mode("overwrite").parquet(tDir)
       val t = ss.read.parquet(tDir)
-      val baseNow = baseDir.map(d => ss.read.parquet(d)).getOrElse(base0)
-      packFrom(t, baseNow).write.mode("append").parquet(outDir)
+      packFrom(t, baseNow).write.mode("overwrite").parquet(s"$outRoot/out_v$id")
       val nb = baseNow
         .unionByName(t.groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))
         .groupBy(col("lang")).agg(sum(col("base")).as("base"))
-      val bv = s"$stateRoot/base_v$id"
-      nb.write.mode("overwrite").parquet(bv)
-      baseDir = Some(bv)
-      // no distinct needed: within a slice the rank-1 filter leaves one
-      // row per key, and the seen anti-join above makes slices key-disjoint
-      val sv = s"$stateRoot/seen_v$id"
-      seen.unionByName(kept.select(sha2(col("k"), 256).as("kh")))
-        .write.mode("overwrite").parquet(sv)
-      seenDir = Some(sv)
+      nb.write.mode("overwrite").parquet(s"$stateRoot/base_v$id")
+      // seen DELTA: only this slice's new keys — no distinct needed (the
+      // rank-1 filter leaves one row per key, and the seen anti-join above
+      // makes slices key-disjoint), and no union with history (that union
+      // is what made per-batch state writes O(accumulated keys))
+      kept.select(sha2(col("k"), 256).as("kh"))
+        .write.mode("overwrite").parquet(s"$stateRoot/seen_v$id")
+      // compaction: once CompactEvery deltas accumulate past the last
+      // compact, fold them (and it) into one table keyed by this batch id
+      val uncompacted = deltas.filter(d => lastCompact.forall(d > _)).size + 1
+      if (uncompacted >= CompactEvery) {
+        seen.unionByName(
+            ss.read.schema(keySchema).parquet(s"$stateRoot/seen_v$id"))
+          .write.mode("overwrite").parquet(s"$stateRoot/seen_compact_v$id")
+        // reclaim versions subsumed by the PREVIOUS compact: a retry of
+        // THIS batch id still reads lastCompact + deltas in (lastCompact,
+        // id), so those must stay; anything ≤ the previous compact is
+        // covered by it and dead
+        for (c <- lastCompact) {
+          deltas.filter(_ <= c)
+            .foreach(d => deleteDir(ss, s"$stateRoot/seen_v$d"))
+          versionsBelow(ss, stateRoot, "seen_compact_v", c)
+            .foreach(d => deleteDir(ss, s"$stateRoot/seen_compact_v$d"))
+        }
+      }
       ()
     }
-    s.read.schema(outSchema).parquet(outDir).orderBy("lang", "seq", "doc_id")
+  }
+
+  /** One-shot q45b run: replay the full nightly batch as
+    * [[StreamSlices]] doc_id-ordered micro-batches into fresh
+    * output/state/checkpoint roots and read the packed union back. */
+  private[graft] def streamingCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamRunner
+    val sdf = StreamRunner.replayPaced(
+      s, curationBatchDocs(s, dir), "dts", StreamSlices, "q45b")
+    val outRoot = graft.TempDirs.create("graft_q45b_out_")
+    val stateRoot = graft.TempDirs.create("graft_q45b_state_")
+    val chk = graft.TempDirs.create("graft_q45b_chk_")
+    runStreamingCuration(s, dir, sdf, outRoot, stateRoot, chk)
+    readPacked(s, outRoot)
   }
 
   /** The q45 oracle text — shared VERBATIM by q45 (the batch
@@ -528,9 +662,11 @@ object CurationPipeline {
     // cross-batch seen-key dedup → frozen-boilerplate span clean →
     // quality gates → packing) inside `foreachBatch`, with the two pieces
     // of cross-batch state a continuous curation job must carry — the
-    // seen-key set and the per-lang packed-token offsets (seeded from the
-    // standing corpus's totals) — maintained as versioned parquet tables,
-    // the idempotent MERGE shape `toUpsert` uses. The oracle IS q45's
+    // seen-key set (a compacted DELTA LOG: per-batch writes ∝ slice, see
+    // runStreamingCuration) and the per-lang packed-token offsets (seeded
+    // from the standing corpus's totals) — as versioned parquet recovered
+    // from the stateRoot listing, never from driver memory, so the job
+    // survives a mid-stream restart (spec-pinned). The oracle IS q45's
     // verbatim: stream-batch parity (q19–q21's pattern), pinned by the
     // same gate at every SF.
     QueryDef("q45b_streaming_curation", sqlQ45Oracle) { (s, dir) =>

@@ -50,11 +50,19 @@ object Materialize {
     * for footer-level statistics (row counts) on the stored table without
     * a counting job. None until the tag's first consumer materializes it. */
   def pathFor(s: SparkSession, srcDir: String, tag: String): Option[String] =
-    Option(cache.get(s"${graft.SessionToken(s)}|$tag||$srcDir"))
+    Option(cache.get(key(s, srcDir, tag, Nil)))
+
+  /** The one cache-key format, shared by [[write]] and [[pathFor]] — a
+    * format drift between the two would make pathFor silently always-None
+    * (and its footer-count consumers fall back to their worst-case sizing
+    * bounds, ADVICE r14). */
+  private def key(s: SparkSession, srcDir: String, tag: String,
+                  partCols: Seq[String]): String =
+    s"${graft.SessionToken(s)}|$tag|${partCols.mkString(",")}|$srcDir"
 
   private def write(s: SparkSession, srcDir: String, tag: String,
                     partCols: Seq[String])(df: => DataFrame): DataFrame = {
-    val key = s"${graft.SessionToken(s)}|$tag|${partCols.mkString(",")}|$srcDir"
+    val key = this.key(s, srcDir, tag, partCols)
     // check-then-putIfAbsent, NOT computeIfAbsent: building `df` may itself
     // call Materialize for a dependency (q24d/q24e materialize on top of
     // the materialized base corpus), and a recursive computeIfAbsent on one

@@ -320,15 +320,20 @@ object StreamRunner {
     * mechanism that bounds state. */
   /** Run a streaming frame to completion with a caller-supplied
     * `foreachBatch` body — the `toParquet`/`toUpsert` lifecycle
-    * (AvailableNow trigger, fresh checkpoint, bounded await, state-store
-    * unload) exposed for pipelines that maintain their own cross-batch
-    * state tables (q45b's seen-key set and packing offsets). */
+    * (AvailableNow trigger, bounded await, state-store unload) exposed for
+    * pipelines that maintain their own cross-batch state tables (q45b's
+    * seen-key set and packing offsets). `checkpoint`: pass a caller-owned
+    * location to make the run RESUMABLE — a later call with the same
+    * checkpoint continues from the committed source offsets with
+    * continuing batch ids (the restart path a production streaming job
+    * exercises on every redeploy); defaults to fresh one-shot scratch. */
   def runBatches(spark: SparkSession, sdf: DataFrame, tag: String,
-                 flush: Boolean = true)(f: (DataFrame, Long) => Unit): Unit =
+                 flush: Boolean = true, checkpoint: Option[String] = None)(
+                 f: (DataFrame, Long) => Unit): Unit =
     withStateParts(spark, flush) {
       val q = sdf.writeStream
         .foreachBatch(f)
-        .option("checkpointLocation", tempDir(s"chk_$tag"))
+        .option("checkpointLocation", checkpoint.getOrElse(tempDir(s"chk_$tag")))
         .trigger(Trigger.AvailableNow())
         .start()
       awaitAndUnload(q, tag)

@@ -333,4 +333,75 @@ class StreamingSpec extends SparkSpec {
     assert(!docs.contains(28L), "second cross-slice duplicate must be dropped")
     assert(docs.contains(14L), "second pair's keeper must survive")
   }
+
+  /** q45b RESTART + state-maintenance contract (VERDICT r14 #1): the job is
+    * killed between slices and restarted with the same checkpoint/stateRoot
+    * — the restart's seen-set and packing offsets must be RECOVERED from
+    * the versioned state listing (the driver that held them is gone by
+    * construction: each runStreamingCuration call starts with no in-memory
+    * state), and the final output must be byte-identical to the batch DAG.
+    * Also pins the delta-log shape: each committed seen_v<id> holds ONLY
+    * its slice's new keys (disjoint, summing to the union — per-slice
+    * state-write rows ∝ slice, not ∝ accumulated history), and compaction
+    * fires after CompactEvery deltas. */
+  test("q45b restart: state recovered from stateRoot listing, delta writes ∝ slice") {
+    val texts = (0 until 120).map { d =>
+      (0 until 20).map(i => s"r${d * 37 + i}y").mkString(" ")
+    }.toArray
+    texts(70) = texts(7)   // duplicate pair CROSSING the restart boundary
+    texts(21) = texts(1)   // batch doc duplicating standing history
+    val d = TempDirs.create("graft_q45b_rst_")
+    (0 until 120).map(i =>
+        (i.toLong, texts(i), if (i % 3 == 0) "en" else "de", "src0", texts(i).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val batch = SparkEntry.queries("q45_incremental_curation")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+
+    val bd = graft.queries.CurationPipeline.curationBatchDocs(spark, d)
+    val ids = bd.select("doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    assert(ids.contains(7L) && ids.contains(70L) && 7L < mid && mid <= 70L,
+      "fixture must place the duplicate pair on opposite sides of the restart")
+    val srcDir = TempDirs.create("graft_q45b_rst_src_")
+    val outRoot = TempDirs.create("graft_q45b_rst_out_")
+    val stateRoot = TempDirs.create("graft_q45b_rst_state_")
+    val chk = TempDirs.create("graft_q45b_rst_chk_")
+    def openSrc() = spark.readStream.schema(bd.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    // first run: only the first half of the nightly batch has arrived
+    streaming.StreamRunner.writePacedSlices(
+      bd.filter(col("doc_id") < mid), "dts", 2, srcDir)
+    graft.queries.CurationPipeline.runStreamingCuration(
+      spark, d, openSrc(), outRoot, stateRoot, chk)
+    // crash/redeploy: the second half arrives, a FRESH call (no driver
+    // state survives) resumes from the same checkpoint + stateRoot
+    streaming.StreamRunner.writePacedSlices(
+      bd.filter(col("doc_id") >= mid), "dts", 2, srcDir)
+    graft.queries.CurationPipeline.runStreamingCuration(
+      spark, d, openSrc(), outRoot, stateRoot, chk)
+
+    val streamed = graft.queries.CurationPipeline.readPacked(spark, outRoot)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed === batch,
+      "restarted stream diverged from the batch DAG — state not recovered")
+    val docs = streamed.map(_._2).toSet
+    assert(docs.contains(7L) && !docs.contains(70L),
+      "post-restart slice must drop the pre-restart keeper's duplicate " +
+        "via the RECOVERED seen-key state")
+    // delta-log contract: 4 per-slice deltas, key-disjoint (rows sum to the
+    // union), none cumulative
+    val stats = graft.queries.CurationPipeline.seenDeltaStats(spark, stateRoot)
+    assert(stats.map(_._1) === Seq(0L, 1L, 2L, 3L), s"expected 4 deltas: $stats")
+    val union = spark.read.parquet(stats.map(v => s"$stateRoot/seen_v${v._1}"): _*)
+      .distinct().count()
+    assert(stats.map(_._2).sum === union,
+      s"deltas must be key-disjoint slices of the seen set: $stats vs union $union")
+    assert(stats.map(_._2).max < union,
+      s"a delta holding the whole seen set is a cumulative rewrite: $stats")
+    // compaction fired at batch id 2 (CompactEvery=3) and covers deltas 0-2
+    val compact = spark.read.parquet(s"$stateRoot/seen_compact_v2")
+    assert(compact.distinct().count() === stats.take(3).map(_._2).sum,
+      "compact_v2 must fold exactly deltas v0-v2")
+  }
 }
