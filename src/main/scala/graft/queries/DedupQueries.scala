@@ -514,6 +514,54 @@ object DedupQueries {
     * profile. */
   private[queries] val DupFracBudget = 0.05
 
+  /** q63e/q63f shared threshold machinery: (curve, tot, rec) — the
+    * per-width cumulative adjacency counts over the stored LCP table, the
+    * total adjacency count, and the 1-row recommended width (smallest
+    * in-budget L). All bounded arithmetic; the index never rebuilds. */
+  private def lcpThresholdFrames(s: SparkSession,
+                                 dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (_, lcpT) = saLcp(s, dir)
+    val spec = lcpT.filter(col("lcp") >= 1)
+      .groupBy(col("lcp")).agg(count(lit(1)).as("np"))
+    val tot = lcpT.agg(count(lit(1)).as("tot"))
+    val grid = s.range(1, SaDepth + 1).select(col("id").as("min_match"))
+    val curve = grid.join(broadcast(spec), col("lcp") >= col("min_match"), "left")
+      .groupBy(col("min_match"))
+      .agg(coalesce(sum(col("np")), lit(0L)).as("n_pairs_ge"))
+    val rec = curve.crossJoin(broadcast(tot))
+      .filter(col("n_pairs_ge").cast("double") / col("tot") <= DupFracBudget)
+      .agg(min(col("min_match")).as("rm"))
+    (curve, tot, rec)
+  }
+
+  /** The RECOMMENDED minimum-match width as a driver value (q63f): the
+    * q63e grid argmin off the stored LCP table, [[SaDepth]] when no width
+    * meets the budget (remove only the longest-run duplicates rather than
+    * nothing — the conservative fallback, mirrored in the oracle's
+    * COALESCE). A 1-row collect: the width parameterizes literal slice
+    * bounds in the removal program, so it is a plan-construction scalar —
+    * the same class as BpeTrain's per-round argmax, not a data-path
+    * collect. */
+  private[graft] def recommendedMinMatch(s: SparkSession, dir: String): Int = {
+    val (_, _, rec) = lcpThresholdFrames(s, dir)
+    val row = rec.collect()(0)
+    if (row.isNullAt(0)) SaDepth else row.getLong(0).toInt
+  }
+
+  /** The threshold-curve CTE block (over [[sqlSaLcpCtes]]'s `l`), ending in
+    * `curve(min_match, n_pairs_ge)`, `tot(tot)`, `rec(rm)` — ONE text shared
+    * by the q63e report and the q63f removal so the two consumers of the
+    * recommendation can never diverge on how it is derived. */
+  private lazy val sqlThresholdCtes: String =
+    s"""spec AS (SELECT lcp, COUNT(*) AS np FROM l WHERE lcp >= 1 GROUP BY lcp),
+       |tot AS (SELECT COUNT(*) AS tot FROM l),
+       |grid AS (SELECT i AS min_match FROM unnest(generate_series(1, $SaDepth)) g(i)),
+       |curve AS (SELECT g.min_match,
+       |    CAST(COALESCE(SUM(s.np), 0) AS BIGINT) AS n_pairs_ge
+       |  FROM grid g LEFT JOIN spec s ON s.lcp >= g.min_match GROUP BY 1),
+       |rec AS (SELECT MIN(min_match) AS rm FROM curve, tot
+       |        WHERE n_pairs_ge::DOUBLE / tot <= $DupFracBudget)""".stripMargin
+
   /** Banding-recall eval oracle, parameterized on the sample-modulus
     * expression — ONE text for q23i (literal rate) and q23j (corpus-derived
     * fixed count) so the two monitors can never diverge on eval semantics. */
@@ -1769,34 +1817,54 @@ object DedupQueries {
     QueryDef(
       "q63e_threshold_select",
       s"""WITH $sqlSaLcpCtes,
-         |spec AS (SELECT lcp, COUNT(*) AS np FROM l WHERE lcp >= 1 GROUP BY lcp),
-         |tot AS (SELECT COUNT(*) AS tot FROM l),
-         |grid AS (SELECT i AS min_match FROM unnest(generate_series(1, $SaDepth)) g(i)),
-         |curve AS (SELECT g.min_match,
-         |    CAST(COALESCE(SUM(s.np), 0) AS BIGINT) AS n_pairs_ge
-         |  FROM grid g LEFT JOIN spec s ON s.lcp >= g.min_match GROUP BY 1),
-         |rec AS (SELECT MIN(min_match) AS rm FROM curve, tot
-         |        WHERE n_pairs_ge::DOUBLE / tot <= $DupFracBudget)
+         |$sqlThresholdCtes
          |SELECT c.min_match, c.n_pairs_ge,
          |  round(c.n_pairs_ge::DOUBLE / tot.tot, 6) AS dup_frac,
          |  COALESCE(c.min_match = rec.rm, false) AS recommended
          |FROM curve c, tot, rec ORDER BY c.min_match""".stripMargin) { (s, dir) =>
-      val (_, lcpT) = saLcp(s, dir)
-      val spec = lcpT.filter(col("lcp") >= 1)
-        .groupBy(col("lcp")).agg(count(lit(1)).as("np"))
-      val tot = lcpT.agg(count(lit(1)).as("tot"))
-      val grid = s.range(1, SaDepth + 1).select(col("id").as("min_match"))
-      val curve = grid.join(broadcast(spec), col("lcp") >= col("min_match"), "left")
-        .groupBy(col("min_match"))
-        .agg(coalesce(sum(col("np")), lit(0L)).as("n_pairs_ge"))
-      val rec = curve.crossJoin(broadcast(tot))
-        .filter(col("n_pairs_ge").cast("double") / col("tot") <= DupFracBudget)
-        .agg(min(col("min_match")).as("rm"))
+      val (curve, tot, rec) = lcpThresholdFrames(s, dir)
       curve.crossJoin(broadcast(tot)).crossJoin(broadcast(rec))
         .select(col("min_match"), col("n_pairs_ge"),
           round(col("n_pairs_ge").cast("double") / col("tot"), 6).as("dup_frac"),
           coalesce(col("min_match") === col("rm"), lit(false)).as("recommended"))
         .orderBy("min_match")
+    },
+
+    // X1+++/Q63f — the spectrum→threshold→removal loop CLOSED (VERDICT r14
+    // #3): q63e recommends a minimum-match width, and this query RUNS the
+    // removal at that width — the full nightly decision a production
+    // ExactSubstr pipeline executes (read the LCP profile → pick the
+    // smallest in-budget width → mine at it), previously two disconnected
+    // halves (q63e recommended, q63d removed at a compile-time constant).
+    // The width is the q63e grid argmin read off the stored LCP table (a
+    // 1-row plan-construction scalar, Lee et al.'s "read ~50 chars off the
+    // profile" made algorithmic; COALESCE to SaDepth when no width meets
+    // budget); the removal is the same stored-index saSubstrDedup tail —
+    // no corpus rescan, no index rebuild, changing the budget re-runs only
+    // arithmetic + the removal tail. The ORACLE derives the width the same
+    // way (shared sqlThresholdCtes — the derivation text is ONE string, so
+    // engine and oracle cannot diverge) and removes with dynamic-width
+    // windows grouped by LITERAL window content (array_to_string slices —
+    // hash-free, so this gate is also collision-free by construction),
+    // q47's min(doc_id, pos) keeper rule, and the shared span-merge tail.
+    QueryDef(
+      "q63f_recommended_removal",
+      s"""WITH $sqlSaLcpCtes,
+         |$sqlThresholdCtes,
+         |recw AS (SELECT COALESCE(rm, $SaDepth) AS rm FROM rec),
+         |wsrc AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |wd AS (SELECT doc_id, toks, len(toks) AS n, rm FROM wsrc, recw
+         |       WHERE len(toks) >= rm),
+         |w AS (SELECT doc_id, n, rm, i AS pos,
+         |    array_to_string(toks[i:i+rm-1], chr(1)) AS wh
+         |  FROM wd, unnest(generate_series(1, n - rm + 1)) AS t(i)),
+         |dup AS (SELECT wh, MIN(ROW(doc_id, pos)) AS keeper FROM w
+         |        GROUP BY wh HAVING COUNT(*) >= 2),
+         |r AS (SELECT w.doc_id, w.n, w.pos, w.pos + rm - 1 AS endp
+         |      FROM w JOIN dup ON w.wh = dup.wh
+         |      WHERE ROW(w.doc_id, w.pos) <> dup.keeper),
+         |$sqlSubstrSpanTail""".stripMargin) { (s, dir) =>
+      saSubstrDedup(s, dir, recommendedMinMatch(s, dir))
     },
 
     // X2++/Q65 — batch-vs-history NEAR-DUP drift: the per-source rate of

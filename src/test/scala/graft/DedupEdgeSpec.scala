@@ -703,6 +703,83 @@ class DedupEdgeSpec extends SparkSpec {
     assert(rec.nonEmpty, "budget never met on the fixture corpus — selector untested")
   }
 
+  /** q63f: the spectrum→threshold→removal loop — the width q63f removes at
+    * must be EXACTLY the q63e report's recommended row (wiring), and on a
+    * controlled fixture the whole loop must match a sequential brute force
+    * that independently derives the spectrum, the budgeted argmin, and the
+    * removal at that width. */
+  test("q63f removes at exactly the q63e-recommended width, end to end") {
+    // wiring on the standard fixture SF
+    val rows63e = SparkEntry.queries("q63e_threshold_select")(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    val recRow = rows63e.filter(_._4).map(_._1)
+    val expectedW =
+      if (recRow.isEmpty) DedupQueries.SaDepth.toLong else recRow.head
+    assert(DedupQueries.recommendedMinMatch(spark, sf).toLong === expectedW,
+      "q63f's driver width must be q63e's recommended row")
+
+    // end-to-end fixture: a cross-doc 40-token run (the duplicate mass), an
+    // 8-token repeat (invisible once the recommended width exceeds 8), and
+    // unique filler sized so the budget lands strictly inside (1, SaDepth)
+    val run40 = (0 until 40).map(i => f"fr$i%02d").mkString(" ")
+    val rep8 = (0 until 8).map(i => s"fq$i").mkString(" ")
+    val docsFixture = Seq(
+      (13L, s"$run40 zz end"),
+      (14L, s"$run40 aa tail"),
+      (15L, s"$rep8 mid $rep8 post")) ++
+      (20 until 35).map(i =>
+        (i.toLong, (0 until 20).map(j => s"u${i}_$j").mkString(" ")))
+    val d = TempDirs.create("graft_q63f_")
+    docsFixture.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // brute force: depth-bounded SA → adjacency LCPs → curve → argmin
+    import scala.math.Ordering.Implicits.seqOrdering
+    val sa = docsFixture.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq
+      (1 to toks.length).map { pos =>
+        (toks.slice(pos - 1, pos - 1 + DedupQueries.SaDepth), id, pos.toLong)
+      }
+    }.sorted
+    val lcps = sa.zip(sa.tail).map { case ((a, _, _), (b, _, _)) =>
+      a.zip(b).takeWhile(t => t._1 == t._2).length.toLong }
+    val rec = (1 to DedupQueries.SaDepth)
+      .find(L => lcps.count(_ >= L).toDouble / lcps.size <= 0.05)
+      .getOrElse(DedupQueries.SaDepth)
+    assert(rec > 1 && rec < DedupQueries.SaDepth,
+      s"fixture must land the budget strictly inside the grid, got $rec")
+    assert(DedupQueries.recommendedMinMatch(spark, d) === rec)
+    // brute-force removal at the recommended width
+    val wins = docsFixture.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq
+      (1 to toks.length - rec + 1).map(p =>
+        (toks.slice(p - 1, p - 1 + rec).mkString(""),
+          id, p.toLong, toks.length.toLong))
+    }
+    val removable = wins.groupBy(_._1).filter(_._2.size >= 2).values.flatMap { g =>
+      val keeper = g.map(w => (w._2, w._3)).min
+      g.filter(w => (w._2, w._3) != keeper)
+    }.toSeq
+    val expected = removable.groupBy(_._2).toSeq.map { case (id, ws) =>
+      val n = ws.head._4
+      val spans = ws.map(w => (w._3, w._3 + rec - 1)).sortBy(_._1)
+        .foldLeft(List.empty[(Long, Long)]) {
+          case ((ps, pe) :: rest, (s0, e0)) if s0 <= pe + 1 =>
+            (ps, math.max(pe, e0)) :: rest
+          case (acc, (s0, e0)) => (s0, e0) :: acc
+        }.reverse
+      val dupTok = spans.map(sp => sp._2 - sp._1 + 1).sum
+      (id, spans.size.toLong, dupTok,
+        BigDecimal(dupTok.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val out = SparkEntry.queries("q63f_recommended_removal")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === expected)
+    assert(out.map(_._1).toSet === Set(14L),
+      "at a width > 8 only the 40-run duplicate may lose tokens")
+  }
+
   /** VERDICT r13 #4: the incremental sketches must be built DISTRIBUTED
     * (bloom_filter_agg partials merged up the agg tree) and reach the
     * probe as a scalar subquery — not a driver-built filter baked into
