@@ -1520,6 +1520,88 @@ object SimilarityQueries {
             (col("t.nrm") * col("e.qnrm")),
           col("t.vec_id")).as("ukey"))
       deconReport(ev, pairs)
+    },
+
+    // X3++/Q67 — EMBEDDING-DRIFT monitor (VERDICT r14 #5): the semantic
+    // third of the drift triptych — q64 watches the LEXICAL surface
+    // (new word types), q65 the SHINGLE surface (near-dup text); this
+    // watches the EMBEDDING space: per source, the rate of tonight's
+    // batch vectors (the shared vec_id % 7 rule) that are a SEMANTIC
+    // near-dup (cosine ≥ NearDupTau, q24c/q24d/q60's shared bar) of the
+    // standing corpus — a source whose rate spikes is re-crawling or
+    // paraphrasing content the corpus already embeds, invisible to q64/
+    // q65 once the wording shifts. Fifth instance of the batch-vs-history
+    // pattern (q22d keys, q47b windows, q64 vocabulary, q65 bands).
+    // Scale shape: signatures come from the SHARED materialized
+    // hyperplane table (one build serves q24d, q60b, and this), the
+    // HISTORY band index is a standing per-snapshot artifact, the probe
+    // is a batch-side band equi-join (candidates only — never history ×
+    // batch), and exact cosines touch candidate pairs only; marginal
+    // cost is batch-proportional, shuffle bound by candidate mass.
+    // Report shape = q64/q65's (source, count, flagged, rate).
+    QueryDef(
+      "q67_embedding_drift",
+      s"""WITH $sqlBaseCte,
+         |$sqlPlanesCte,
+         |$sqlSigCte,
+         |js AS (SELECT unnest(generate_series(0, ${LshBands - 1})) AS j),
+         |hb AS (SELECT vec_id AS hid, j,
+         |    (sig // CAST(power(16, j) AS BIGINT)) % 16 AS bv
+         |  FROM sig, js WHERE vec_id % 7 <> 0),
+         |bb AS (SELECT vec_id AS bid, j,
+         |    (sig // CAST(power(16, j) AS BIGINT)) % 16 AS bv
+         |  FROM sig, js WHERE vec_id % 7 = 0),
+         |cand AS (SELECT DISTINCT bb.bid, hb.hid
+         |  FROM bb JOIN hb ON bb.j = hb.j AND bb.bv = hb.bv),
+         |conf AS (SELECT DISTINCT bid FROM cand
+         |  JOIN base x ON bid = x.vec_id JOIN base y ON hid = y.vec_id
+         |  WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+         |    >= $NearDupTau),
+         |b AS (SELECT e.vec_id, d.source FROM embeddings e
+         |      JOIN documents d ON e.vec_id = d.doc_id
+         |      WHERE e.vec_id % 7 = 0)
+         |SELECT source, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN conf.bid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_neardup,
+         |  round(SUM(CASE WHEN conf.bid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*), 6) AS neardup_frac
+         |FROM b LEFT JOIN conf ON b.vec_id = conf.bid
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import VecFunctions.vecDot
+      val sigs = lshSigs(s, dir)
+      def bandKeys(df: DataFrame, idAs: String) = df
+        .withColumn("j", explode(sequence(lit(0), lit(LshBands - 1))))
+        .select(col("vec_id").as(idAs), col("j"),
+          (floor(col("sig") / pow(lit(16), col("j"))).cast("long") % 16).as("bv"))
+      // standing artifact: the history's band index (rebuilt per corpus
+      // snapshot, not per batch — the q65_hist_bands precedent)
+      val histIdx = Materialize(s, dir, "q67_hist_bands")(
+        bandKeys(sigs.filter(col("vec_id") % 7 =!= 0), "hid"))
+      val cand = bandKeys(sigs.filter(col("vec_id") % 7 === 0), "bid")
+        .withColumnRenamed("j", "bj").withColumnRenamed("bv", "bbv")
+        .join(histIdx, col("bj") === col("j") && col("bbv") === col("bv"))
+        .select(col("bid"), col("hid")).distinct()
+      val emb = base(s, dir)
+      val conf = cand
+        .join(emb.select(col("vec_id").as("bid"), col("embedding").as("bemb"),
+          col("nrm").as("bnrm")), Seq("bid"))
+        .join(emb.select(col("vec_id").as("hid"), col("embedding").as("hemb"),
+          col("nrm").as("hnrm")), Seq("hid"))
+        .filter(vecDot(col("bemb"), col("hemb")) /
+          (col("bnrm") * col("hnrm")) >= NearDupTau)
+        .select(col("bid")).distinct()
+      Tables.embeddings(s, dir).select(col("vec_id"))
+        .filter(col("vec_id") % 7 === 0)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+        .join(conf, col("vec_id") === col("bid"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("bid").isNotNull, 1L).otherwise(0L)).as("n_neardup"))
+        .select(col("source"), col("n_vecs"), col("n_neardup"),
+          round(col("n_neardup").cast("double") / col("n_vecs"), 6)
+            .as("neardup_frac"))
+        .orderBy("source")
     }
   )
 

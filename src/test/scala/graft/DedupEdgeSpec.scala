@@ -684,6 +684,43 @@ class DedupEdgeSpec extends SparkSpec {
       "within-batch duplicates must not count as history drift")
   }
 
+  /** q67: planted SEMANTIC drift — a batch vector colinear with a history
+    * vector (cosine 1.0 at a different magnitude, the paraphrase-analogue
+    * the lexical monitors can't see) must flag; an orthogonal fresh batch
+    * vector must not; an identical batch-batch pair must not (drift is
+    * measured against the STANDING corpus only — q65's rule, embedding
+    * space). */
+  test("q67 embedding drift flags history near-dups only") {
+    val dim = 64
+    def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val a = v(i => if (i < 2) 1f else 0f)               // history direction
+    val d2 = v(i => if (i == 2 || i == 3) 1f else 0f)   // second history dir
+    val bDup = v(i => if (i < 2) 2f else 0f)            // colinear with a
+    val bNew = v(i => if (i == 62) 1f else if (i == 63) -1f else 0f)
+    val bPair = v(i => if (i == 4) 1f else if (i == 5) -1f else 0f)
+    val vecs = Seq(
+      (1L, a, 0), (2L, d2, 0),                          // history
+      (7L, bDup, 0), (14L, bNew, 0),                    // batch
+      (21L, bPair, 0), (28L, bPair, 0))                 // batch pair
+    val srcs = Map(1L -> "hist", 2L -> "hist", 7L -> "src_dup",
+      14L -> "src_new", 21L -> "src_pair", 28L -> "src_pair")
+    val d = TempDirs.create("graft_q67_")
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    vecs.map { case (id, _, _) =>
+        (id, s"text $id", "en", srcs(id), 7L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q67_embedding_drift")(spark, d)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("src_dup") === (("src_dup", 1L, 1L, 1.0)),
+      "a batch vector colinear with history must flag")
+    assert(out("src_new")._3 === 0L, "an orthogonal fresh vector must not flag")
+    assert(out("src_pair") === (("src_pair", 2L, 0L, 0.0)),
+      "within-batch duplicates must not count as history drift")
+    assert(!out.contains("hist"), "history sources must not appear in the report")
+  }
+
   /** q63e: the threshold curve's structural contract — cumulative counts
     * are monotone nonincreasing in the width, the rate denominators agree
     * with the spectrum's own mass, and "recommended" marks exactly the
@@ -778,6 +815,45 @@ class DedupEdgeSpec extends SparkSpec {
     assert(out === expected)
     assert(out.map(_._1).toSet === Set(14L),
       "at a width > 8 only the 40-run duplicate may lose tokens")
+  }
+
+  /** q63g: the incremental merge must equal the full rebuild on a fixture
+    * that forces every merge edge — a batch suffix set sorting BEFORE all
+    * history (zero history predecessors), batch text exactly DUPLICATING a
+    * history doc (key ties broken by doc_id across the two sides), batch
+    * suffixes interleaving inside history runs, and short docs. */
+  test("q63g incremental SA merge equals the full rebuild on interleaving fixtures") {
+    val run12 = (0 until 12).map(i => f"mm$i%02d").mkString(" ")
+    val rows = Seq(
+      // history (doc_id % 7 != 0)
+      (13L, s"$run12 zz end"),
+      (20L, s"$run12 aa tail"),      // shares the 12-run with 13 and 14
+      (15L, "b c d e"),
+      (16L, "zz top last"),
+      // batch (doc_id % 7 == 0)
+      (7L, s"$run12 zz end"),        // exact duplicate of hist 13: every
+                                     //   suffix key ties; 7 < 13 wins
+      (14L, s"$run12 qq mid"),       // interleaves inside the run block
+      (21L, "a a a a a"),            // sorts before all history suffixes
+      (28L, "b c"))                  // proper-prefix tie with hist 15
+    val d = TempDirs.create("graft_q63g_")
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rebuild = SparkEntry.queries("q63_suffix_array")(spark, d)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val merge = SparkEntry.queries("q63g_incremental_sa")(spark, d)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(merge === rebuild, "incremental merge diverged from full rebuild")
+    // the merged positions are a dense permutation (no gaps, no collisions)
+    assert(merge.map(_._1) === (1L to merge.length.toLong))
+    // the tie edge really fired: doc 7's full-text duplicate suffixes sort
+    // immediately before doc 13's (equal keys, lower doc_id first)
+    val pos1 = merge.filter(r => r._3 === 1L && (r._2 === 7L || r._2 === 13L))
+      .sortBy(_._1).map(_._2)
+    assert(pos1 === Seq(7L, 13L), s"expected the 7-before-13 tie, got $pos1")
+    // the before-all-history edge fired: the global minimum is batch doc 21
+    assert(merge.head._2 === 21L)
   }
 
   /** VERDICT r13 #4: the incremental sketches must be built DISTRIBUTED

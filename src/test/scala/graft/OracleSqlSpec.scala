@@ -66,6 +66,11 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q63c_sa_substring_dedup", "gid"),
     // q63d: the same shared span tail at width SaMinMatch
     ("q63d_sa_substring_minmatch", "gid"),
+    // q63f: the same shared span tail at the q63e-recommended width
+    ("q63f_recommended_removal", "gid"),
+    // q67: the q24d/q60b shared sig CTE — re-sliced into band values,
+    // never emitted
+    ("q67_embedding_drift", "sig"),
     // q58: same gaps-and-islands key, intra-doc (GROUP BY doc_id, gid only)
     ("q58_repetition_filter", "gid"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is
