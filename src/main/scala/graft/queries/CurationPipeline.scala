@@ -333,6 +333,37 @@ object CurationPipeline {
         fs.getContentSummary(p).getLength)
     }
 
+  /** One slice's clean→quality→pack tail, shared by q45b and q45c: pin the
+    * slice-sized stage boundary (the q45 checkpoint shape), taken AFTER
+    * the quality gate — the packing write and the offset-state update both
+    * consume the 3-column (lang, doc_id, n_tok) table, so pinning it
+    * (rather than the text-heavy cleaned table) keeps the whole
+    * clean→quality pipeline to ONE execution per slice and the pin bytes
+    * to a few longs per surviving doc. Output and the offsets table write
+    * versioned per batch id (overwrite) — idempotent under retries. */
+  private def packSlice(ss: SparkSession, kept: DataFrame, id: Long,
+      outRoot: String, stateRoot: String, bp: DataFrame,
+      baseNow: DataFrame): Unit = {
+    val tDir = s"$stateRoot/t_v$id"
+    packable(tokenized(spanClean(segsOf(kept), bp)))
+      .write.mode("overwrite").parquet(tDir)
+    val t = ss.read.parquet(tDir)
+    packFrom(t, baseNow).write.mode("overwrite").parquet(s"$outRoot/out_v$id")
+    val nb = baseNow
+      .unionByName(t.groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))
+      .groupBy(col("lang")).agg(sum(col("base")).as("base"))
+    nb.write.mode("overwrite").parquet(s"$stateRoot/base_v$id")
+    ()
+  }
+
+  /** The recovered per-lang offsets base for batch `id` (max committed
+    * base version below it; the standing totals before any). */
+  private def baseBefore(ss: SparkSession, stateRoot: String, id: Long,
+      base0: DataFrame): DataFrame =
+    versionsBelow(ss, stateRoot, "base_v", id).lastOption
+      .map(b => ss.read.schema(baseSchema).parquet(s"$stateRoot/base_v$b"))
+      .getOrElse(base0)
+
   /** The streaming form of the q45 DAG (see the q45b QueryDef), RESUMABLE:
     * consume doc_id-ordered slices from `sdf` (one micro-batch each) and
     * run the SAME imported stage programs per micro-batch inside
@@ -406,9 +437,7 @@ object CurationPipeline {
         if (seenDirs.isEmpty) ss.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), keySchema)
         else ss.read.schema(keySchema).parquet(seenDirs: _*)
-      val baseNow = versionsBelow(ss, stateRoot, "base_v", id).lastOption
-        .map(b => ss.read.schema(baseSchema).parquet(s"$stateRoot/base_v$b"))
-        .getOrElse(base0)
+      val baseNow = baseBefore(ss, stateRoot, id, base0)
       // the seen-key state stores sha256(k), not the normalized text: at a
       // production nightly volume the state table is what every future
       // slice anti-joins against, and 32 bytes/key vs document-sized
@@ -423,22 +452,8 @@ object CurationPipeline {
           row_number().over(
             Window.partitionBy(col("k")).orderBy(col("doc_id"))).as("rnk"))
         .filter(col("rnk") === 1)
-      // slice-sized stage-boundary pin (the q45 checkpoint shape), taken
-      // AFTER the quality gate: the packing append and the offset-state
-      // update both consume the 3-column (lang, doc_id, n_tok) table, so
-      // pinning it (rather than the text-heavy cleaned table) keeps the
-      // whole dedup→clean→quality pipeline to ONE execution per slice and
-      // the pin bytes to a few longs per surviving doc
-      val tDir = s"$stateRoot/t_v$id"
-      packable(tokenized(spanClean(
-          segsOf(kept.select(col("doc_id"), col("lang"), col("text"))), bp)))
-        .write.mode("overwrite").parquet(tDir)
-      val t = ss.read.parquet(tDir)
-      packFrom(t, baseNow).write.mode("overwrite").parquet(s"$outRoot/out_v$id")
-      val nb = baseNow
-        .unionByName(t.groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))
-        .groupBy(col("lang")).agg(sum(col("base")).as("base"))
-      nb.write.mode("overwrite").parquet(s"$stateRoot/base_v$id")
+      packSlice(ss, kept.select(col("doc_id"), col("lang"), col("text")),
+        id, outRoot, stateRoot, bp, baseNow)
       // seen DELTA: only this slice's new keys — no distinct needed (the
       // rank-1 filter leaves one row per key, and the seen anti-join above
       // makes slices key-disjoint), and no union with history (that union
@@ -478,6 +493,74 @@ object CurationPipeline {
     val stateRoot = graft.TempDirs.create("graft_q45b_state_")
     val chk = graft.TempDirs.create("graft_q45b_chk_")
     runStreamingCuration(s, dir, sdf, outRoot, stateRoot, chk)
+    readPacked(s, outRoot)
+  }
+
+  /** q45c — q45b with the seen-key state carried by the ENGINE: the
+    * cross-slice first-wins dedup runs as a `transformWithState` stateful
+    * operator (typed ValueState per sha256 key, RocksDB state store —
+    * [[graft.streaming.SeenKeyKeeperProcessor]]) INSIDE the stream, so
+    * checkpointing, exactly-once under micro-batch retries, and restart
+    * recovery of the seen set are the engine's contract instead of the
+    * caller-managed delta log q45b maintains. Everything downstream of
+    * the dedup — Bloom-vs-history anti-join, frozen-boilerplate clean,
+    * quality gate, packing with versioned parquet offsets — is the SAME
+    * shared slice tail ([[packSlice]]); the per-lang offsets stay
+    * caller-managed (one bounded row per lang — nothing a keyed state
+    * store improves). The two state designs answer to the SAME q45
+    * oracle, so they are benchmarked against each other under one gate. */
+  private[graft] def streamingCurationTws(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamRunner
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    val key = lower(trim(col("text")))
+    val histK = histKept(s, dir)
+    val bp = histBoilerplate(s, dir)
+    val base0 = histTokenBase(s, dir)
+    graft.functions.SketchFunctions.register(s)
+    val sdf = StreamRunner.replayPaced(
+      s, curationBatchDocs(s, dir), "dts", StreamSlices, "q45c")
+    val outRoot = graft.TempDirs.create("graft_q45c_out_")
+    val stateRoot = graft.TempDirs.create("graft_q45c_state_")
+    val chk = graft.TempDirs.create("graft_q45c_chk_")
+    val pk = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pk)
+    s.conf.set(pk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the engine-stateful dedup rides the STREAM, ahead of foreachBatch:
+      // each micro-batch delivers only keys never seen by any earlier
+      // slice, first-wins keeper per key
+      val deduped = sdf.drop("dts")
+        .select(col("doc_id"), col("lang"), col("text"),
+          sha2(key, 256).as("kh"))
+        .as[(Long, String, String, String)]
+        .groupByKey(_._4)
+        .transformWithState(new graft.streaming.SeenKeyKeeperProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("doc_id", "lang", "text")
+      StreamRunner.runBatches(s, deduped, "q45c", flush = false,
+          checkpoint = Some(chk)) { (slice0, id) =>
+        val ss = slice0.sparkSession
+        val slice = slice0.withColumn("k", key)
+        val sketch = slice.select(xxhash64(col("k")).as("skh"))
+          .agg(graft.functions.SketchFunctions
+            .bloomSketchAgg(col("skh"), math.max(1000L, 2L * BatchTarget), 0.01)
+            .as("sk"))
+          .scalar()
+        val histCand = histK.select(key.as("hk"))
+          .filter(graft.functions.SketchFunctions.bloomMightContain(
+            sketch, xxhash64(col("hk"))))
+        val kept = slice
+          .join(broadcast(histCand), col("k") === col("hk"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("text"))
+        packSlice(ss, kept, id, outRoot, stateRoot, bp,
+          baseBefore(ss, stateRoot, id, base0))
+      }
+    } finally {
+      prev.fold(s.conf.unset(pk))(v => s.conf.set(pk, v))
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
     readPacked(s, outRoot)
   }
 
@@ -671,6 +754,20 @@ object CurationPipeline {
     // same gate at every SF.
     QueryDef("q45b_streaming_curation", sqlQ45Oracle) { (s, dir) =>
       streamingCuration(s, dir)
+    },
+
+    // Q45c — q45b with ENGINE-MANAGED seen-key state (VERDICT r14 #7): the
+    // cross-slice first-wins dedup as a `transformWithState` typed
+    // ValueState per content digest on the RocksDB state store (the API
+    // requires it; it is also the 100 TB state backend), riding the stream
+    // ahead of foreachBatch — state checkpointing, retry exactly-once, and
+    // restart recovery become the engine's contract, vs q45b's
+    // caller-managed compacted delta log. Downstream of the dedup both
+    // variants run the SAME shared slice tail, and the oracle is q45's
+    // VERBATIM — three state designs (whole-batch rank, caller parquet
+    // log, engine state store), one gate.
+    QueryDef("q45c_streaming_curation_tws", sqlQ45Oracle) { (s, dir) =>
+      streamingCurationTws(s, dir)
     },
 
     // Q46 — the corpus DATA CARD: the per-language funnel every shipped

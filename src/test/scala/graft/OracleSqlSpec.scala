@@ -53,6 +53,11 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q66_classifier_calibration", "n_bg"),
     ("q45b_streaming_curation", "wlen_sum"),
     ("q45b_streaming_curation", "n_bg"),
+    // q45c: q45's oracle text VERBATIM (engine-state variant) — same
+    // vetted intermediates
+    ("q45c_streaming_curation_tws", "n_types"),
+    ("q45c_streaming_curation_tws", "wlen_sum"),
+    ("q45c_streaming_curation_tws", "n_bg"),
     ("q46_corpus_datacard", "n_types"),
     ("q46_corpus_datacard", "wlen_sum"),
     ("q46_corpus_datacard", "n_bg"),

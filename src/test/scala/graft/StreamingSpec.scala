@@ -332,6 +332,12 @@ class StreamingSpec extends SparkSpec {
     assert(!docs.contains(21L), "history duplicate must be dropped")
     assert(!docs.contains(28L), "second cross-slice duplicate must be dropped")
     assert(docs.contains(14L), "second pair's keeper must survive")
+    // q45c: the ENGINE-state variant (transformWithState seen keys) must
+    // agree on the same forced cross-slice fixture — three state designs,
+    // one answer
+    val tws = SparkEntry.queries("q45c_streaming_curation_tws")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(tws === batch, "engine-state variant diverged on the fixture")
   }
 
   /** q45b RESTART + state-maintenance contract (VERDICT r14 #1): the job is
