@@ -78,7 +78,10 @@ object Explain {
     "q63e_threshold_select", // window-free grid × spectrum report off the stored LCP table
     "q64_vocab_drift", // batch types vs materialized Heaps-sublinear vocab; no countDistinct
     "q65_neardup_drift", // batch bands probe the standing LSH index; confirm on candidates only
-    "q66_classifier_calibration") // two shared doc-keyed aggs joined; <=21-group report
+    "q66_classifier_calibration", // two shared doc-keyed aggs joined; <=21-group report
+    "q63f_recommended_removal", // removal at the q63e argmin — stored-index tail, width a plan scalar
+    "q63g_incremental_sa", // batch-built ranks merged into the standing SA: one range exchange + pinned local windows
+    "q67_embedding_drift") // batch bands probe the standing hyperplane index; cosines on candidates only
 
   /** The streaming members of the BENCH_r08 heavy tail (VERDICT r8 #4):
     * their incremental shapes (append-mode eviction, the stream-static band
