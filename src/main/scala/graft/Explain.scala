@@ -81,7 +81,8 @@ object Explain {
     "q66_classifier_calibration", // two shared doc-keyed aggs joined; <=21-group report
     "q63f_recommended_removal", // removal at the q63e argmin — stored-index tail, width a plan scalar
     "q63g_incremental_sa", // batch-built ranks merged into the standing SA: one range exchange + pinned local windows
-    "q67_embedding_drift") // batch bands probe the standing hyperplane index; cosines on candidates only
+    "q67_embedding_drift", // batch bands probe the standing hyperplane index; cosines on candidates only
+    "q63h_incremental_lcp") // retained-history filter (pure arithmetic) + bounded new-pair compares
 
   /** The streaming members of the BENCH_r08 heavy tail (VERDICT r8 #4):
     * their incremental shapes (append-mode eviction, the stream-static band

@@ -451,6 +451,65 @@ object DedupQueries {
         .select(col("doc_id"), col("pos"), col("sa_pos"), suffixKey.as("skey"))
     }
 
+  /** The NIGHTLY SA merge (q63g/q63h shared): batch suffix ranks built by
+    * the q63 machinery over batch docs only, interleaved into the standing
+    * history SA key table by ONE range exchange over the union of
+    * precomputed key rows + per-range local windows counting cross-side
+    * predecessors. Merged position = OWN stored rank + cross-side count:
+    * for a batch row, local hist-before = _rn - _cb (rows strictly before
+    * it minus batch rows strictly before it — both window terms include
+    * self, which cancels); for a history row, local batch-before = _cb
+    * (its own isb is 0, and no cross-side tuple ties exist: doc sets are
+    * disjoint and (skey, doc_id, pos) is a total order). The windowed
+    * frame PINS to parquet before the offsets fan-out (distDenseRank's
+    * ADVICE-r13 rule: both consumers must read one sampled range
+    * partitioning); the only global window runs over the ≤
+    * shuffle-partition per-range count rows.
+    * Output: (doc_id, pos, sa_pos, isb, m_pos) — sa_pos is the HISTORY
+    * array position (0 for batch rows), isb marks batch rows, m_pos the
+    * merged position. */
+  private def mergedSa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = histSaKeys(s, dir)
+    val (bDocs, bR) = suffixRanksOf(s, dir,
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text")), "sa_batch_ranks")
+    val bSa = distDenseRank(s,
+        bR.select(col("r").as("rk"), col("doc_id"), col("pos")),
+        Seq("rk", "doc_id", "pos"), "sa_batch_pos")
+      .select(col("doc_id"), col("pos"), col("r").as("b_rank"))
+    val bk = bSa.join(bDocs, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("b_rank"), suffixKey.as("skey"))
+    val u = hk.select(col("skey"), col("doc_id"), col("pos"),
+        col("sa_pos"), lit(0L).as("isb"), lit(0L).as("b_rank"))
+      .unionByName(bk.select(col("skey"), col("doc_id"), col("pos"),
+        lit(0L).as("sa_pos"), lit(1L).as("isb"), col("b_rank")))
+    val ord = Seq(col("skey"), col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
+    val pinDir = graft.TempDirs.create("graft_sa_merge_")
+    u.repartitionByRange(ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_cb", sum(col("isb")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .write.mode("overwrite").parquet(pinDir)
+    val loc = s.read.parquet(pinDir)
+    val offs = loc.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"), sum(col("isb")).as("_nb"))
+      .select(col("_pid"),
+        coalesce(sum(col("_n") - col("_nb")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_hoff"),
+        coalesce(sum(col("_nb")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_boff"))
+    loc.join(broadcast(offs), Seq("_pid"))
+      .select(col("doc_id"), col("pos"), col("sa_pos"), col("isb"),
+        when(col("isb") === 1,
+          col("b_rank") + col("_hoff") + (col("_rn") - col("_cb")))
+          .otherwise(col("sa_pos") + col("_boff") + col("_cb")).as("m_pos"))
+  }
+
   /** Suffix-array POSITIONS (doc_id, pos, sa_pos), materialized: the
     * prefix-doubling ranks are dense over depth-[[SaDepth]] prefix
     * classes, so appending the (doc_id, pos) tie-break makes every key
@@ -485,21 +544,53 @@ object DedupQueries {
   private def saLcp(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (docs, sa) = saPositions(s, dir)
     val lcpT = Materialize(s, dir, "sa_lcp") {
-      val withToks = sa.join(docs, Seq("doc_id"))
-        .select(col("sa_pos"), col("doc_id"), col("pos"),
-          slice(col("toks"), col("pos").cast("int"), lit(SaDepth)).as("sfx"))
-      val pairs = withToks.as("x")
-        .join(withToks.as("y"), col("x.sa_pos") + 1 === col("y.sa_pos"))
-      val ap = array_position(
-        zip_with(col("x.sfx"), col("y.sfx"), (u, v) => u.eqNullSafe(v)), false)
-      pairs.select(
-        col("x.doc_id").as("a_doc"), col("x.pos").as("a_pos"),
-        col("y.doc_id").as("b_doc"), col("y.pos").as("b_pos"),
-        coalesce(when(ap > 0, ap - 1),
-          least(size(col("x.sfx")), size(col("y.sfx"))).cast("long")).as("lcp"))
+      lcpOfAdjacent(withSuffixSlices(sa, docs)).drop("a_sa", "b_sa")
     }
     (docs, lcpT)
   }
+
+  /** (sa_pos, doc_id, pos, sfx) — positioned suffixes with their
+    * depth-bounded token slices, the input shape of [[lcpOfAdjacent]]. */
+  private def withSuffixSlices(sa: DataFrame, docs: DataFrame): DataFrame =
+    sa.join(docs, Seq("doc_id"))
+      .select(col("sa_pos"), col("doc_id"), col("pos"),
+        slice(col("toks"), col("pos").cast("int"), lit(SaDepth)).as("sfx"))
+
+  /** Adjacent-pair LCPs of a positioned suffix frame: ONE sa_pos+1
+    * equi-join, zip_with + array_position compare (codegen'd, no UDF —
+    * zip_with pads the shorter side with null and <=> reads that as a
+    * mismatch, the oracle's IS NOT DISTINCT FROM; no mismatch ⇒ identical
+    * slices ⇒ lcp = min length). Shared by the full-corpus LCP table
+    * (q63b/c/d via [[saLcp]]) and the standing HISTORY LCP table the q63h
+    * incremental update retains entries from — one compare rule, so the
+    * two tables cannot diverge on what "LCP" means. Output:
+    * (a_sa, a_doc, a_pos, b_sa, b_doc, b_pos, lcp). */
+  private def lcpOfAdjacent(withToks: DataFrame): DataFrame = {
+    val pairs = withToks.as("x")
+      .join(withToks.as("y"), col("x.sa_pos") + 1 === col("y.sa_pos"))
+    val ap = array_position(
+      zip_with(col("x.sfx"), col("y.sfx"), (u, v) => u.eqNullSafe(v)), false)
+    pairs.select(
+      col("x.sa_pos").as("a_sa"), col("x.doc_id").as("a_doc"),
+      col("x.pos").as("a_pos"),
+      col("y.sa_pos").as("b_sa"), col("y.doc_id").as("b_doc"),
+      col("y.pos").as("b_pos"),
+      coalesce(when(ap > 0, ap - 1),
+        least(size(col("x.sfx")), size(col("y.sfx"))).cast("long")).as("lcp"))
+  }
+
+  /** STANDING history LCP table (a_sa, a_doc, a_pos, b_sa, b_doc, b_pos,
+    * lcp) — the per-snapshot artifact beside [[histSaKeys]]: adjacency
+    * LCPs of the HISTORY suffix array, which the q63h incremental update
+    * carries forward wherever no batch suffix split the pair. */
+  private def histSaLcp(s: SparkSession, dir: String): DataFrame =
+    Materialize(s, dir, "sa_hist_lcp") {
+      val hdocs = Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      lcpOfAdjacent(withSuffixSlices(
+        histSaKeys(s, dir).select(col("doc_id"), col("pos"), col("sa_pos")),
+        hdocs))
+    }
 
   /** SA-adjacency ExactSubstr removal at minimum-match width `ww` (≤
     * [[SaDepth]]): a width-ww window occurs ≥ 2 times in the corpus iff
@@ -557,6 +648,19 @@ object DedupQueries {
        |        i -> a[i] IS NOT DISTINCT FROM b[i]), false), 0) - 1,
        |      least(len(a), len(b))))::BIGINT AS lcp
        |  FROM pr)""".stripMargin
+
+  /** The LCP duplicate-mass histogram oracle (DuckDB string-sorted SA +
+    * list_position LCP, per-value pair count + least witness) — shared
+    * VERBATIM by q63b (the full LCP rebuild) and q63h (the incremental
+    * LCP update): update–rebuild parity pinned by one gate, the
+    * q63/q63g pattern applied to the LCP table. */
+  private lazy val sqlLcpHistogramOracle: String =
+    s"""WITH $sqlSaLcpCtes,
+       |l2 AS (SELECT lcp, doc_id, pos,
+       |    ROW_NUMBER() OVER (PARTITION BY lcp ORDER BY doc_id, pos) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lcp) AS cnt FROM l)
+       |SELECT lcp, cnt AS n_pairs, doc_id AS example_doc_id, pos AS example_pos
+       |FROM l2 WHERE rn = 1 ORDER BY lcp""".stripMargin
 
   /** q63e's duplication budget: the recommended minimum-match threshold is
     * the smallest width whose duplicated-adjacency rate (SA-neighbor pairs
@@ -1785,12 +1889,7 @@ object DedupQueries {
     //    ≤ SaDepth+1 groups (map-side partials collapse everything).
     QueryDef(
       "q63b_lcp_mining",
-      s"""WITH $sqlSaLcpCtes,
-         |l2 AS (SELECT lcp, doc_id, pos,
-         |    ROW_NUMBER() OVER (PARTITION BY lcp ORDER BY doc_id, pos) AS rn,
-         |    COUNT(*) OVER (PARTITION BY lcp) AS cnt FROM l)
-         |SELECT lcp, cnt AS n_pairs, doc_id AS example_doc_id, pos AS example_pos
-         |FROM l2 WHERE rn = 1 ORDER BY lcp""".stripMargin) { (s, dir) =>
+      sqlLcpHistogramOracle) { (s, dir) =>
       // the spectrum is a ≤ SaDepth+1-group aggregate over the stored LCP
       // array ([[saLcp]] — built once, shared with q63c/q63d); map-side
       // partials collapse everything before the shuffle
@@ -1939,52 +2038,7 @@ object DedupQueries {
     // history+batch = all documents): merge–rebuild parity pinned by one
     // gate, the q45/q45b pattern.
     QueryDef("q63g_incremental_sa", sqlSaReportOracle) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val hk = histSaKeys(s, dir)
-      val (bDocs, bR) = suffixRanksOf(s, dir,
-        Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
-          .select(col("doc_id"), col("text")), "sa_batch_ranks")
-      val bSa = distDenseRank(s,
-          bR.select(col("r").as("rk"), col("doc_id"), col("pos")),
-          Seq("rk", "doc_id", "pos"), "sa_batch_pos")
-        .select(col("doc_id"), col("pos"), col("r").as("b_rank"))
-      val bk = bSa.join(bDocs, Seq("doc_id"))
-        .select(col("doc_id"), col("pos"), col("b_rank"), suffixKey.as("skey"))
-      val u = hk.select(col("skey"), col("doc_id"), col("pos"),
-          col("sa_pos"), lit(0L).as("isb"), lit(0L).as("b_rank"))
-        .unionByName(bk.select(col("skey"), col("doc_id"), col("pos"),
-          lit(0L).as("sa_pos"), lit(1L).as("isb"), col("b_rank")))
-      val ord = Seq(col("skey"), col("doc_id"), col("pos"))
-      val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
-      val pinDir = graft.TempDirs.create("graft_sa_merge_")
-      u.repartitionByRange(ord: _*)
-        .withColumn("_pid", spark_partition_id())
-        .withColumn("_rn", row_number().over(w).cast("long"))
-        .withColumn("_cb", sum(col("isb")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-        .write.mode("overwrite").parquet(pinDir)
-      val loc = s.read.parquet(pinDir)
-      val offs = loc.groupBy(col("_pid"))
-        .agg(count(lit(1)).as("_n"), sum(col("isb")).as("_nb"))
-        .select(col("_pid"),
-          coalesce(sum(col("_n") - col("_nb")).over(
-            Window.orderBy(col("_pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_hoff"),
-          coalesce(sum(col("_nb")).over(
-            Window.orderBy(col("_pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_boff"))
-      // merged position: own stored rank + cross-side predecessors. For a
-      // batch row, local hist-before = _rn - _cb (rows strictly before it
-      // minus batch rows strictly before it — both window terms include
-      // self, which cancels); for a history row, local batch-before = _cb
-      // (its own isb is 0, and no cross-side tuple ties exist: doc sets
-      // are disjoint and (skey, doc_id, pos) is a total order).
-      val merged = loc.join(broadcast(offs), Seq("_pid"))
-        .select(col("doc_id"), col("pos"),
-          when(col("isb") === 1,
-            col("b_rank") + col("_hoff") + (col("_rn") - col("_cb")))
-            .otherwise(col("sa_pos") + col("_boff") + col("_cb")).as("m_pos"))
-      val top = merged.filter(col("m_pos") <= SaTopK)
+      val top = mergedSa(s, dir).filter(col("m_pos") <= SaTopK)
         .select(col("m_pos").as("sa_pos"), col("doc_id"), col("pos"))
       Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1995,6 +2049,79 @@ object DedupQueries {
               try_element_at(col("toks"), (col("pos") + lit(j)).cast("int"))): _*)
             .as("prefix8"))
         .orderBy("sa_pos")
+    },
+
+    // X1+++/Q63h — INCREMENTAL LCP MAINTENANCE: the second half of the
+    // nightly index update (q63g merges POSITIONS; this updates the LCP
+    // table the removal/threshold consumers actually read). The merged
+    // array's adjacencies decompose exactly: a history pair stays
+    // adjacent iff NO batch suffix landed between its members — and with
+    // merged_h = sa_pos + batchBefore, that is the pure arithmetic test
+    // batchBefore(left) == batchBefore(right) on the merge frame, no key
+    // compare at all — while every adjacency INVOLVING a batch suffix is
+    // new (≤ 2·batch+1 pairs: each inserted suffix touches its merged
+    // neighbors at ±1). So the update = standing history LCP entries
+    // FILTERED by the equality (carried forward verbatim, never
+    // recomputed) ∪ freshly-compared new pairs (bounded, broadcast
+    // probes into the merge frame + the docs scan for their slices, the
+    // shared zip_with compare). Nothing history-sized is ever re-COMPARED
+    // — the only corpus-linear work is the merge frame itself (shared
+    // with q63g's machinery, built by the same one range exchange).
+    // ORACLE IS q63b's VERBATIM (the full-rebuild LCP histogram over
+    // history+batch): update–rebuild parity pinned by one gate — and
+    // since witnesses ride the per-lcp min, a single retained-vs-broken
+    // misclassification anywhere flips a count or a witness and fails
+    // the hash.
+    QueryDef("q63h_incremental_lcp", sqlLcpHistogramOracle) { (s, dir) =>
+      val m = mergedSa(s, dir)
+      // retained: history adjacencies with equal batch-predecessor counts
+      val histBB = m.filter(col("isb") === 0)
+        .select(col("sa_pos").as("h_sa"), (col("m_pos") - col("sa_pos")).as("bb"))
+      val retained = histSaLcp(s, dir)
+        .join(histBB.select(col("h_sa"), col("bb").as("a_bb")),
+          col("a_sa") === col("h_sa")).drop("h_sa")
+        .join(histBB.select(col("h_sa"), col("bb").as("b_bb")),
+          col("b_sa") === col("h_sa")).drop("h_sa")
+        .filter(col("a_bb") === col("b_bb"))
+        .select(col("a_doc"), col("a_pos"), col("lcp"))
+      // new adjacencies: merged pairs touching a batch suffix — bounded
+      val bpos = m.filter(col("isb") === 1).select(col("m_pos"))
+      val cand = bpos.select((col("m_pos") - 1).as("lp"), col("m_pos").as("rp"))
+        .unionByName(
+          bpos.select(col("m_pos").as("lp"), (col("m_pos") + 1).as("rp")))
+        .filter(col("lp") >= 1).distinct()
+      val left = m.join(broadcast(cand), col("m_pos") === col("lp"))
+        .select(col("lp"), col("rp"),
+          col("doc_id").as("a_doc"), col("pos").as("a_pos"))
+      val right = m.join(broadcast(cand
+            .withColumnRenamed("lp", "lp2").withColumnRenamed("rp", "rp2")),
+          col("m_pos") === col("rp2"))
+        .select(col("lp2"), col("rp2"),
+          col("doc_id").as("b_doc"), col("pos").as("b_pos"))
+      val np = left.join(right,
+        col("lp") === col("lp2") && col("rp") === col("rp2"))
+        .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"))
+      val docsAll = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val withA = docsAll.join(broadcast(np), col("doc_id") === col("a_doc"))
+        .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+          slice(col("toks"), col("a_pos").cast("int"), lit(SaDepth)).as("asfx"))
+      val withB = docsAll.join(broadcast(withA), col("doc_id") === col("b_doc"))
+        .select(col("a_doc"), col("a_pos"), col("asfx"),
+          slice(col("toks"), col("b_pos").cast("int"), lit(SaDepth)).as("bsfx"))
+      val ap = array_position(
+        zip_with(col("asfx"), col("bsfx"), (u, v) => u.eqNullSafe(v)), false)
+      val newLcp = withB.select(col("a_doc"), col("a_pos"),
+        coalesce(when(ap > 0, ap - 1),
+          least(size(col("asfx")), size(col("bsfx"))).cast("long")).as("lcp"))
+      retained.unionByName(newLcp)
+        .groupBy(col("lcp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(struct(col("a_doc").as("doc_id"), col("a_pos").as("pos"))).as("ex"))
+        .select(col("lcp"), col("n_pairs"),
+          col("ex.doc_id").as("example_doc_id"),
+          col("ex.pos").as("example_pos"))
+        .orderBy("lcp")
     },
 
     // X2++/Q65 — batch-vs-history NEAR-DUP drift: the per-source rate of

@@ -854,6 +854,18 @@ class DedupEdgeSpec extends SparkSpec {
     assert(pos1 === Seq(7L, 13L), s"expected the 7-before-13 tie, got $pos1")
     // the before-all-history edge fired: the global minimum is batch doc 21
     assert(merge.head._2 === 21L)
+    // q63h: the incremental LCP update (retained history pairs + bounded
+    // new pairs) must equal the full-rebuild histogram on the SAME fixture
+    // — whose interleavings guarantee BROKEN history pairs (doc 7's
+    // duplicate suffixes insert directly before every doc-13 suffix, and
+    // doc 14 splits the 12-run block), so the retained-vs-broken
+    // arithmetic is genuinely exercised, not vacuous
+    val rebuildLcp = SparkEntry.queries("q63b_lcp_mining")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val incLcp = SparkEntry.queries("q63h_incremental_lcp")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(incLcp === rebuildLcp, "incremental LCP diverged from full rebuild")
+    assert(rebuildLcp.nonEmpty)
   }
 
   /** VERDICT r13 #4: the incremental sketches must be built DISTRIBUTED
