@@ -581,4 +581,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q63f: removal at the recommended width serves from the STORED LCP table") {
+    val p = plan("q63f_recommended_removal")
+    // detection must read the sa_lcp materialization, not rebuild the
+    // index: the scan path carries the Materialize scratch prefix, and no
+    // zip_with suffix compare (the LCP construction) appears anywhere —
+    // changing the width re-runs only the removal tail
+    assert(p.contains("graft_sa_lcp_"), p)
+    assert(!p.contains("zip_with"), p)
+  }
+
+  test("q63g: the merge report serves from ONE pinned range partitioning") {
+    val p = plan("q63g_incremental_sa")
+    // the report reads the pinned merge parquet (both the offsets branch
+    // and the row branch — the ADVICE-r13 consistency rule), and the only
+    // Window in the plan is the per-range-count offsets window, never a
+    // corpus-global rank
+    assert(p.contains("graft_sa_merge_"), p)
+    val winSpecs = """windowspecdefinition\(_pid#\d+""".r.findAllIn(p).size
+    val allWins = "windowspecdefinition".r.findAllIn(p).size
+    assert(allWins > 0 && winSpecs === allWins,
+      s"expected every window keyed by _pid (got $winSpecs of $allWins):\n$p")
+  }
+
+  test("q63h: history LCPs carry forward by arithmetic; fresh compares are broadcast-bounded") {
+    val p = plan("q63h_incremental_lcp")
+    // the retained branch reads the standing sa_hist_lcp artifact, and the
+    // ONLY zip_with suffix compare sits under the bounded new-pair branch
+    // (delivered by broadcast) — nothing history-sized is re-compared
+    assert(p.contains("graft_sa_hist_lcp_"), p)
+    // one expression node computes the compare (it prints twice inside the
+    // node: the match-position branch and the min-length fallback both
+    // reference it) — a second NODE would mean a history-sized compare
+    assert(p.linesIterator.count(_.contains("zip_with")) === 1, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q67: candidates come from a band equi-join over the shared sig table, never history × batch") {
+    val p = plan("q67_embedding_drift")
+    // signatures read the q24d shared materialization; no nested-loop /
+    // cartesian pair producer anywhere — candidate generation is keyed
+    assert(p.contains("graft_q24d_sig_"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
