@@ -868,6 +868,37 @@ class DedupEdgeSpec extends SparkSpec {
     assert(rebuildLcp.nonEmpty)
   }
 
+  /** q63g/q63h degenerate nights: an EMPTY batch (no doc_id % 7 == 0 docs
+    * arrived — the merge must reduce to the standing index) and an EMPTY
+    * history (first night ever — the merge must reduce to the batch-built
+    * index). Both against the full rebuild. */
+  test("q63g/q63h: empty-batch and empty-history nights equal the rebuild") {
+    def fixture(ids: Seq[Long]): String = {
+      val d = TempDirs.create("graft_q63g_deg_")
+      ids.map { id =>
+          (id, (0 until 12).map(i => s"dg${id * 41 + i}z").mkString(" "),
+            "en", "src0", 10L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    // ids with no multiples of 7 → empty batch; only multiples → empty hist
+    for (ids <- Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L),
+                    Seq(0L, 7L, 14L, 21L))) {
+      val d = fixture(ids)
+      val rebuild = SparkEntry.queries("q63_suffix_array")(spark, d)
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val merge = SparkEntry.queries("q63g_incremental_sa")(spark, d)
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(merge === rebuild, s"degenerate merge diverged for ids $ids")
+      val lcpRebuild = SparkEntry.queries("q63b_lcp_mining")(spark, d)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val lcpInc = SparkEntry.queries("q63h_incremental_lcp")(spark, d)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(lcpInc === lcpRebuild, s"degenerate LCP update diverged for ids $ids")
+    }
+  }
+
   /** VERDICT r13 #4: the incremental sketches must be built DISTRIBUTED
     * (bloom_filter_agg partials merged up the agg tree) and reach the
     * probe as a scalar subquery — not a driver-built filter baked into
