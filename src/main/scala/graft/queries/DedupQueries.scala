@@ -2074,16 +2074,6 @@ object DedupQueries {
     // the hash.
     QueryDef("q63h_incremental_lcp", sqlLcpHistogramOracle) { (s, dir) =>
       val m = mergedSa(s, dir)
-      // retained: history adjacencies with equal batch-predecessor counts
-      val histBB = m.filter(col("isb") === 0)
-        .select(col("sa_pos").as("h_sa"), (col("m_pos") - col("sa_pos")).as("bb"))
-      val retained = histSaLcp(s, dir)
-        .join(histBB.select(col("h_sa"), col("bb").as("a_bb")),
-          col("a_sa") === col("h_sa")).drop("h_sa")
-        .join(histBB.select(col("h_sa"), col("bb").as("b_bb")),
-          col("b_sa") === col("h_sa")).drop("h_sa")
-        .filter(col("a_bb") === col("b_bb"))
-        .select(col("a_doc"), col("a_pos"), col("lcp"))
       // new adjacencies: merged pairs touching a batch suffix — bounded
       val bpos = m.filter(col("isb") === 1).select(col("m_pos"))
       val cand = bpos.select((col("m_pos") - 1).as("lp"), col("m_pos").as("rp"))
@@ -2092,15 +2082,31 @@ object DedupQueries {
         .filter(col("lp") >= 1).distinct()
       val left = m.join(broadcast(cand), col("m_pos") === col("lp"))
         .select(col("lp"), col("rp"),
-          col("doc_id").as("a_doc"), col("pos").as("a_pos"))
+          col("doc_id").as("a_doc"), col("pos").as("a_pos"),
+          col("isb").as("a_isb"), col("sa_pos").as("a_sa"))
       val right = m.join(broadcast(cand
             .withColumnRenamed("lp", "lp2").withColumnRenamed("rp", "rp2")),
           col("m_pos") === col("rp2"))
         .select(col("lp2"), col("rp2"),
-          col("doc_id").as("b_doc"), col("pos").as("b_pos"))
-      val np = left.join(right,
+          col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+          col("isb").as("b_isb"))
+      val np0 = left.join(right,
         col("lp") === col("lp2") && col("rp") === col("rp2"))
-        .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"))
+      val np = np0.select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"))
+      // retained: a history pair (k, k+1) is BROKEN iff a batch suffix
+      // landed in its merged gap — in which case hist-k's immediate merged
+      // successor is a batch row, i.e. hist-k appears as the LEFT member
+      // of a (hist, batch) NEW pair. The broken left members are therefore
+      // already sitting in the bounded new-pair frame (≤ batch of them),
+      // and retention is ONE broadcast anti-join on the standing table —
+      // no history-sized key join anywhere (an earlier form paid two
+      // corpus-sized joins to compare batch-predecessor counts; this reads
+      // the same fact off rows the update computes anyway)
+      val brokenA = np0.filter(col("a_isb") === 0 && col("b_isb") === 1)
+        .select(col("a_sa").as("bk_sa"))
+      val retained = histSaLcp(s, dir)
+        .join(broadcast(brokenA), col("a_sa") === col("bk_sa"), "left_anti")
+        .select(col("a_doc"), col("a_pos"), col("lcp"))
       val docsAll = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val withA = docsAll.join(broadcast(np), col("doc_id") === col("a_doc"))
