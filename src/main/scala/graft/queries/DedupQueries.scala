@@ -441,15 +441,24 @@ object DedupQueries {
     * docs only) carrying their depth-bounded order keys. */
   private def histSaKeys(s: SparkSession, dir: String): DataFrame =
     Materialize(s, dir, "sa_hist_keys") {
-      val (docs, r) = suffixRanksOf(s, dir,
+      saKeysOf(s, dir,
         Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0)
-          .select(col("doc_id"), col("text")), "sa_hist_ranks")
-      distDenseRank(s, r.select(col("r").as("rk"), col("doc_id"), col("pos")),
-          Seq("rk", "doc_id", "pos"), "sa_hist_pos")
-        .select(col("doc_id"), col("pos"), col("r").as("sa_pos"))
-        .join(docs, Seq("doc_id"))
-        .select(col("doc_id"), col("pos"), col("sa_pos"), suffixKey.as("skey"))
+          .select(col("doc_id"), col("text")), "sa_hist_ranks", "sa_hist_pos")
     }
+
+  /** SA KEY TABLE of an arbitrary (doc_id, text) frame — (doc_id, pos,
+    * sa_pos, skey): suffix-array positions built by the q63 machinery
+    * carrying their depth-bounded order keys, the snapshot artifact shape
+    * every standing index ([[histSaKeys]], the [[saChain]] base) stores. */
+  private def saKeysOf(s: SparkSession, dir: String, docsFrame: DataFrame,
+                       rankTag: String, posTag: String): DataFrame = {
+    val (docs, r) = suffixRanksOf(s, dir, docsFrame, rankTag)
+    distDenseRank(s, r.select(col("r").as("rk"), col("doc_id"), col("pos")),
+        Seq("rk", "doc_id", "pos"), posTag)
+      .select(col("doc_id"), col("pos"), col("r").as("sa_pos"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("sa_pos"), suffixKey.as("skey"))
+  }
 
   /** The NIGHTLY SA merge (q63g/q63h shared): batch suffix ranks built by
     * the q63 machinery over batch docs only, interleaved into the standing
@@ -465,50 +474,67 @@ object DedupQueries {
     * ADVICE-r13 rule: both consumers must read one sampled range
     * partitioning); the only global window runs over the ≤
     * shuffle-partition per-range count rows.
-    * Output: (doc_id, pos, sa_pos, isb, m_pos) — sa_pos is the HISTORY
-    * array position (0 for batch rows), isb marks batch rows, m_pos the
-    * merged position. */
-  private def mergedSa(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hk = histSaKeys(s, dir)
-    val (bDocs, bR) = suffixRanksOf(s, dir,
+    * MATERIALIZED under `mTag` (VERDICT r15 #2: q63g and q63h both
+    * consume the merge; the per-call TempDir pin made the update's only
+    * corpus-linear pass run twice in a night that runs both — now the
+    * second consumer reads the stored frame), and the materialized frame
+    * IS the night's versioned snapshot: projecting (doc_id, pos,
+    * m_pos AS sa_pos, skey) off it is the next standing key table, which
+    * is how [[saChain]] compounds nights without ever re-deriving keys.
+    * Output: (doc_id, pos, sa_pos, isb, m_pos, skey) — sa_pos is the
+    * STANDING array position (0 for batch rows), isb marks batch rows,
+    * m_pos the merged position, skey the depth-bounded order key. */
+  private def mergedSaOf(s: SparkSession, dir: String, hk: DataFrame,
+                         batchDocs: DataFrame, rankTag: String,
+                         mTag: String): DataFrame =
+    Materialize(s, dir, mTag) {
+      import org.apache.spark.sql.expressions.Window
+      val (bDocs, bR) = suffixRanksOf(s, dir, batchDocs, rankTag)
+      val bSa = distDenseRank(s,
+          bR.select(col("r").as("rk"), col("doc_id"), col("pos")),
+          Seq("rk", "doc_id", "pos"), s"${rankTag}_pos")
+        .select(col("doc_id"), col("pos"), col("r").as("b_rank"))
+      val bk = bSa.join(bDocs, Seq("doc_id"))
+        .select(col("doc_id"), col("pos"), col("b_rank"), suffixKey.as("skey"))
+      val u = hk.select(col("skey"), col("doc_id"), col("pos"),
+          col("sa_pos"), lit(0L).as("isb"), lit(0L).as("b_rank"))
+        .unionByName(bk.select(col("skey"), col("doc_id"), col("pos"),
+          lit(0L).as("sa_pos"), lit(1L).as("isb"), col("b_rank")))
+      val ord = Seq(col("skey"), col("doc_id"), col("pos"))
+      val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
+      val pinDir = graft.TempDirs.create("graft_sa_merge_")
+      u.repartitionByRange(ord: _*)
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_cb", sum(col("isb")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .write.mode("overwrite").parquet(pinDir)
+      val loc = s.read.parquet(pinDir)
+      val offs = loc.groupBy(col("_pid"))
+        .agg(count(lit(1)).as("_n"), sum(col("isb")).as("_nb"))
+        .select(col("_pid"),
+          coalesce(sum(col("_n") - col("_nb")).over(
+            Window.orderBy(col("_pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_hoff"),
+          coalesce(sum(col("_nb")).over(
+            Window.orderBy(col("_pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_boff"))
+      loc.join(broadcast(offs), Seq("_pid"))
+        .select(col("doc_id"), col("pos"), col("sa_pos"), col("isb"),
+          when(col("isb") === 1,
+            col("b_rank") + col("_hoff") + (col("_rn") - col("_cb")))
+            .otherwise(col("sa_pos") + col("_boff") + col("_cb")).as("m_pos"),
+          col("skey"))
+    }
+
+  /** The q63g/q63h night: tonight's batch (the doc_id % 7 rule) merged
+    * into the [[histSaKeys]] standing snapshot, stored once as
+    * `sa_merged` and read by both consumers. */
+  private def mergedSa(s: SparkSession, dir: String): DataFrame =
+    mergedSaOf(s, dir, histSaKeys(s, dir),
       Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"), col("text")), "sa_batch_ranks")
-    val bSa = distDenseRank(s,
-        bR.select(col("r").as("rk"), col("doc_id"), col("pos")),
-        Seq("rk", "doc_id", "pos"), "sa_batch_pos")
-      .select(col("doc_id"), col("pos"), col("r").as("b_rank"))
-    val bk = bSa.join(bDocs, Seq("doc_id"))
-      .select(col("doc_id"), col("pos"), col("b_rank"), suffixKey.as("skey"))
-    val u = hk.select(col("skey"), col("doc_id"), col("pos"),
-        col("sa_pos"), lit(0L).as("isb"), lit(0L).as("b_rank"))
-      .unionByName(bk.select(col("skey"), col("doc_id"), col("pos"),
-        lit(0L).as("sa_pos"), lit(1L).as("isb"), col("b_rank")))
-    val ord = Seq(col("skey"), col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
-    val pinDir = graft.TempDirs.create("graft_sa_merge_")
-    u.repartitionByRange(ord: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_cb", sum(col("isb")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .write.mode("overwrite").parquet(pinDir)
-    val loc = s.read.parquet(pinDir)
-    val offs = loc.groupBy(col("_pid"))
-      .agg(count(lit(1)).as("_n"), sum(col("isb")).as("_nb"))
-      .select(col("_pid"),
-        coalesce(sum(col("_n") - col("_nb")).over(
-          Window.orderBy(col("_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_hoff"),
-        coalesce(sum(col("_nb")).over(
-          Window.orderBy(col("_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_boff"))
-    loc.join(broadcast(offs), Seq("_pid"))
-      .select(col("doc_id"), col("pos"), col("sa_pos"), col("isb"),
-        when(col("isb") === 1,
-          col("b_rank") + col("_hoff") + (col("_rn") - col("_cb")))
-          .otherwise(col("sa_pos") + col("_boff") + col("_cb")).as("m_pos"))
-  }
+        .select(col("doc_id"), col("text")),
+      "sa_batch_ranks", "sa_merged")
 
   /** Suffix-array POSITIONS (doc_id, pos, sa_pos), materialized: the
     * prefix-doubling ranks are dense over depth-[[SaDepth]] prefix
@@ -591,6 +617,144 @@ object DedupQueries {
         histSaKeys(s, dir).select(col("doc_id"), col("pos"), col("sa_pos")),
         hdocs))
     }
+
+  /** The NIGHTLY LCP UPDATE off a merge frame `m` (a [[mergedSaOf]]
+    * output) and standing LCP table `hl` — the q63h decomposition as a
+    * reusable builder so the [[saChain]] compounding runs the IDENTICAL
+    * update each night. A standing pair stays adjacent iff no batch
+    * suffix landed in its merged gap, in which case its left member's
+    * immediate merged successor is a batch row — i.e. the left member
+    * appears as the standing-side member of a (standing, batch) NEW pair.
+    * Retention is therefore ONE broadcast anti-join of the standing table
+    * against those rows, keyed by the left suffix's STABLE identity
+    * (a_doc, a_pos) — positions shift every merge, suffix identity never
+    * does, which is what lets the output table be the next night's input
+    * without any re-keying join. Every adjacency involving a batch suffix
+    * is new (≤ 2·batch+1 pairs, batch-PROPORTIONAL — not constant-bounded:
+    * at production batch sizes these frames are far past any broadcast
+    * envelope, so only the NARROW probes travel by broadcast — cand's
+    * position pairs, brokenA's identities, and the 2-long endpoint rows
+    * that ride the docs scan — while the slice-widened rows (a SaDepth
+    * token array each) meet the pair frame through shuffle equi-joins,
+    * ADVICE r15). Nothing standing-sized is ever re-COMPARED; the only
+    * corpus-linear work is the merge frame itself, paid once per night.
+    * Output: (a_doc, a_pos, b_doc, b_pos, lcp). */
+  private def updatedLcp(m: DataFrame, hl: DataFrame,
+                         docsAll: DataFrame): DataFrame = {
+    val bpos = m.filter(col("isb") === 1).select(col("m_pos"))
+    val cand = bpos.select((col("m_pos") - 1).as("lp"), col("m_pos").as("rp"))
+      .unionByName(
+        bpos.select(col("m_pos").as("lp"), (col("m_pos") + 1).as("rp")))
+      .filter(col("lp") >= 1).distinct()
+    val left = m.join(broadcast(cand), col("m_pos") === col("lp"))
+      .select(col("lp"), col("rp"),
+        col("doc_id").as("a_doc"), col("pos").as("a_pos"),
+        col("isb").as("a_isb"))
+    val right = m.join(broadcast(cand
+          .withColumnRenamed("lp", "lp2").withColumnRenamed("rp", "rp2")),
+        col("m_pos") === col("rp2"))
+      .select(col("lp2"), col("rp2"),
+        col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+        col("isb").as("b_isb"))
+    val np0 = left.join(right,
+      col("lp") === col("lp2") && col("rp") === col("rp2"))
+    val np = np0.select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"))
+    val brokenA = np0.filter(col("a_isb") === 0 && col("b_isb") === 1)
+      .select(col("a_doc").as("bk_doc"), col("a_pos").as("bk_pos"))
+    val retained = hl
+      .join(broadcast(brokenA),
+        col("a_doc") === col("bk_doc") && col("a_pos") === col("bk_pos"),
+        "left_anti")
+      .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+        col("lcp"))
+    // slices for the new pairs: the narrow distinct endpoint frame rides
+    // the docs scan by broadcast (2 longs/row); the resulting slice rows
+    // are the wide ones and meet the pair frame by shuffle equi-join
+    val ends = np.select(col("a_doc").as("doc_id"), col("a_pos").as("pos"))
+      .unionByName(np.select(col("b_doc").as("doc_id"), col("b_pos").as("pos")))
+      .distinct()
+    val slices = docsAll.join(broadcast(ends), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        slice(col("toks"), col("pos").cast("int"), lit(SaDepth)).as("sfx"))
+    val withA = np.join(slices,
+        col("a_doc") === col("doc_id") && col("a_pos") === col("pos"))
+      .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+        col("sfx").as("asfx"))
+    val withB = withA.join(
+        slices.select(col("doc_id").as("d2"), col("pos").as("p2"),
+          col("sfx").as("bsfx")),
+        col("b_doc") === col("d2") && col("b_pos") === col("p2"))
+    val ap = array_position(
+      zip_with(col("asfx"), col("bsfx"), (u, v) => u.eqNullSafe(v)), false)
+    val newLcp = withB.select(col("a_doc"), col("a_pos"),
+      col("b_doc"), col("b_pos"),
+      coalesce(when(ap > 0, ap - 1),
+        least(size(col("asfx")), size(col("bsfx"))).cast("long")).as("lcp"))
+    retained.unionByName(newLcp)
+  }
+
+  /** The LCP duplicate-mass histogram tail shared verbatim by q63b's
+    * full-table read, q63h's one-night update, and q63j's chained table:
+    * per-value pair count + least (doc_id, pos) witness. */
+  private def lcpHistogram(lcpRows: DataFrame): DataFrame =
+    lcpRows.groupBy(col("lcp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("a_doc").as("doc_id"), col("a_pos").as("pos"))).as("ex"))
+      .select(col("lcp"), col("n_pairs"),
+        col("ex.doc_id").as("example_doc_id"),
+        col("ex.pos").as("example_pos"))
+      .orderBy("lcp")
+
+  /** Nights in the q63i/q63j compounding chain (batches doc_id % 7 == 0,
+    * 1, …, ChainNights−1 against a base of doc_id % 7 ≥ ChainNights). */
+  private[queries] val ChainNights = 3
+
+  /** MULTI-NIGHT COMPOUNDING of the incremental SA index (VERDICT r15
+    * #1): night k merges batch doc_id % 7 == k into night k−1's standing
+    * snapshot pair. The merged frame night k materializes
+    * (`sa_chain_merged_v{k+1}`) IS night k+1's standing key table — its
+    * (doc_id, pos, m_pos AS sa_pos, skey) projection — and the updated
+    * LCP table persists beside it as `sa_chain_lcp_v{k+1}`, so the index
+    * genuinely compounds: no night re-derives standing keys or
+    * re-compares standing pairs, and both sides' stored state is
+    * load-bearing every night (a single stale carry anywhere breaks the
+    * final permutation or a histogram count and fails the q63i/q63j
+    * gates). After [[ChainNights]] nights the snapshot covers ALL
+    * documents, which is what lets q63i/q63j share q63/q63b's VERBATIM
+    * full-rebuild oracles — chain–rebuild parity by one gate, the
+    * q63g/q63h pattern iterated. Per-night cost is flat in the night
+    * index: one range exchange over (standing + batch) narrow key rows,
+    * the batch-sized rank build, and the batch-proportional LCP delta
+    * (growth rows in BASELINE.md r16). Returns (keys_vN, lcp_vN). */
+  private def saChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docsAll = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") % 7 >= ChainNights)
+    var hk = Materialize(s, dir, "sa_chain_keys_v0") {
+      saKeysOf(s, dir, base.select(col("doc_id"), col("text")),
+        "sa_chain_ranks_v0", "sa_chain_pos_v0")
+    }
+    var hl = Materialize(s, dir, "sa_chain_lcp_v0") {
+      val hdocs = base.select(col("doc_id"), tokens(col("text")).as("toks"))
+      lcpOfAdjacent(withSuffixSlices(
+          hk.select(col("doc_id"), col("pos"), col("sa_pos")), hdocs))
+        .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
+          col("lcp"))
+    }
+    for (k <- 0 until ChainNights) {
+      val m = mergedSaOf(s, dir, hk,
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === k)
+          .select(col("doc_id"), col("text")),
+        s"sa_chain_branks_v$k", s"sa_chain_merged_v${k + 1}")
+      hk = m.select(col("doc_id"), col("pos"),
+        col("m_pos").as("sa_pos"), col("skey"))
+      hl = Materialize(s, dir, s"sa_chain_lcp_v${k + 1}") {
+        updatedLcp(m, hl, docsAll)
+      }
+    }
+    (hk, hl)
+  }
 
   /** SA-adjacency ExactSubstr removal at minimum-match width `ww` (≤
     * [[SaDepth]]): a width-ww window occurs ≥ 2 times in the corpus iff
@@ -2061,73 +2225,54 @@ object DedupQueries {
     // compare at all — while every adjacency INVOLVING a batch suffix is
     // new (≤ 2·batch+1 pairs: each inserted suffix touches its merged
     // neighbors at ±1). So the update = standing history LCP entries
-    // FILTERED by the equality (carried forward verbatim, never
-    // recomputed) ∪ freshly-compared new pairs (bounded, broadcast
-    // probes into the merge frame + the docs scan for their slices, the
-    // shared zip_with compare). Nothing history-sized is ever re-COMPARED
-    // — the only corpus-linear work is the merge frame itself (shared
-    // with q63g's machinery, built by the same one range exchange).
+    // FILTERED by the anti-join (carried forward verbatim, never
+    // recomputed) ∪ freshly-compared new pairs (batch-PROPORTIONAL:
+    // narrow probes broadcast, slice-widened rows shuffle — see
+    // updatedLcp). Nothing history-sized is ever re-COMPARED — the only
+    // corpus-linear work is the merge frame itself, now MATERIALIZED
+    // once and shared with q63g (VERDICT r15 #2: previously each of the
+    // two consumers rebuilt it).
     // ORACLE IS q63b's VERBATIM (the full-rebuild LCP histogram over
     // history+batch): update–rebuild parity pinned by one gate — and
     // since witnesses ride the per-lcp min, a single retained-vs-broken
     // misclassification anywhere flips a count or a witness and fails
     // the hash.
     QueryDef("q63h_incremental_lcp", sqlLcpHistogramOracle) { (s, dir) =>
-      val m = mergedSa(s, dir)
-      // new adjacencies: merged pairs touching a batch suffix — bounded
-      val bpos = m.filter(col("isb") === 1).select(col("m_pos"))
-      val cand = bpos.select((col("m_pos") - 1).as("lp"), col("m_pos").as("rp"))
-        .unionByName(
-          bpos.select(col("m_pos").as("lp"), (col("m_pos") + 1).as("rp")))
-        .filter(col("lp") >= 1).distinct()
-      val left = m.join(broadcast(cand), col("m_pos") === col("lp"))
-        .select(col("lp"), col("rp"),
-          col("doc_id").as("a_doc"), col("pos").as("a_pos"),
-          col("isb").as("a_isb"), col("sa_pos").as("a_sa"))
-      val right = m.join(broadcast(cand
-            .withColumnRenamed("lp", "lp2").withColumnRenamed("rp", "rp2")),
-          col("m_pos") === col("rp2"))
-        .select(col("lp2"), col("rp2"),
-          col("doc_id").as("b_doc"), col("pos").as("b_pos"),
-          col("isb").as("b_isb"))
-      val np0 = left.join(right,
-        col("lp") === col("lp2") && col("rp") === col("rp2"))
-      val np = np0.select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"))
-      // retained: a history pair (k, k+1) is BROKEN iff a batch suffix
-      // landed in its merged gap — in which case hist-k's immediate merged
-      // successor is a batch row, i.e. hist-k appears as the LEFT member
-      // of a (hist, batch) NEW pair. The broken left members are therefore
-      // already sitting in the bounded new-pair frame (≤ batch of them),
-      // and retention is ONE broadcast anti-join on the standing table —
-      // no history-sized key join anywhere (an earlier form paid two
-      // corpus-sized joins to compare batch-predecessor counts; this reads
-      // the same fact off rows the update computes anyway)
-      val brokenA = np0.filter(col("a_isb") === 0 && col("b_isb") === 1)
-        .select(col("a_sa").as("bk_sa"))
-      val retained = histSaLcp(s, dir)
-        .join(broadcast(brokenA), col("a_sa") === col("bk_sa"), "left_anti")
-        .select(col("a_doc"), col("a_pos"), col("lcp"))
       val docsAll = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val withA = docsAll.join(broadcast(np), col("doc_id") === col("a_doc"))
-        .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
-          slice(col("toks"), col("a_pos").cast("int"), lit(SaDepth)).as("asfx"))
-      val withB = docsAll.join(broadcast(withA), col("doc_id") === col("b_doc"))
-        .select(col("a_doc"), col("a_pos"), col("asfx"),
-          slice(col("toks"), col("b_pos").cast("int"), lit(SaDepth)).as("bsfx"))
-      val ap = array_position(
-        zip_with(col("asfx"), col("bsfx"), (u, v) => u.eqNullSafe(v)), false)
-      val newLcp = withB.select(col("a_doc"), col("a_pos"),
-        coalesce(when(ap > 0, ap - 1),
-          least(size(col("asfx")), size(col("bsfx"))).cast("long")).as("lcp"))
-      retained.unionByName(newLcp)
-        .groupBy(col("lcp"))
-        .agg(count(lit(1)).as("n_pairs"),
-          min(struct(col("a_doc").as("doc_id"), col("a_pos").as("pos"))).as("ex"))
-        .select(col("lcp"), col("n_pairs"),
-          col("ex.doc_id").as("example_doc_id"),
-          col("ex.pos").as("example_pos"))
-        .orderBy("lcp")
+      lcpHistogram(updatedLcp(mergedSa(s, dir), histSaLcp(s, dir), docsAll))
+    },
+
+    // X1++++/Q63i — MULTI-NIGHT COMPOUNDING, SA side (VERDICT r15 #1):
+    // three successive nightly batches (doc_id % 7 == 0, 1, 2) merge into
+    // a standing base (doc_id % 7 ≥ 3), each night's merged output
+    // BECOMING the next night's standing key table (saChain) — the
+    // single-night q63g gate iterated until the snapshot covers all
+    // documents. ORACLE IS q63's VERBATIM full-rebuild report: a stale
+    // carry in ANY night breaks the final permutation and fails the hash.
+    QueryDef("q63i_chained_sa", sqlSaReportOracle) { (s, dir) =>
+      val (hk, _) = saChain(s, dir)
+      val top = hk.filter(col("sa_pos") <= SaTopK)
+        .select(col("sa_pos"), col("doc_id"), col("pos"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .join(broadcast(top), Seq("doc_id"))
+        .select(col("sa_pos"), col("doc_id"), col("pos"),
+          concat_ws(" ",
+            (0 until 8).map(j =>
+              try_element_at(col("toks"), (col("pos") + lit(j)).cast("int"))): _*)
+            .as("prefix8"))
+        .orderBy("sa_pos")
+    },
+
+    // X1++++/Q63j — MULTI-NIGHT COMPOUNDING, LCP side: the q63h update
+    // applied each night to the PREVIOUS night's output table (keyed by
+    // stable left-suffix identity, so no re-keying join exists anywhere
+    // in the chain). ORACLE IS q63b's VERBATIM full-rebuild histogram
+    // over all documents — night-3 chained ≡ rebuild by one gate.
+    QueryDef("q63j_chained_lcp", sqlLcpHistogramOracle) { (s, dir) =>
+      val (_, hl) = saChain(s, dir)
+      lcpHistogram(hl)
     },
 
     // X2++/Q65 — batch-vs-history NEAR-DUP drift: the per-source rate of

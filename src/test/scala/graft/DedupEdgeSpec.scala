@@ -899,6 +899,64 @@ class DedupEdgeSpec extends SparkSpec {
     }
   }
 
+  /** q63i/q63j (VERDICT r15 #1): the 3-night chained snapshots must equal
+    * the full rebuild on a fixture that forces COMPOUNDING edges — a
+    * night-2 batch doc duplicating a night-1 batch doc (so night 2 must
+    * break adjacencies night 1 CREATED, not base adjacencies: stale-carry
+    * detection across nights), duplicates tying across the base/batch
+    * boundary, interleavers, and an EMPTY middle night in the second
+    * fixture (the chain must pass state through a no-op night intact). */
+  test("q63i/q63j: night-3 chained snapshots equal the full rebuild") {
+    val run10 = (0 until 10).map(i => f"ch$i%02d").mkString(" ")
+    val fixtures = Seq(
+      Seq(
+        // base (doc_id % 7 >= 3)
+        (3L, s"$run10 zz end"),
+        (4L, s"$run10 aa tail"),
+        (5L, "b c d e"),
+        (6L, "zz top last"),
+        (10L, s"$run10 kk"),
+        // night-0 batch (% 7 == 0): ties with base, interleaver
+        (7L, s"$run10 zz end"),   // exact duplicate of base 3
+        (14L, s"$run10 qq mid"),
+        // night-1 batch (% 7 == 1): duplicates the NIGHT-0 doc — its
+        // suffixes insert directly before doc 7's, breaking pairs that
+        // did not exist in the base snapshot
+        (1L, s"$run10 zz end"),
+        (8L, "a a a a"),          // sorts before everything
+        // night-2 batch (% 7 == 2): duplicates the night-1 doc again and
+        // adds a proper-prefix tie
+        (2L, s"$run10 zz end"),
+        (9L, "b c")),
+      // second fixture: NO % 7 == 1 docs — night 1 is an empty batch and
+      // the chain must carry night-0's state through it unchanged
+      Seq(
+        (3L, s"$run10 pp"),
+        (5L, "x y z"),
+        (7L, s"$run10 pp"),
+        (14L, "x y"),
+        (2L, s"$run10 pp"),
+        (9L, "p q r s")))
+    for (rows <- fixtures) {
+      val d = TempDirs.create("graft_q63i_")
+      rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val rebuild = SparkEntry.queries("q63_suffix_array")(spark, d)
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val chained = SparkEntry.queries("q63i_chained_sa")(spark, d)
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(chained === rebuild, "night-3 chained SA diverged from rebuild")
+      assert(chained.map(_._1) === (1L to chained.length.toLong))
+      val rebuildLcp = SparkEntry.queries("q63b_lcp_mining")(spark, d)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val chainedLcp = SparkEntry.queries("q63j_chained_lcp")(spark, d)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(chainedLcp === rebuildLcp, "night-3 chained LCP diverged from rebuild")
+      assert(rebuildLcp.nonEmpty)
+    }
+  }
+
   /** VERDICT r13 #4: the incremental sketches must be built DISTRIBUTED
     * (bloom_filter_agg partials merged up the agg tree) and reach the
     * probe as a scalar subquery — not a driver-built filter baked into
