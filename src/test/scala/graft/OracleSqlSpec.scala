@@ -94,7 +94,10 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q24m_ivfpq_partitioned", "dotv"),
     // q24o: q24l's chain with one extra candidate predicate — same vetted
     // fixed-order ADC sum
-    ("q24o_filtered_topk", "dotv")
+    ("q24o_filtered_topk", "dotv"),
+    // q24p: q24l's chain over the merged (standing ∪ appended) codes —
+    // same vetted fixed-order ADC sum, codes just come from two sources
+    ("q24p_incremental_ivfpq", "dotv")
     // (q24n's dotv is the same chain plus a trailing parenthesized offset
     // addition — not alias-of-a-raw-SUM shaped, so the lint doesn't match
     // it and no entry is needed)

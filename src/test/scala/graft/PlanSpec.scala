@@ -275,6 +275,26 @@ class PlanSpec extends SparkSpec {
       "cell filter must prune directories, not re-filter rows")
   }
 
+  test("q24p: the MERGED codes scan keeps q24m's static pruning after the nightly append") {
+    // the incrementally maintained layout must serve exactly like the
+    // build-once one: probe as a literal partition filter, unprobed cells
+    // (including the appended batch files in them) never listed or read
+    val pruned = graft.queries.SimilarityQueries.q24pPrunedCodes(spark, sf)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("expected a FileSourceScanExec over the merged cell-partitioned codes"))
+    val probed = pruned.select("cell").distinct().count()
+    val written = graft.sources.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(probed > 0 && probed < written,
+      s"fixture probes every cell ($probed of $written) — pruning unobservable")
+    assert(scan.selectedPartitions.partitionCount == probed,
+      s"expected $probed pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(scan.dataFilters.isEmpty,
+      "cell filter must prune directories, not re-filter rows")
+  }
+
   private def withConfs[T](pairs: (String, String)*)(f: => T): T =
     graft.Confs.withConfs(spark, pairs: _*)(f)
 

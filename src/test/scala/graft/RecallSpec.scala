@@ -325,4 +325,46 @@ class RecallSpec extends SparkSpec {
     val recall = hit.toDouble / exactPos.size
     assert(recall >= 0.5, s"contaminated-set recall $recall below floor")
   }
+
+  test("q24p incremental append is bit-equal to a from-scratch encode and never rewrites standing files") {
+    import org.apache.spark.sql.functions._
+    // 1. the merged (standing + appended) codes table equals one full
+    //    re-encode of history+batch against the SAME frozen codebooks —
+    //    the exactness claim the oracle gate rests on, pinned Spark-side
+    val merged = SimilarityQueries.q24pMergedCodes(spark, sf)
+      .select("vec_id", "m", "cid", "cell")
+      .as[(Long, Int, Long, Int)].collect().sorted.toSeq
+    val scratch = SimilarityQueries.q24pFromScratchCodes(spark, sf)
+      .select("vec_id", "m", "cid", "cell")
+      .as[(Long, Int, Long, Int)].collect().sorted.toSeq
+    assert(merged === scratch, "incremental codes diverged from full re-encode")
+    assert(merged.nonEmpty && merged.exists(_._1 % 7 == 0) &&
+      merged.exists(_._1 % 7 != 0), "both standing and batch codes present")
+    // 2. the nightly append added NEW files into the cell directories —
+    //    no parquet file mixes standing and appended rows, which is only
+    //    possible if standing files were left untouched
+    val mixed = SimilarityQueries.q24pMergedCodes(spark, sf)
+      .select((col("vec_id") % 7 === 0).as("isb"), input_file_name().as("f"))
+      .groupBy(col("f")).agg(countDistinct(col("isb")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(mixed === 0L, "a parquet file mixes standing and appended rows")
+  }
+
+  test("q24p retrain trigger reads q67's drift rate at the documented novelty bar") {
+    import org.apache.spark.sql.functions._
+    val q67 = SimilarityQueries.defs.find(_.name == "q67_embedding_drift").get
+      .df(spark, sf)
+      .select("source", "neardup_frac").as[(String, Double)].collect().toSeq
+    // independent Scala-side recomputation of the documented rule
+    val expected = q67
+      .filter { case (_, f) => 1.0 - f > SimilarityQueries.RetrainNoveltyBar }
+      .map { case (src, f) =>
+        (src, BigDecimal(1.0 - f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) }
+      .sortBy(_._1)
+    val due = SimilarityQueries.q24pRetrainDue(spark, sf)
+      .select("source", "novelty_frac").as[(String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(due === expected, "retrain trigger disagrees with q67's drift frame")
+  }
 }
