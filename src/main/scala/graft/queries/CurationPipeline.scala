@@ -208,24 +208,108 @@ object CurationPipeline {
 
   // ----- q45: incremental (nightly batch vs standing history) ------------
 
-  private def histDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).filter(col("doc_id") % batchMod(s, dir) =!= 0)
+  /** The ONE materialized night-batch frame (doc_id, lang, source, text)
+    * every fixed-residue nightly consumer reads — the drift monitors
+    * (q64/q65/q67), the SA merge (q63g/q63h), and the q68 composite's
+    * curation stages. Raw batch documents are scanned exactly ONCE per
+    * session, by this builder; everything nightly downstream reads the
+    * stored frame (VERDICT r15 #5, plan-pinned). The residue is the
+    * drift/index family's shared doc_id % 7 rule (q45's own batch uses
+    * the footer-derived fixed-count modulus instead — its gate predates
+    * the rule and its growth rows depend on it). */
+  private[graft] def nightBatch(s: SparkSession, dir: String): DataFrame =
+    Materialize(s, dir, "night_batch")(nightBatchBuilder(s, dir))
+
+  /** The builder behind [[nightBatch]] — exposed so the q68 plan pin can
+    * assert it is ONE raw documents scan (q44's keptFrame pattern). */
+  private[graft] def nightBatchBuilder(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+
+  private def histDocsAt(s: SparkSession, dir: String, m: Long): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % m =!= 0)
       .select(col("doc_id"), col("lang"), col("text"))
 
   /** The standing history artifacts a production pipeline keeps between
     * runs, rebuilt once per session here: the deduped history (for the
     * incremental dedup's key set), the FROZEN boilerplate list (batch docs
     * are cleaned against the history's list — a nightly batch must not
-    * redefine boilerplate), and the curated history text. */
+    * redefine boilerplate), and the curated history text. Parameterized by
+    * the history modulus + artifact tag: q45 keeps its fixed-count split
+    * ("q45_*" tags), the q68 composite instantiates the same builders at
+    * the shared doc_id % 7 night split ("q68_*"). */
+  private def histKeptAt(s: SparkSession, dir: String, m: Long,
+                         tag: String): DataFrame =
+    Materialize(s, dir, s"${tag}_hist_kept")(dedupKeep(histDocsAt(s, dir, m)))
+
+  private def histBoilerplateAt(s: SparkSession, dir: String, m: Long,
+                                tag: String): DataFrame =
+    Materialize(s, dir, s"${tag}_bp")(
+      boilerplateOf(segsOf(histKeptAt(s, dir, m, tag))))
+
+  private def histCuratedAt(s: SparkSession, dir: String, m: Long,
+                            tag: String): DataFrame =
+    Materialize(s, dir, s"${tag}_hist_curated")(
+      spanClean(segsOf(histKeptAt(s, dir, m, tag)),
+        histBoilerplateAt(s, dir, m, tag)))
+
+  private def histTokenBaseAt(s: SparkSession, dir: String, m: Long,
+                              tag: String): DataFrame =
+    Materialize(s, dir, s"${tag}_hist_base")(
+      packable(tokenized(histCuratedAt(s, dir, m, tag)))
+        .groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))
+
   private def histKept(s: SparkSession, dir: String): DataFrame =
-    Materialize(s, dir, "q45_hist_kept")(dedupKeep(histDocs(s, dir)))
+    histKeptAt(s, dir, batchMod(s, dir), "q45")
+
+  /** q45's stage chain over an arbitrary (history modulus, batch frame) —
+    * incremental dedup (a Bloom of the batch keys rides the history scan,
+    * the q22d machinery: built DISTRIBUTED via bloom_filter_agg and
+    * delivered as a scalar subquery, VERDICT r13 #4; survivors broadcast
+    * into the anti-join; then within-batch first-wins rank) →
+    // frozen-boilerplate span clean (a materialized stage boundary, the
+    * q44 rule: without it the quality/packing fan-out replays the whole
+    * dedup+clean pipeline per branch) → quality + train-split gates →
+    * sequence packing continuing from the standing per-lang token
+    * offsets. q45 instantiates it at the fixed-count modulus, the q68
+    * composite at the shared doc_id % 7 night split over the ONE
+    * materialized night-batch frame. `batchDocs` must be
+    * (doc_id, lang, text)⊇. */
+  private[graft] def incrementalCurationAt(s: SparkSession, dir: String,
+                                           m: Long, tag: String,
+                                           batchDocs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val key = lower(trim(col("text")))
+    val batch = batchDocs
+      .select(col("doc_id"), col("lang"), col("text"), key.as("k"))
+    // expected-insertions from the ACTUAL batch cardinality (footer count
+    // over the sampling modulus), not the BatchTarget constant: if the
+    // batch rule is ever retuned upward a constant would silently degrade
+    // the FPP and balloon the history scan's survivor volume (ADVICE r11)
+    val expected = math.max(1000L,
+      2L * (Tables.parquetRowCount(s, s"$dir/documents.parquet") / m))
+    graft.functions.SketchFunctions.register(s)
+    val sketch = batch.select(xxhash64(col("k")).as("kh"))
+      .agg(graft.functions.SketchFunctions
+        .bloomSketchAgg(col("kh"), expected, 0.01).as("sk"))
+      .scalar()
+    val histCand = histKeptAt(s, dir, m, tag).select(key.as("hk"))
+      .filter(graft.functions.SketchFunctions.bloomMightContain(
+        sketch, xxhash64(col("hk"))))
+    val batchKept = batch
+      .join(broadcast(histCand), col("k") === col("hk"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("text"),
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("doc_id"))).as("rnk"))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val bclean = Materialize(s, dir, s"${tag}_batch_curated")(
+      spanClean(segsOf(batchKept), histBoilerplateAt(s, dir, m, tag)))
+    (packFrom(packable(tokenized(bclean)), histTokenBaseAt(s, dir, m, tag)),
+      bclean)
+  }
 
   private def histBoilerplate(s: SparkSession, dir: String): DataFrame =
-    Materialize(s, dir, "q45_bp")(boilerplateOf(segsOf(histKept(s, dir))))
-
-  private def histCurated(s: SparkSession, dir: String): DataFrame =
-    Materialize(s, dir, "q45_hist_curated")(
-      spanClean(segsOf(histKept(s, dir)), histBoilerplate(s, dir)))
+    histBoilerplateAt(s, dir, batchMod(s, dir), "q45")
 
   /** Per-lang packed-token totals of the standing train corpus — the
     * offset base the batch's packing continues from (bounded: one row per
@@ -235,9 +319,7 @@ object CurationPipeline {
     * history-proportional cost that must not ride the nightly path
     * (caught by the first growth capture: 7.5 s at ×10, history-shaped). */
   private[graft] def histTokenBase(s: SparkSession, dir: String): DataFrame =
-    Materialize(s, dir, "q45_hist_base")(
-      packable(tokenized(histCurated(s, dir)))
-        .groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))
+    histTokenBaseAt(s, dir, batchMod(s, dir), "q45")
 
   /** q45b's slice count: the nightly batch arrives as this many
     * doc_id-ordered micro-batches (files-arriving source, one file per
@@ -308,7 +390,19 @@ object CurationPipeline {
       .withColumn("dts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
 
   /** The packed output of a (possibly multi-run) streaming-curation job:
-    * the union of its per-batch versioned output dirs. */
+    * the union of its per-batch versioned output dirs.
+    *
+    * Validity contract (ADVICE r15): this lists every written out_v* dir,
+    * so it is only the "union of committed versions" AFTER a run that
+    * terminated normally or was RESUMED to completion — foreachBatch is
+    * at-least-once, and an attempt that wrote out_v<id> but crashed
+    * before its checkpoint offsets committed leaves a dir whose content
+    * the retry will overwrite (versionsBelow's `before` rule makes it
+    * invisible to the retry itself, which re-reads the pre-attempt state
+    * and rewrites its own versions — see its doc). Readers that cannot
+    * guarantee the run completed must resume the stream against the same
+    * checkpoint first; the q45b/q45c callers and the restart spec do
+    * exactly that. */
   private[graft] def readPacked(s: SparkSession, outRoot: String): DataFrame = {
     val vs = versionsBelow(s, outRoot, "out_v", Long.MaxValue)
     if (vs.isEmpty)
@@ -523,6 +617,14 @@ object CurationPipeline {
     val outRoot = graft.TempDirs.create("graft_q45c_out_")
     val stateRoot = graft.TempDirs.create("graft_q45c_state_")
     val chk = graft.TempDirs.create("graft_q45c_chk_")
+    // transformWithState requires the RocksDB provider; the conf is
+    // SESSION-GLOBAL (no per-query writeStream option exists for it in
+    // this Spark), so any OTHER streaming query started while this run is
+    // in flight would silently pick up RocksDB — and the finally-block's
+    // StateStore.stop() unloads providers session-wide (ADVICE r15). The
+    // engine executes queries sequentially (Verify/Bench/specs all run
+    // one query at a time), which this swap-and-restore depends on; a
+    // concurrent-streaming caller must scope sessions per query instead.
     val pk = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(pk)
     s.conf.set(pk,
@@ -567,11 +669,59 @@ object CurationPipeline {
   /** The q45 oracle text — shared VERBATIM by q45 (the batch
     * incremental form) and q45b (the same DAG run as a Structured
     * Streaming job): stream-batch parity is pinned by one gate. */
-  private lazy val sqlQ45Oracle: String =
+  private lazy val sqlQ45Oracle: String = sqlQ45OracleAt(sqlBatchMod)
+
+  /** The q68 oracle: every composed stage recomputed from raw documents
+    * in DuckDB at the shared doc_id % 7 night split, each reusing its
+    * constituent's vetted oracle text as a subquery (the curation chain =
+    * [[sqlQ45OracleAt]] at 7), aggregated to the (stage, item, value)
+    * night-report rows. */
+  private lazy val sqlQ68Oracle: String = {
+    def oracleOf(defs: Seq[QueryDef], name: String): String =
+      defs.find(_.name == name).get.sql.get
+    val cur = sqlQ45OracleAt("7")
+    val sub = oracleOf(DedupQueries.defs, "q47b_incremental_substring")
+    val v64 = oracleOf(CurationQueries.defs, "q64_vocab_drift")
+    val v65 = oracleOf(DedupQueries.defs, "q65_neardup_drift")
+    val v67 = oracleOf(SimilarityQueries.defs, "q67_embedding_drift")
+    s"""WITH curq AS (SELECT * FROM ($cur)),
+       |subq AS (SELECT * FROM ($sub)),
+       |ntoks AS (SELECT doc_id, len(${sqlTokens("text")}) AS n FROM documents)
+       |SELECT stage, item, value FROM (
+       |  SELECT 'curation' AS stage, 'packed_rows' AS item,
+       |    COUNT(*)::DOUBLE AS value FROM curq
+       |  UNION ALL SELECT 'curation', 'sequences',
+       |    COUNT(DISTINCT (lang, seq))::DOUBLE FROM curq
+       |  UNION ALL SELECT 'exact_dedup', 'batch_docs', COUNT(*)::DOUBLE
+       |    FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT 'exact_dedup', 'new_docs', COUNT(DISTINCT k)::DOUBLE
+       |    FROM (SELECT lower(trim(text)) AS k FROM documents
+       |          WHERE doc_id % 7 = 0
+       |            AND lower(trim(text)) NOT IN (
+       |              SELECT DISTINCT lower(trim(text)) FROM documents
+       |              WHERE doc_id % 7 <> 0))
+       |  UNION ALL SELECT 'substring_dedup', 'flagged_docs',
+       |    COUNT(*)::DOUBLE FROM subq
+       |  UNION ALL SELECT 'substring_dedup', 'dup_tokens',
+       |    COALESCE(SUM(dup_tokens), 0)::DOUBLE FROM subq
+       |  UNION ALL SELECT 'sa_merge', 'batch_positions',
+       |    COALESCE(SUM(n), 0)::DOUBLE FROM ntoks WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT 'sa_merge', 'merged_positions',
+       |    COALESCE(SUM(n), 0)::DOUBLE FROM ntoks
+       |  UNION ALL SELECT 'vocab_drift', source, new_type_frac FROM ($v64)
+       |  UNION ALL SELECT 'neardup_drift', source, neardup_frac FROM ($v65)
+       |  UNION ALL SELECT 'embedding_drift', source, neardup_frac FROM ($v67)
+       |) ORDER BY stage, item""".stripMargin
+  }
+
+  /** [[sqlQ45Oracle]] parameterized by the batch modulus — q45/q45b/q45c
+    * gate at the footer-derived fixed-count split, the q68 composite's
+    * curation stage at the shared doc_id % 7 night split. ONE text. */
+  private def sqlQ45OracleAt(mod: String): String =
         s"""WITH hist AS (SELECT doc_id, lang, text FROM documents
-           |        WHERE doc_id % $sqlBatchMod <> 0),
+           |        WHERE doc_id % $mod <> 0),
            |batch AS (SELECT doc_id, lang, text FROM documents
-           |        WHERE doc_id % $sqlBatchMod = 0),
+           |        WHERE doc_id % $mod = 0),
            |hd AS (SELECT doc_id, lang, text,
            |    ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
            |                       ORDER BY doc_id) AS rnk FROM hist),
@@ -694,46 +844,10 @@ object CurationPipeline {
     QueryDef(
       "q45_incremental_curation",
       sqlQ45Oracle) { (s, dir) =>
-      // incremental dedup: Bloom of the batch keys rides the history scan
-      // (native might_contain — the q22d machinery), survivors broadcast
-      // into the anti-join, then within-batch first-wins rank
-      val key = lower(trim(col("text")))
-      val batch = Tables.documents(s, dir)
-        .filter(col("doc_id") % batchMod(s, dir) === 0)
-        .select(col("doc_id"), col("lang"), col("text"), key.as("k"))
-      // expected-insertions from the ACTUAL batch cardinality (footer count
-      // over the sampling modulus), not the BatchTarget constant: if the
-      // batch rule is ever retuned upward a constant would silently degrade
-      // the FPP and balloon the history scan's survivor volume (ADVICE r11)
-      val expected = math.max(1000L,
-        2L * (Tables.parquetRowCount(s, s"$dir/documents.parquet") / batchMod(s, dir)))
-      // the sketch is per-batch state (rebuilt nightly in production),
-      // built DISTRIBUTED via bloom_filter_agg and delivered to the
-      // history scan as a scalar subquery — the q47b/q22d machinery
-      // (VERDICT r13 #4): no driver-built filter, no batch-proportional
-      // literal in the task binaries, and the subquery executes lazily at
-      // query run time (one small batch-side aggregation per execution)
-      // instead of an eager .stat.bloomFilter action at frame construction
-      graft.functions.SketchFunctions.register(s)
-      val sketch = batch.select(xxhash64(col("k")).as("kh"))
-        .agg(graft.functions.SketchFunctions
-          .bloomSketchAgg(col("kh"), expected, 0.01).as("sk"))
-        .scalar()
-      val histCand = histKept(s, dir).select(key.as("hk"))
-        .filter(graft.functions.SketchFunctions.bloomMightContain(
-          sketch, xxhash64(col("hk"))))
-      val batchKept = batch
-        .join(broadcast(histCand), col("k") === col("hk"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("text"),
-          row_number().over(Window.partitionBy(col("k")).orderBy(col("doc_id"))).as("rnk"))
-        .filter(col("rnk") === 1)
-        .select(col("doc_id"), col("lang"), col("text"))
-      // the batch's curated text is a stage-boundary checkpoint exactly
-      // like q44's (without it the quality/packing fan-out replays the
-      // whole dedup+clean pipeline — and its raw batch scans — per branch)
-      val bclean = Materialize(s, dir, "q45_batch_curated")(
-        spanClean(segsOf(batchKept), histBoilerplate(s, dir)))
-      packFrom(packable(tokenized(bclean)), histTokenBase(s, dir))
+      incrementalCurationAt(s, dir, batchMod(s, dir), "q45",
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % batchMod(s, dir) === 0)
+          .select(col("doc_id"), col("lang"), col("text")))._1
     },
 
     // Q45b — STREAMING incremental curation (VERDICT r13 #8): q45's
@@ -878,6 +992,62 @@ object CurationPipeline {
           z("n_quality"), z("n_train"), z("n_val"), z("n_test"),
           z("train_tokens"), z("n_sequences"))
         .orderBy("lang")
+    },
+
+    // Q68 — the NIGHTLY-OPS COMPOSITE (VERDICT r15 #5): one materialized
+    // night-batch frame (doc_id % 7, the drift/index family's shared
+    // rule) feeding EVERY nightly operation — the q45 curation stages
+    // instantiated at the night split, the three drift monitors
+    // (q64 lexical / q65 shingle / q67 embedding), and the
+    // index-maintenance probes (exact-key dedup = the curation chain's
+    // Bloom-vs-history stage, q47b's substring windows, q63g's SA merge)
+    // — emitting the q46-style per-stage night report an operator reads
+    // every morning. Raw batch documents are scanned exactly ONCE across
+    // the whole composite: the nightBatch builder's scan (plan-pinned —
+    // q44's single-scan rule, one level up); every stage program reads
+    // the stored frame or a standing materialized artifact, and the
+    // report itself is bounded aggregates over stage outputs (per-stage
+    // counts, per-source rates), never a corpus re-scan. The ORACLE
+    // recomputes every stage from raw documents in DuckDB (reusing each
+    // constituent's vetted oracle text as a subquery), so the report can
+    // only be green if every composed stage agrees with its own gate at
+    // the shared night split.
+    QueryDef(
+      "q68_night_report",
+      sqlQ68Oracle) { (s, dir) =>
+      val nb = nightBatch(s, dir)
+      val (packed, bclean) = incrementalCurationAt(s, dir, 7L, "q68",
+        nb.select(col("doc_id"), col("lang"), col("text")))
+      def one(stage: String, item: String, v: Column, from: DataFrame) =
+        from.agg(v.cast("double").as("value"))
+          .select(lit(stage).as("stage"), lit(item).as("item"), col("value"))
+      def drift(stage: String, name: String, defs: Seq[QueryDef], rate: String) =
+        defs.find(_.name == name).get.df(s, dir)
+          .select(lit(stage).as("stage"), col("source").as("item"),
+            col(rate).as("value"))
+      val sub = DedupQueries.defs
+        .find(_.name == "q47b_incremental_substring").get.df(s, dir)
+      val m = DedupQueries.mergedSaFrame(s, dir)
+      one("curation", "packed_rows", count(lit(1)), packed)
+        .unionByName(one("curation", "sequences",
+          countDistinct(struct(col("lang"), col("seq"))), packed))
+        .unionByName(one("exact_dedup", "batch_docs", count(lit(1)), nb))
+        .unionByName(one("exact_dedup", "new_docs",
+          countDistinct(col("doc_id")), bclean))
+        .unionByName(one("substring_dedup", "flagged_docs",
+          count(lit(1)), sub))
+        .unionByName(one("substring_dedup", "dup_tokens",
+          coalesce(sum(col("dup_tokens")), lit(0L)), sub))
+        .unionByName(one("sa_merge", "batch_positions",
+          coalesce(sum(col("isb")), lit(0L)), m))
+        .unionByName(one("sa_merge", "merged_positions", count(lit(1)), m))
+        .unionByName(drift("vocab_drift", "q64_vocab_drift",
+          CurationQueries.defs, "new_type_frac"))
+        .unionByName(drift("neardup_drift", "q65_neardup_drift",
+          DedupQueries.defs, "neardup_frac"))
+        .unionByName(drift("embedding_drift", "q67_embedding_drift",
+          SimilarityQueries.defs, "neardup_frac"))
+        .orderBy("stage", "item")
     },
 
     // X1+/Q51 — corpus SNAPSHOT DIFF (dataset versioning/lineage): the

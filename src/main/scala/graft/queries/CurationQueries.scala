@@ -684,7 +684,9 @@ object CurationQueries {
       val vocab = Materialize(s, dir, "q64_hist_vocab")(
         docs.filter(col("doc_id") % 7 =!= 0)
           .select(explode(tokens(col("text"))).as("v")).distinct())
-      val pt = docs.filter(col("doc_id") % 7 === 0)
+      // batch side reads the ONE materialized night-batch frame (q68's
+      // single-raw-scan rule) instead of re-scanning raw documents
+      val pt = CurationPipeline.nightBatch(s, dir)
         .select(col("source"), explode(tokens(col("text"))).as("v"))
         .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
       val isNew = col("known").isNull

@@ -527,13 +527,17 @@ object DedupQueries {
           col("skey"))
     }
 
+  /** [[mergedSa]] for cross-object consumers (q68's night report reads
+    * the merged frame's row counts off the shared materialization). */
+  private[graft] def mergedSaFrame(s: SparkSession, dir: String): DataFrame =
+    mergedSa(s, dir)
+
   /** The q63g/q63h night: tonight's batch (the doc_id % 7 rule) merged
     * into the [[histSaKeys]] standing snapshot, stored once as
     * `sa_merged` and read by both consumers. */
   private def mergedSa(s: SparkSession, dir: String): DataFrame =
     mergedSaOf(s, dir, histSaKeys(s, dir),
-      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"), col("text")),
+      CurationPipeline.nightBatch(s, dir).select(col("doc_id"), col("text")),
       "sa_batch_ranks", "sa_merged")
 
   /** Suffix-array POSITIONS (doc_id, pos, sa_pos), materialized: the
@@ -2332,7 +2336,7 @@ object DedupQueries {
           col("hid") === col("yid"))
         .filter(jaccard(col("xsh"), col("ysh")) >= 0.2)
         .select(col("bid")).distinct()
-      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+      CurationPipeline.nightBatch(s, dir)
         .select(col("doc_id"), col("source"))
         .join(conf, col("doc_id") === col("bid"), "left")
         .groupBy(col("source"))

@@ -1660,7 +1660,8 @@ object SimilarityQueries {
         .select(col("bid")).distinct()
       Tables.embeddings(s, dir).select(col("vec_id"))
         .filter(col("vec_id") % 7 === 0)
-        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        .join(CurationPipeline.nightBatch(s, dir)
+            .select(col("doc_id"), col("source")),
           col("vec_id") === col("doc_id"))
         .join(conf, col("vec_id") === col("bid"), "left")
         .groupBy(col("source"))

@@ -97,7 +97,17 @@ class OracleSqlSpec extends AnyFunSuite {
     ("q24o_filtered_topk", "dotv"),
     // q24p: q24l's chain over the merged (standing ∪ appended) codes —
     // same vetted fixed-order ADC sum, codes just come from two sources
-    ("q24p_incremental_ivfpq", "dotv")
+    ("q24p_incremental_ivfpq", "dotv"),
+    // q68: the composite's oracle embeds its constituents' vetted texts as
+    // subqueries — these are the SAME sums already vetted under q44/q45
+    // (n_types/wlen_sum/n_bg: ::DOUBLE-ratio-only quality intermediates,
+    // appearing twice — curation history + batch blocks), q47b (gid: the
+    // span tail's GROUP BY key), and q67 (sig: re-sliced into band values)
+    ("q68_night_report", "n_types"),
+    ("q68_night_report", "wlen_sum"),
+    ("q68_night_report", "n_bg"),
+    ("q68_night_report", "gid"),
+    ("q68_night_report", "sig")
     // (q24n's dotv is the same chain plus a trailing parenthesized offset
     // addition — not alias-of-a-raw-SUM shaped, so the lint doesn't match
     // it and no entry is needed)

@@ -544,6 +544,23 @@ class PlanSpec extends SparkSpec {
     assert(allScans(q45).exists(_.relation.location.rootPaths
         .exists(_.toString.contains("graft_q45_"))),
       "history/batch artifacts must be read from the q45 materializations")
+
+    // q68 (the nightly-ops composite, VERDICT r15 #5): raw batch documents
+    // are scanned exactly ONCE across the whole composite — by the
+    // night-batch builder; the report plan itself reads ONLY stored
+    // frames (night_batch, the q68 stage checkpoints, the standing
+    // indexes) and the embeddings table (q67's side — a different raw
+    // table, with its own shared sig materialization)
+    assert(rawScans(graft.queries.CurationPipeline.nightBatchBuilder(spark, sf)) === 1,
+      "the night-batch builder must be the single raw batch-documents scan")
+    val q68 = SparkEntry.queries("q68_night_report")(spark, sf)
+    assert(rawScans(q68) === 0,
+      "the composite night report must never re-scan raw documents")
+    val s68 = allScans(q68).flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(s68.exists(_.contains("graft_night_batch_")),
+      "stages must read the shared materialized night-batch frame")
+    assert(s68.exists(_.contains("graft_q68_")),
+      "the composite curation stage must read its q68_* checkpoints")
   }
 
   test("q24j: MMR rounds are checkpointed — the final plan reads only the tiny result") {

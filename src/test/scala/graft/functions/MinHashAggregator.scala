@@ -17,7 +17,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * signatures inside `Dataset.groupByKey`/`agg` pipelines where a single
   * typed column beats 16 named ones; its partial state is a fixed k longs
   * per group per task, mergeable slot-wise — the bounded-state shape that
-  * scales. */
+  * scales.
+  *
+  * Lives in the TEST tree (VERDICT r15 #7): the production dedup path uses
+  * the faster explode + min() form (SURVEY §4.3), so this reference
+  * implementation exists only for the equivalence pin beside it. */
 class MinHashAggregator(k: Int = TextHash.MinhashK)
     extends Aggregator[Long, Array[Long], Seq[Long]] {
 
