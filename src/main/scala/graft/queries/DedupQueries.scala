@@ -730,7 +730,17 @@ object DedupQueries {
     * index: one range exchange over (standing + batch) narrow key rows,
     * the batch-sized rank build, and the batch-proportional LCP delta
     * (growth rows in BASELINE.md r16). Returns (keys_vN, lcp_vN). */
-  private def saChain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def saChain(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    saChainUpTo(s, dir, ChainNights)
+
+  /** [[saChain]] stopped after `nights` merges (the base snapshot is
+    * always the % 7 >= ChainNights split, so night k's inputs are
+    * identical however many nights follow). Materialize caching makes
+    * successive calls pay ONLY the new night — the per-night growth
+    * probe's instrument (tools.IncrProbe). */
+  private[graft] def saChainUpTo(s: SparkSession, dir: String,
+                                 nights: Int): (DataFrame, DataFrame) = {
+    require(nights >= 0 && nights <= ChainNights, s"nights 0..$ChainNights")
     val docsAll = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val base = Tables.documents(s, dir)
@@ -746,7 +756,7 @@ object DedupQueries {
         .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
           col("lcp"))
     }
-    for (k <- 0 until ChainNights) {
+    for (k <- 0 until nights) {
       val m = mergedSaOf(s, dir, hk,
         Tables.documents(s, dir).filter(col("doc_id") % 7 === k)
           .select(col("doc_id"), col("text")),

@@ -1993,9 +1993,7 @@ object SimilarityQueries {
           Seq("vec_id"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dd)
-      pqAssign(pqSubvectors(batchBase(s, dir)), a.encCent)
-        .select(col("vec_id"), col("m"), col("cid"))
-        .join(q24pBatchCells(s, dir), Seq("vec_id"))
+      q24pBatchEncodeFrame(s, dir)
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(dd)
       val prev = q24pCodesDirs.putIfAbsent(key, dd)
@@ -2015,6 +2013,18 @@ object SimilarityQueries {
       _ => probeMapOf(s, dir, q24pCent(s, dir)).select(col("plabel")).distinct()
         .collect().map(_.getInt(0)).sorted.toSeq)
     merged.filter(col("cell").isin(cells.map(Int.box): _*))
+  }
+
+  /** The NIGHTLY MARGINAL work of q24p in one frame: tonight's batch
+    * PQ-encoded against the frozen codebook and routed to frozen cells —
+    * what the append writes. Exposed for the growth probe
+    * (tools.IncrProbe): its cost is the per-night update cost, measured
+    * beside the from-scratch re-encode it replaces. */
+  private[graft] def q24pBatchEncodeFrame(s: SparkSession, dir: String): DataFrame = {
+    val a = q24pArtifacts(s, dir)
+    pqAssign(pqSubvectors(batchBase(s, dir)), a.encCent)
+      .select(col("vec_id"), col("m"), col("cid"))
+      .join(q24pBatchCells(s, dir), Seq("vec_id"))
   }
 
   /** From-scratch twin of [[q24pMergedCodes]] for the parity spec: every
