@@ -636,11 +636,12 @@ object DedupQueries {
     * without any re-keying join. Every adjacency involving a batch suffix
     * is new (≤ 2·batch+1 pairs, batch-PROPORTIONAL — not constant-bounded:
     * at production batch sizes these frames are far past any broadcast
-    * envelope, so only the NARROW probes travel by broadcast — cand's
-    * position pairs, brokenA's identities, and the 2-long endpoint rows
-    * that ride the docs scan — while the slice-widened rows (a SaDepth
-    * token array each) meet the pair frame through shuffle equi-joins,
-    * ADVICE r15). Nothing standing-sized is ever re-COMPARED; the only
+    * envelope, so NOTHING here forces a broadcast — every probe joins
+    * plain and AQE applies the real size gate, broadcasting while small
+    * and shuffle-hashing once batch-proportional mass exceeds it; a
+    * forced broadcast is deserialized per task and measured 4.1× CPU on
+    * 2× data at ×20, ADVICE r15 + growth_r16a). Nothing standing-sized
+    * is ever re-COMPARED; the only
     * corpus-linear work is the merge frame itself, paid once per night.
     * Output: (a_doc, a_pos, b_doc, b_pos, lcp). */
   private def updatedLcp(m: DataFrame, hl: DataFrame,
@@ -650,12 +651,19 @@ object DedupQueries {
       .unionByName(
         bpos.select(col("m_pos").as("lp"), (col("m_pos") + 1).as("rp")))
       .filter(col("lp") >= 1).distinct()
-    val left = m.join(broadcast(cand), col("m_pos") === col("lp"))
+    // NO forced broadcast anywhere below (growth_r16a finding): these
+    // frames are batch-PROPORTIONAL — ~2 rows per batch suffix position,
+    // millions at x20 — and a forced broadcast is deserialized once per
+    // task, so its cost scales as (batch size x task count): measured
+    // 4.1x CPU on 2x data. Plain equi-joins let AQE apply the actual
+    // size gate — broadcast while the frames are under the threshold
+    // (every oracle SF), shuffle-hash once they are not.
+    val left = m.join(cand, col("m_pos") === col("lp"))
       .select(col("lp"), col("rp"),
         col("doc_id").as("a_doc"), col("pos").as("a_pos"),
         col("isb").as("a_isb"))
-    val right = m.join(broadcast(cand
-          .withColumnRenamed("lp", "lp2").withColumnRenamed("rp", "rp2")),
+    val right = m.join(cand
+          .withColumnRenamed("lp", "lp2").withColumnRenamed("rp", "rp2"),
         col("m_pos") === col("rp2"))
       .select(col("lp2"), col("rp2"),
         col("doc_id").as("b_doc"), col("pos").as("b_pos"),
@@ -666,18 +674,18 @@ object DedupQueries {
     val brokenA = np0.filter(col("a_isb") === 0 && col("b_isb") === 1)
       .select(col("a_doc").as("bk_doc"), col("a_pos").as("bk_pos"))
     val retained = hl
-      .join(broadcast(brokenA),
+      .join(brokenA,
         col("a_doc") === col("bk_doc") && col("a_pos") === col("bk_pos"),
         "left_anti")
       .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
         col("lcp"))
     // slices for the new pairs: the narrow distinct endpoint frame rides
-    // the docs scan by broadcast (2 longs/row); the resulting slice rows
-    // are the wide ones and meet the pair frame by shuffle equi-join
+    // the docs scan (AQE broadcasts it while small); the resulting slice
+    // rows are the wide ones and meet the pair frame by equi-join
     val ends = np.select(col("a_doc").as("doc_id"), col("a_pos").as("pos"))
       .unionByName(np.select(col("b_doc").as("doc_id"), col("b_pos").as("pos")))
       .distinct()
-    val slices = docsAll.join(broadcast(ends), Seq("doc_id"))
+    val slices = docsAll.join(ends, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         slice(col("toks"), col("pos").cast("int"), lit(SaDepth)).as("sfx"))
     val withA = np.join(slices,

@@ -652,9 +652,10 @@ class PlanSpec extends SparkSpec {
     // distinct compare would mean a history-sized re-compare branch
     val zw = """zip_with\(\w+#\d+""".r.findAllIn(p).toSet
     assert(zw.size === 1, s"expected one distinct zip_with compare, got $zw:\n$p")
-    // the narrow probes still travel by broadcast; the slice-widened rows
-    // meet the pair frame by shuffle equi-join (no broadcast carries an
-    // array-typed slice column — the ADVICE-r15 envelope rule)
+    // no broadcast is FORCED — AQE applies the size gate, which at the
+    // spec fixture resolves to broadcasting the tiny probe frames (the
+    // ADVICE-r15 envelope rule: at production batch sizes the same plan
+    // shuffle-hashes them instead)
     assert(p.contains("BroadcastExchange"), p)
   }
 
