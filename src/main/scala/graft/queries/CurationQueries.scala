@@ -702,8 +702,82 @@ object CurationQueries {
           round(col("oov_tokens").cast("double") / col("n_tok"), 6)
             .as("oov_token_frac"))
         .orderBy("source")
+    },
+
+    // X4+++/Q64b — MULTI-NIGHT COMPOUNDING of the vocabulary index (the
+    // q63i/q63j chain pattern applied to q64's standing artifact): night k
+    // probes batch doc_id % 7 == k against the standing vocabulary, then
+    // the probe's OWN new-type rows become the night's state write — a
+    // Materialized DELTA table (novel types only, Heaps-sublinear in the
+    // batch — the q45b delta-log shape, never a full-vocab rewrite) that
+    // IS part of night k+1's standing vocabulary. Both carries are
+    // load-bearing: a type introduced by night 0 must read KNOWN in night
+    // 1's report (a stale or missing delta inflates new_types and fails
+    // the hash). The served report is a pure union of the per-night
+    // materialized probe frames — ZERO raw document scans in the final
+    // plan (each night's batch was scanned once, at probe build). Oracle
+    // recomputes every night from raw documents with history = base +
+    // all earlier batches, so chain–rebuild parity holds per night.
+    QueryDef("q64b_chained_vocab_drift", sqlChainedVocabOracle) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      var vocab: DataFrame = Materialize(s, dir, "q64b_vocab_v0")(
+        docs.filter(col("doc_id") % 7 >= DedupQueries.ChainNights)
+          .select(explode(tokens(col("text"))).as("v")).distinct())
+      val isNew = col("known").isNull
+      (0 until DedupQueries.ChainNights).map { k =>
+        // ONE batch scan per night: the probe frame (per-(source, type)
+        // counts with the standing-vocab verdict attached) is materialized
+        // and serves both the night's report and the delta write
+        val probe = Materialize(s, dir, s"q64b_probe_v$k") {
+          docs.filter(col("doc_id") % 7 === k)
+            .select(col("source"), explode(tokens(col("text"))).as("v"))
+            .groupBy(col("source"), col("v")).agg(count(lit(1)).as("cnt"))
+            .join(vocab.withColumn("known", lit(1)), Seq("v"), "left")
+        }
+        val delta = Materialize(s, dir, s"q64b_vocab_delta_v${k + 1}")(
+          probe.filter(isNew).select(col("v")).distinct())
+        vocab = vocab.unionByName(delta)
+        probe.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_tok"),
+            count(lit(1)).as("n_types"),
+            sum(when(isNew, 1L).otherwise(0L)).as("new_types"),
+            sum(when(isNew, col("cnt")).otherwise(0L)).as("oov_tokens"))
+          .select(lit(k).as("night"), col("source"), col("n_tok"),
+            col("n_types"), col("new_types"),
+            round(col("new_types").cast("double") / col("n_types"), 6)
+              .as("new_type_frac"),
+            round(col("oov_tokens").cast("double") / col("n_tok"), 6)
+              .as("oov_token_frac"))
+      }.reduce(_.unionByName(_)).orderBy("night", "source")
     }
   )
+
+  /** q64b's oracle: each night's q64 report recomputed FROM RAW documents
+    * with history = base (% 7 >= ChainNights) + all earlier batches —
+    * the full-rebuild twin of the chained vocabulary state. */
+  private def sqlChainedVocabOracle: String = {
+    val blocks = (0 until DedupQueries.ChainNights).map { k =>
+      s"""hv$k AS (SELECT DISTINCT unnest(${sqlTokens("text")}) AS v
+         |  FROM documents
+         |  WHERE doc_id % 7 >= ${DedupQueries.ChainNights} OR doc_id % 7 < $k),
+         |pt$k AS (SELECT source, v, COUNT(*) AS cnt
+         |  FROM (SELECT source, unnest(${sqlTokens("text")}) AS v
+         |        FROM documents WHERE doc_id % 7 = $k) GROUP BY 1, 2),
+         |r$k AS (SELECT $k AS night, pt$k.source,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_tok, COUNT(*) AS n_types,
+         |    CAST(SUM(CASE WHEN hv$k.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS new_types,
+         |    round(SUM(CASE WHEN hv$k.v IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |      / COUNT(*), 6) AS new_type_frac,
+         |    round(SUM(CASE WHEN hv$k.v IS NULL THEN cnt ELSE 0 END)::DOUBLE
+         |      / SUM(cnt), 6) AS oov_token_frac
+         |  FROM pt$k LEFT JOIN hv$k ON pt$k.v = hv$k.v
+         |  GROUP BY pt$k.source)""".stripMargin
+    }
+    val union = (0 until DedupQueries.ChainNights)
+      .map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    s"WITH ${blocks.mkString(",\n")}\n$union ORDER BY night, source"
+  }
 
   /** The DSIR per-doc score frame (doc_id, lang, n_tok, score_fp, negq),
     * shared by q25q (top-k quota) and q25qb (quantile-threshold quota). See

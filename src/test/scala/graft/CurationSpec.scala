@@ -450,6 +450,33 @@ class CurationSpec extends SparkSpec {
     assert(out("src_c")._4 === 20L && out("src_c")._5 === 1.0 && out("src_c")._6 === 1.0)
   }
 
+  test("q64b chained vocab: a type introduced by an earlier NIGHT reads known later") {
+    // base (%7 >= 3): vocabulary w0..w9. night 0 (doc 7) introduces
+    // fresh0/fresh1; night 1 (doc 8) REUSES them — with a genuine carry
+    // its new_types is 0, with a stale/missing night-0 delta it reads 2.
+    // night 1 also introduces alien0 (doc 15); night 2 (doc 9) reuses one
+    // type from EACH earlier night plus one brand-new — exactly 1 new.
+    val baseWords = (0 until 10).map(i => s"w$i")
+    val rows = Seq(3L, 4L, 5L, 6L).map(i =>
+      (i, baseWords.mkString(" "), "en", "hist", 10L)) ++ Seq(
+      (7L, "w0 w1 fresh0 fresh1", "en", "s_n0", 10L),
+      (8L, "fresh0 fresh1", "en", "s_carry", 10L),
+      (15L, "alien0 w2", "en", "s_new1", 10L),
+      (9L, "alien0 fresh0 brand0", "en", "s_n2", 10L))
+    val d = TempDirs.create("graft_q64b_")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q64b_chained_vocab_drift")(spark, d)
+      .as[(Int, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out((0, "s_n0"))._5 === 2L, "night 0 introduces fresh0/fresh1")
+    assert(out((1, "s_carry"))._5 === 0L,
+      "night 1 must see night 0's types as KNOWN — the carry is load-bearing")
+    assert(out((1, "s_new1"))._5 === 1L, "alien0 is new at night 1, w2 is base")
+    assert(out((2, "s_n2"))._5 === 1L,
+      "night 2 must see night-0 AND night-1 types as known; only brand0 is new")
+  }
+
   test("q62 dynamic batching: classes are tight powers of two and batches fill to capacity") {
     val out = SparkEntry.queries("q62_dynamic_batching")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect()

@@ -684,6 +684,76 @@ class DedupEdgeSpec extends SparkSpec {
       "within-batch duplicates must not count as history drift")
   }
 
+  /** q65b: the cross-NIGHT compounding edge — a night-1 doc near-dupping a
+    * night-0 BATCH doc must flag (only a genuine night-0 delta carry can
+    * see it), while a within-night pair still must not. */
+  test("q65b chained near-dup drift sees earlier nights' batches as standing") {
+    val hist30 = (0 until 30).map(i => s"hh$i").mkString(" ")
+    val night0 = (0 until 30).map(i => s"nz$i").mkString(" ")
+    val night0b = ((0 until 15).map(i => s"nz$i") ++ Seq("CHANGED") ++
+      (16 until 30).map(i => s"nz$i")).mkString(" ")
+    val fresh = (0 until 30).map(i => s"fr$i").mkString(" ")
+    val freshB = ((0 until 15).map(i => s"fr$i") ++ Seq("ALTERED") ++
+      (16 until 30).map(i => s"fr$i")).mkString(" ")
+    val rows = Seq(
+      (3L, hist30, "en", "hist", 10L),                 // base
+      (4L, (0 until 30).map(i => s"zz$i").mkString(" "), "en", "hist", 10L),
+      (7L, night0, "en", "n0_fresh", 10L),             // night 0: fresh
+      (14L, (0 until 30).map(i => s"qq$i").mkString(" "), "en", "n0_other", 10L),
+      (8L, night0b, "en", "n1_xnight", 10L),           // night 1: near-dups doc 7
+      (15L, fresh, "en", "n1_pair", 10L),              // night 1 within-night pair
+      (22L, fresh, "en", "n1_pair", 10L),              //   (must NOT flag)
+      (9L, freshB, "en", "n2_xnight", 10L))            // night 2: near-dups night 1
+    val d = TempDirs.create("graft_q65b_")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q65b_chained_neardup_drift")(spark, d)
+      .as[(Int, String, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out((0, "n0_fresh"))._4 === 0L, "night 0 vs base only: fresh is clean")
+    assert(out((1, "n1_xnight"))._4 === 1L,
+      "a night-1 near-dup of a night-0 BATCH doc must flag — the carry is load-bearing")
+    assert(out((1, "n1_pair"))._4 === 0L,
+      "a within-night duplicate pair must not flag (index grows after the probe)")
+    assert(out((2, "n2_xnight"))._4 === 1L,
+      "night 2 must see night 1's batch as standing")
+  }
+
+  /** q67b: q65b's cross-night edge in EMBEDDING space. */
+  test("q67b chained embedding drift sees earlier nights' batches as standing") {
+    val dim = 64
+    def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val baseDir = v(i => if (i < 2) 1f else 0f)
+    val n0New = v(i => if (i == 10 || i == 11) 1f else 0f)   // fresh at night 0
+    val n1Dup = v(i => if (i == 10 || i == 11) 3f else 0f)   // colinear with n0New
+    val n1Pair = v(i => if (i == 20) 1f else if (i == 21) -1f else 0f)
+    val n2Dup = v(i => if (i == 20) 2f else if (i == 21) -2f else 0f) // colinear n1Pair
+    val vecs = Seq(
+      (3L, baseDir, 0), (4L, v(i => if (i == 4 || i == 5) 1f else 0f), 0), // base
+      (7L, n0New, 0),                                   // night 0: fresh
+      (8L, n1Dup, 0),                                   // night 1: dups night 0
+      (15L, n1Pair, 0), (22L, n1Pair, 0),               // night 1 within-night pair
+      (9L, n2Dup, 0))                                   // night 2: dups night 1
+    val srcs = Map(3L -> "hist", 4L -> "hist", 7L -> "n0_fresh",
+      8L -> "n1_xnight", 15L -> "n1_pair", 22L -> "n1_pair", 9L -> "n2_xnight")
+    val d = TempDirs.create("graft_q67b_")
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    vecs.map { case (id, _, _) => (id, s"text $id", "en", srcs(id), 7L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("q67b_chained_embedding_drift")(spark, d)
+      .as[(Int, String, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out((0, "n0_fresh"))._4 === 0L, "night 0 vs base only: fresh is clean")
+    assert(out((1, "n1_xnight"))._4 === 1L,
+      "a night-1 vector colinear with a night-0 BATCH vector must flag")
+    assert(out((1, "n1_pair"))._4 === 0L,
+      "a within-night identical pair must not flag")
+    assert(out((2, "n2_xnight"))._4 === 1L,
+      "night 2 must see night 1's batch as standing")
+  }
+
   /** q67: planted SEMANTIC drift — a batch vector colinear with a history
     * vector (cosine 1.0 at a different magnitude, the paraphrase-analogue
     * the lexical monitors can't see) must flag; an orthogonal fresh batch

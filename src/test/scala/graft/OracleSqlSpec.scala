@@ -76,6 +76,8 @@ class OracleSqlSpec extends AnyFunSuite {
     // q67: the q24d/q60b shared sig CTE — re-sliced into band values,
     // never emitted
     ("q67_embedding_drift", "sig"),
+    // q67b: the same shared sig CTE, chained per-night band re-slicing
+    ("q67b_chained_embedding_drift", "sig"),
     // q58: same gaps-and-islands key, intra-doc (GROUP BY doc_id, gid only)
     ("q58_repetition_filter", "gid"),
     // q25k: total_tok only feeds the DOUBLE BM25 length norm; score_fp is

@@ -672,6 +672,26 @@ class PlanSpec extends SparkSpec {
     assert(!pj.contains("zip_with") && !pj.contains("graft_sa_chain_merged_"), pj)
   }
 
+  test("q64b/q65b/q67b: chained monitors serve from materialized night state") {
+    // q64b's served report is a pure union of the materialized per-night
+    // probe frames: ZERO raw document scans survive into the final plan
+    // (each night's batch was scanned once, at probe build)
+    val pv = plan("q64b_chained_vocab_drift")
+    assert(!pv.contains("documents.parquet"), pv)
+    for (k <- 0 until 3) assert(pv.contains(s"graft_q64b_probe_v${k}_"), pv)
+    // q65b/q67b: the per-night verdicts are materialized (no band join, no
+    // jaccard/cosine confirm re-runs in serving); the only raw reads are
+    // the column-pruned per-night source lookups
+    val pb = plan("q65b_chained_neardup_drift")
+    for (k <- 0 until 3) assert(pb.contains(s"graft_q65b_conf_v${k}_"), pb)
+    assert(!pb.contains("graft_q65b_bands_"), pb)
+    assert("documents\\.parquet".r.findAllIn(pb).size === 3, pb)
+    val pe = plan("q67b_chained_embedding_drift")
+    for (k <- 0 until 3) assert(pe.contains(s"graft_q67b_conf_v${k}_"), pe)
+    assert(!pe.contains("graft_q67b_bands_"), pe)
+    assert(!pe.contains("BroadcastNestedLoopJoin") && !pe.contains("CartesianProduct"), pe)
+  }
+
   test("q67: candidates come from a band equi-join over the shared sig table, never history × batch") {
     val p = plan("q67_embedding_drift")
     // signatures read the q24d shared materialization; no nested-loop /
