@@ -1687,6 +1687,10 @@ object DedupQueries {
          |  COALESCE(agg.clean_text, '') AS clean_text
          |FROM tot t LEFT JOIN agg ON t.doc_id = agg.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      // measured round 16: a scan spread here REGRESSED wall 0.94→1.66 s
+      // (the collect_list/array_sort reassembly is GC/alloc-bound and
+      // inflates under 32-way contention more than the serial scan costs)
+      // — left on the narrow scan deliberately
       val src = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val segs = src.select(col("doc_id"),
@@ -2472,6 +2476,9 @@ object DedupQueries {
          |  round(n_hit::DOUBLE / n_windows, 6) AS hit_frac
          |FROM ev ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val bucket = hash32(concat(lit("split:"), col("doc_id"))) % 100
+      // measured round 16: spreading the materialized window read was a
+      // wash (q52 −0.2 s, q52b +0.2 s — the probe join's own exchange
+      // already parallelizes the heavy half); left narrow deliberately
       val sw = substrWindows(s, dir, ww).select(col("doc_id"), col("wh"),
         when(bucket >= QualityQueries.TestFrom, "test")
           .when(bucket >= QualityQueries.ValFrom, "val")

@@ -89,7 +89,10 @@ object IngestParity {
          |  p[1] AS category, p[2] AS sub_category, p[3] AS product,
          |  p[4] AS product_details
          |FROM parts ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val src = Tables.events(s, dir)
+      // still a narrow pass at scale (Spread is the identity there); on the
+      // single-file local testdata it spreads the per-row date-format /
+      // regex work off the one scan task (guide §2.5)
+      val src = Spread(Tables.events(s, dir), col("event_id"))
         .withColumn("event_time_string",
           concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit(" UTC")))
         .withColumn("category_code", synthCode)

@@ -104,7 +104,12 @@ object QualityQueries {
     * re-derives the q50 ranking key from it.) */
   private[graft] def clsScored(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val src = Tables.documents(s, dir)
+    // spread the scan: the unigram and bigram passes below both re-run
+    // tokenize off it — after the spread they embed identical Exchange
+    // subtrees, so ReuseExchange tokenizes ONCE and both passes run at
+    // session parallelism instead of serially on the one scan task
+    // (guide §2.4/§2.5; benefits q48, q50, q66)
+    val src = Spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val tok = src.select(col("doc_id"), explode(col("toks")).as("v"))
     val bg = src.filter(size(col("toks")) >= 2)
@@ -256,6 +261,10 @@ object QualityQueries {
          |SELECT event_id, s5 AS redacted, n_email, n_uuid, n_ip, n_phone, n_num,
          |  (n_email + n_uuid + n_ip + n_phone + n_num) > 0 AS has_pii
          |FROM r5 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // measured round 16: a scan spread here parallelized the cascade but
+      // bought no wall (regex work inflates ~7x in task CPU under 32-way
+      // memory contention — the cpi signature); the narrow one-projection
+      // plan stays, matching the plan pin
       piiRedaction(Tables.events(s, dir))
     },
 
@@ -381,7 +390,10 @@ object QualityQueries {
            |FROM rf ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val src = Tables.documents(s, dir)
+      // four consumers (three gram widths + the position stream) re-run
+      // tokenize off this scan; the spread parallelizes it AND lets
+      // ReuseExchange share one tokenize across them (guide §2.4/§2.5)
+      val src = Spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
       // top-n-gram ladder: one kind-tagged union -> (doc, kind, gram)
@@ -478,7 +490,9 @@ object QualityQueries {
          |  round(SUM(CASE WHEN rule_keep = cls_keep THEN 1 ELSE 0 END)::DOUBLE
          |    / COUNT(*), 6) AS agree_frac
          |FROM sb GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
-      val ct = Tables.documents(s, dir)
+      // rule battery + classifier both tokenize; spread the scan so the
+      // two doc-keyed aggregations run parallel, not on one task (§2.5)
+      val ct = Spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       val ruleKeep = CurationPipeline.qualityDocs(ct).withColumn("rk", lit(1))
       val clsKeep = col("wsum") > 0

@@ -97,7 +97,9 @@ object SetsAndScalars {
         |array_to_string(list_reverse(chars), '') AS a_rev,
         |len(chars) AS a_len
         |FROM src ORDER BY event_id""".stripMargin) { (s, dir) =>
-      Tables.events(s, dir)
+      // per-row JSON parse + array battery is the cost; spread the
+      // single-file scan so it doesn't run on one task (guide §2.5)
+      Spread(Tables.events(s, dir), col("event_id"))
         .select(
           col("event_id"), col("props"),
           filter(split(col("event_type"), ""), c => c =!= "").as("chars"))

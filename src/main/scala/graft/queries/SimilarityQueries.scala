@@ -934,7 +934,10 @@ object SimilarityQueries {
       require(n <= 100000L,
         s"q24c_embed_neardup_pairs is test-scale-only (all-pairs, O(n²)): " +
           s"corpus has $n rows; use q24d_lsh_neardup_pairs at scale")
-      val a = base(s, dir)
+      // the quadratic cosine work runs on the STREAM side of the BNLJ, so
+      // its parallelism is the stream side's scan parallelism — one task on
+      // a single-file base table (guide §2.5: repartition after the read)
+      val a = Spread(base(s, dir), col("vec_id"))
         .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
       val b = base(s, dir)
         .select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
