@@ -350,7 +350,12 @@ object DedupQueries {
   private def suffixRanksOf(s: org.apache.spark.sql.SparkSession, dir: String,
                             docsFrame: DataFrame, mTag: String)
     : (DataFrame, DataFrame) = {
-    val docs = docsFrame.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // spread: `docs` is the LIVE tokenized side every SA consumer joins
+    // its (doc, pos) frames back to (saSubstrDedup's window slices, the
+    // suffix-slice builders) — off a single-file scan it tokenized the
+    // whole corpus on one task per run (guide §2.5; identity at scale)
+    val docs = Spread(docsFrame, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     // The finished rank table is MATERIALIZED (the substrWindows
     // precedent): the suffix array is exactly the index Lee et al. build
     // once and persist — construction runs in whichever consumer touches
@@ -361,7 +366,9 @@ object DedupQueries {
       def round(df: DataFrame, tag: String): (DataFrame, String) = {
         val d = graft.TempDirs.create(s"graft_${tag}_")
         df.write.mode("overwrite").parquet(d)
-        (s.read.parquet(d), d)
+        // schema pinned from the frame just written: a schemaless re-open
+        // would pay a footer-inference job per round (round 16)
+        (s.read.schema(df.schema).parquet(d), d)
       }
       // the superseded round + the pins feeding the round just written are
       // dead the moment the write commits — reclaim them eagerly so the
@@ -749,7 +756,8 @@ object DedupQueries {
   private[graft] def saChainUpTo(s: SparkSession, dir: String,
                                  nights: Int): (DataFrame, DataFrame) = {
     require(nights >= 0 && nights <= ChainNights, s"nights 0..$ChainNights")
-    val docsAll = Tables.documents(s, dir)
+    // spread: same single-file-scan tokenize as q63h's live frame (§2.5)
+    val docsAll = Spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") % 7 >= ChainNights)
@@ -2264,7 +2272,10 @@ object DedupQueries {
     // misclassification anywhere flips a count or a witness and fails
     // the hash.
     QueryDef("q63h_incremental_lcp", sqlLcpHistogramOracle) { (s, dir) =>
-      val docsAll = Tables.documents(s, dir)
+      // spread: the new-pair suffix slices join back to this tokenized
+      // frame — off the single-file scan the whole-corpus tokenize ran on
+      // one task per execution (guide §2.5; identity at scale)
+      val docsAll = Spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       lcpHistogram(updatedLcp(mergedSa(s, dir), histSaLcp(s, dir), docsAll))
     },

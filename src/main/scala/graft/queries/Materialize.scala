@@ -31,7 +31,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialize {
 
-  private val cache = new ConcurrentHashMap[String, String]()
+  /** key → (scratch dir, the dir's parquet schema as read back once).
+    * The schema is cached because `spark.read.parquet(dir)` without one
+    * runs a footer-inference JOB per call — measured round 16 at ~30 ms
+    * each, and an artifact-heavy query (q24m: 17 materialized reads in its
+    * build) paid ~0.5–1 s of pure frame-CONSTRUCTION wall per execution.
+    * With the schema pinned, a cache hit plans straight off the listing —
+    * zero jobs before the action runs (guide §7.3: driver-side work is
+    * where "nothing is running" time hides). */
+  private val cache = new ConcurrentHashMap[String,
+    (String, org.apache.spark.sql.types.StructType)]()
 
   def apply(s: SparkSession, srcDir: String, tag: String)(df: => DataFrame): DataFrame =
     write(s, srcDir, tag, Nil)(df)
@@ -50,7 +59,7 @@ object Materialize {
     * for footer-level statistics (row counts) on the stored table without
     * a counting job. None until the tag's first consumer materializes it. */
   def pathFor(s: SparkSession, srcDir: String, tag: String): Option[String] =
-    Option(cache.get(key(s, srcDir, tag, Nil)))
+    Option(cache.get(key(s, srcDir, tag, Nil))).map(_._1)
 
   /** The one cache-key format, shared by [[write]] and [[pathFor]] — a
     * format drift between the two would make pathFor silently always-None
@@ -70,14 +79,18 @@ object Materialize {
     // IllegalStateException("Recursive update") whenever the two keys land
     // in the same bin. A losing racer just abandons its dir (harness is
     // effectively single-threaded; dirs are reclaimed on exit regardless).
-    var dir = cache.get(key)
-    if (dir == null) {
+    var entry = cache.get(key)
+    if (entry == null) {
       val d = graft.TempDirs.create(s"graft_${tag}_")
       val w = df.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(d)
-      val prev = cache.putIfAbsent(key, d)
-      dir = if (prev == null) d else prev
+      // one inference read (the only footer job this tag ever pays) pins
+      // the WRITTEN schema — including partition-column types discovered
+      // from the directory layout — for every later cache-hit read
+      val made = (d, s.read.parquet(d).schema)
+      val prev = cache.putIfAbsent(key, made)
+      entry = if (prev == null) made else prev
     }
-    s.read.parquet(dir)
+    s.read.schema(entry._2).parquet(entry._1)
   }
 }
