@@ -439,9 +439,11 @@ object CurationPipeline {
       outRoot: String, stateRoot: String, bp: DataFrame,
       baseNow: DataFrame): Unit = {
     val tDir = s"$stateRoot/t_v$id"
-    packable(tokenized(spanClean(segsOf(kept), bp)))
-      .write.mode("overwrite").parquet(tDir)
-    val t = ss.read.parquet(tDir)
+    val pk = packable(tokenized(spanClean(segsOf(kept), bp)))
+    pk.write.mode("overwrite").parquet(tDir)
+    // schema pinned from the frame just written: a schemaless re-open runs
+    // a footer-inference job per SLICE per run (round 16)
+    val t = ss.read.schema(pk.schema).parquet(tDir)
     packFrom(t, baseNow).write.mode("overwrite").parquet(s"$outRoot/out_v$id")
     val nb = baseNow
       .unionByName(t.groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))

@@ -303,12 +303,13 @@ object DedupQueries {
     val kc = keys.map(col)
     val pinDir = graft.TempDirs.create(s"graft_${tag}_lr_")
     scratch.foreach(_ += pinDir)
-    keysDf.repartitionByRange(kc: _*)
+    val pinned = keysDf.repartitionByRange(kc: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lr",
         dense_rank().over(Window.partitionBy(col("_pid")).orderBy(kc: _*)).cast("long"))
-      .write.mode("overwrite").parquet(pinDir)
-    val local = s.read.parquet(pinDir)
+    pinned.write.mode("overwrite").parquet(pinDir)
+    // schema pinned from the frame just written — no footer-inference job
+    val local = s.read.schema(pinned.schema).parquet(pinDir)
     val offs = local.groupBy(col("_pid")).agg(max(col("_lr")).as("_cnt"))
       .withColumn("_off",
         coalesce(sum(col("_cnt")).over(
@@ -510,13 +511,14 @@ object DedupQueries {
       val ord = Seq(col("skey"), col("doc_id"), col("pos"))
       val w = Window.partitionBy(col("_pid")).orderBy(ord: _*)
       val pinDir = graft.TempDirs.create("graft_sa_merge_")
-      u.repartitionByRange(ord: _*)
+      val pinned = u.repartitionByRange(ord: _*)
         .withColumn("_pid", spark_partition_id())
         .withColumn("_rn", row_number().over(w).cast("long"))
         .withColumn("_cb", sum(col("isb")).over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
-        .write.mode("overwrite").parquet(pinDir)
-      val loc = s.read.parquet(pinDir)
+      pinned.write.mode("overwrite").parquet(pinDir)
+      // schema pinned from the frame just written — no footer-inference job
+      val loc = s.read.schema(pinned.schema).parquet(pinDir)
       val offs = loc.groupBy(col("_pid"))
         .agg(count(lit(1)).as("_n"), sum(col("isb")).as("_nb"))
         .select(col("_pid"),

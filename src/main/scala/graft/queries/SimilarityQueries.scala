@@ -2079,8 +2079,8 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label").as("cell"))
   }
 
-  private val q24pCodesDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q24pCodesDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
   /** The MERGED cell-partitioned codes table (vec_id, m, cid, cell):
     * standing history codes written once partitionBy(cell) (q24m's
@@ -2111,10 +2111,14 @@ object SimilarityQueries {
       q24pBatchEncodeFrame(s, dir)
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(dd)
-      val prev = q24pCodesDirs.putIfAbsent(key, dd)
-      d = if (prev == null) dd else prev
+      // one inference read pins the layout's schema (incl. the discovered
+      // cell partition column) for every later serving read — no
+      // footer-inference job per execution (the Materialize rule)
+      val made = (dd, s.read.parquet(dd).schema)
+      val prev = q24pCodesDirs.putIfAbsent(key, made)
+      d = if (prev == null) made else prev
     }
-    s.read.parquet(d)
+    s.read.schema(d._2).parquet(d._1)
   }
 
   /** q24p's statically pruned serving scan: the merged codes table
