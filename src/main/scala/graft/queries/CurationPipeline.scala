@@ -149,6 +149,24 @@ object CurationPipeline {
   private def qualityTrainDocs(ct: DataFrame): DataFrame =
     qualityDocs(ct).filter(splitBucket < ValFrom)
 
+  /** Stage-3 boundary MATERIALIZED for the full curated corpus: the
+    * quality-passing doc_ids q44's pack and q46's card both read. The card
+    * already documents itself as "per-lang aggregates over checkpoint
+    * tables"; without this table the (doc, kind, feature) exploded
+    * aggregation re-ran live once per consumer per execution (twice in q46
+    * alone — split counts + packable; measured round 16). Bounded: one
+    * doc_id per passing doc. */
+  private def q44Quality(s: SparkSession, dir: String): DataFrame =
+    Materialize(s, dir, "q44_quality")(
+      qualityDocs(tokenized(curatedCorpus(s, dir))))
+
+  /** [[packable]] off a precomputed quality table instead of re-running
+    * the stage-3 aggregation: same rows by construction. */
+  private def packableWith(ct: DataFrame, quality: DataFrame): DataFrame =
+    ct.join(quality.filter(splitBucket < ValFrom), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"),
+        size(filter(col("toks"), x => x =!= "")).cast("long").as("n_tok"))
+
   /** Packable token counts of the quality-passing train docs:
     * (lang, doc_id, n_tok) with empty tokens excluded (q25o's rule). */
   private def packable(ct: DataFrame): DataFrame =
@@ -820,7 +838,7 @@ object CurationPipeline {
          |  FROM o WHERE n_tok > 0)
          |$sqlPackSelect""".stripMargin) { (s, dir) =>
       val ct = tokenized(curatedCorpus(s, dir))
-      packFrom(packable(ct), zeroBase(s))
+      packFrom(packableWith(ct, q44Quality(s, dir)), zeroBase(s))
     },
 
     // Q45 — the INCREMENTAL curation DAG (q44's nightly form, the shape a
@@ -970,7 +988,7 @@ object CurationPipeline {
         .groupBy(col("lang")).agg(count(lit(1)).as("n_dedup"))
       val cln = curatedCorpus(s, dir).filter(col("ctext") =!= "")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_clean"))
-      val spl = qualityDocs(ct)
+      val spl = q44Quality(s, dir)
         .select(col("doc_id"), splitBucket.as("b"))
         .join(ct.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy(col("lang"))
@@ -979,7 +997,7 @@ object CurationPipeline {
           sum(when(col("b") >= ValFrom && col("b") < TestFrom, 1L)
             .otherwise(0L)).as("n_val"),
           sum(when(col("b") >= TestFrom, 1L).otherwise(0L)).as("n_test"))
-      val t = packable(ct)
+      val t = packableWith(ct, q44Quality(s, dir))
       val pt = t.groupBy(col("lang")).agg(sum(col("n_tok")).as("train_tokens"))
       val ns = packFrom(t, zeroBase(s))
         .groupBy(col("lang")).agg(countDistinct(col("seq")).as("n_sequences"))

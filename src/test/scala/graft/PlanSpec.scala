@@ -529,9 +529,14 @@ class PlanSpec extends SparkSpec {
     assert(rawScans(q44) === 0,
       "the final quality/split/packing plan must read only the curated materialization")
     val scans = allScans(q44)
+    // round 16: the stage-3 quality verdicts are a materialized boundary
+    // too (graft_q44_quality) — the final plan reads the curated text and
+    // the quality doc-id table, still zero raw-corpus scans
     assert(scans.nonEmpty &&
-      scans.forall(_.relation.location.rootPaths.exists(_.toString.contains("graft_q44_curated"))),
-      "every scan in the final plan must target the curated table")
+      scans.forall(_.relation.location.rootPaths.exists(p =>
+        p.toString.contains("graft_q44_curated") ||
+          p.toString.contains("graft_q44_quality"))),
+      "every scan in the final plan must target a stage-boundary table")
 
     // q45 (incremental): history is never re-scanned RAW — its curated
     // artifacts (kept set, boilerplate list, token totals) and the batch's
