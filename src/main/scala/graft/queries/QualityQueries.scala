@@ -168,7 +168,10 @@ object QualityQueries {
          |  round(COALESCE(top_bg, 0)::DOUBLE / greatest(n_bg, 1), 6) AS top_bigram_frac,
          |  $sqlRulePredicate AS keep
          |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val src = Tables.documents(s, dir)
+      // spread the scan: the token and bigram passes re-run tokenize off
+      // it — spread, they share one exchange (ReuseExchange) and run at
+      // session parallelism (guide §2.4/§2.5, the clsScored fix)
+      val src = Spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val tok = src.select(col("doc_id"), lit(0).as("kind"), explode(col("toks")).as("v"))
       // shingles() floors its output at one shingle even for 1-token docs,
