@@ -219,7 +219,8 @@ object CurationPipeline {
     Materialize(s, dir, "q44_kept")(keptFrame(s, dir))
 
   private[graft] def curatedCorpus(s: SparkSession, dir: String): DataFrame =
-    Materialize(s, dir, "q44_curated") {
+    // spread on write (guide §6): q44/q46's tokenize passes ride this scan
+    Materialize.spreadOnWrite(s, dir, "q44_curated", col("doc_id")) {
       val h = segsOf(keptCorpus(s, dir))
       spanClean(h, boilerplateOf(h))
     }

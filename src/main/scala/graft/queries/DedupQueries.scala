@@ -85,7 +85,11 @@ object DedupQueries {
 
   /** The shared materialized signature table (one compute per session+dir). */
   private def sigTable(s: SparkSession, dir: String): DataFrame =
-    Materialize(s, dir, "sigtok")(sigTokFrame(s, dir))
+    // spread on write (guide §6): AQE coalesced the build to one output
+    // file, so every signature consumer (the q23 family, q29c, q49, q65)
+    // scanned it — and ran its band/shingle explodes — on one task
+    Materialize.spreadOnWrite(s, dir, "sigtok", col("doc_id"))(
+      sigTokFrame(s, dir))
 
   private def simhashFromVotes: Seq[Column] => Column = vs =>
     vs.zipWithIndex
@@ -143,7 +147,10 @@ object DedupQueries {
     * materialized index over the corpus). */
   private def substrWindows(s: SparkSession, dir: String,
                             ww: Int = SubstrW): DataFrame =
-    Materialize(s, dir, s"substr_w$ww") {
+    // spread on write (guide §6): the window stream's four consumers (q47's
+    // resolution + probe, the q52 audits) each scanned the one coalesced
+    // output file serially
+    Materialize.spreadOnWrite(s, dir, s"substr_w$ww", col("doc_id")) {
       val src = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))

@@ -55,6 +55,21 @@ object Materialize {
                   partCols: Seq[String])(df: => DataFrame): DataFrame =
     write(s, srcDir, tag, partCols)(df)
 
+  /** Materialization with an explicit pre-write rebalance on `key` to the
+    * session default parallelism — the guide-§6 "control output file
+    * sizing/partitioning for anything you write" rule. At sf0.1 AQE
+    * coalesces a tiny artifact build to ONE output file, so every consumer
+    * scans the table on one task and any per-row work it layers on the
+    * scan runs serially (measured round 16 on the substring-window and
+    * signature tables); at warehouse scale this is the standard REBALANCE-
+    * before-write that sizes an artifact's files to its readers. The
+    * rebalance runs once per (session, tag) — in the build, never in a
+    * serving read. */
+  def spreadOnWrite(s: SparkSession, srcDir: String, tag: String,
+                    key: org.apache.spark.sql.Column)(df: => DataFrame): DataFrame =
+    write(s, srcDir, tag, Nil)(
+      df.repartition(s.sparkContext.defaultParallelism, key))
+
   /** The scratch dir backing an ALREADY-BUILT unpartitioned tag, if any —
     * for footer-level statistics (row counts) on the stored table without
     * a counting job. None until the tag's first consumer materializes it. */
