@@ -400,6 +400,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-medium open-cost model — see GraftSession (round 16):
+      // without it the 4 MB default bin-packs multi-file artifact tables
+      // back into 1-2 scan splits on this host's tmpfs scratch
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

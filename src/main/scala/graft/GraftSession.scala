@@ -35,6 +35,14 @@ object GraftSession {
       // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
       // type, so read as long and convert in the loader (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // File-open cost model sized to the storage medium (round 16): the
+      // 4 MB default models remote object stores; on this host artifacts
+      // live on tmpfs/NVMe where an open is ~free, and the default
+      // bin-packs a 32-file artifact table into 1-2 scan splits, undoing
+      // the spread-on-write layout. Parameterized: a deployment on S3/GCS
+      // sets SPARK_GRAFT_OPEN_COST back to 4194304.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -589,7 +589,9 @@ object DedupQueries {
     * touching the corpus again. */
   private def saLcp(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (docs, sa) = saPositions(s, dir)
-    val lcpT = Materialize(s, dir, "sa_lcp") {
+    // spread on write (guide §6): q63b/c/d/e/f all layer per-row work on
+    // this table's scan; one coalesced output file serialized it
+    val lcpT = Materialize.spreadOnWrite(s, dir, "sa_lcp", col("a_doc")) {
       lcpOfAdjacent(withSuffixSlices(sa, docs)).drop("a_sa", "b_sa")
     }
     (docs, lcpT)
@@ -630,7 +632,8 @@ object DedupQueries {
     * LCPs of the HISTORY suffix array, which the q63h incremental update
     * carries forward wherever no batch suffix split the pair. */
   private def histSaLcp(s: SparkSession, dir: String): DataFrame =
-    Materialize(s, dir, "sa_hist_lcp") {
+    // spread on write: q63h's retained-pair pass rides this table's scan
+    Materialize.spreadOnWrite(s, dir, "sa_hist_lcp", col("a_doc")) {
       val hdocs = Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       lcpOfAdjacent(withSuffixSlices(

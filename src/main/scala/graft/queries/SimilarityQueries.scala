@@ -410,7 +410,9 @@ object SimilarityQueries {
   private def base(s: SparkSession, dir: String): DataFrame = {
     VecFunctions.register(s)
     import VecFunctions.vecDot
-    Materialize(s, dir, "q24_base")(
+    // spread on write (guide §6): the whole q24 family layers vector math
+    // on this table's scan; one coalesced output file serialized it
+    Materialize.spreadOnWrite(s, dir, "q24_base", col("vec_id"))(
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", sqrt(vecDot(col("embedding"), col("embedding")))))
