@@ -460,9 +460,10 @@ object CurationPipeline {
     val tDir = s"$stateRoot/t_v$id"
     val pk = packable(tokenized(spanClean(segsOf(kept), bp)))
     pk.write.mode("overwrite").parquet(tDir)
-    // schema pinned from the frame just written: a schemaless re-open runs
-    // a footer-inference job per SLICE per run (round 16)
-    val t = ss.read.schema(pk.schema).parquet(tDir)
+    // one-time POST-write inference (ADVICE r16): every slice of every
+    // packSlice caller writes the same packable() shape, so the first
+    // slice's footer job serves all later slices and runs
+    val t = Materialize.pinnedRead(ss, "packslice_t", tDir)
     packFrom(t, baseNow).write.mode("overwrite").parquet(s"$outRoot/out_v$id")
     val nb = baseNow
       .unionByName(t.groupBy(col("lang")).agg(sum(col("n_tok")).as("base")))
@@ -1042,6 +1043,18 @@ object CurationPipeline {
       def one(stage: String, item: String, v: Column, from: DataFrame) =
         from.agg(v.cast("double").as("value"))
           .select(lit(stage).as("stage"), lit(item).as("item"), col("value"))
+      // two report rows off ONE pass over the frame (round 17): both
+      // values compute in a single aggregation and explode to rows —
+      // previously each row was its own aggregate, so a LIVE frame (the
+      // q47b constituent) executed once per row it contributed
+      def two(stage: String, i1: String, v1: Column,
+              i2: String, v2: Column, from: DataFrame) =
+        from.agg(v1.cast("double").as("v1"), v2.cast("double").as("v2"))
+          .select(lit(stage).as("stage"), explode(array(
+            struct(lit(i1).as("item"), col("v1").as("value")),
+            struct(lit(i2).as("item"), col("v2").as("value")))).as("x"))
+          .select(col("stage"), col("x.item").as("item"),
+            col("x.value").as("value"))
       def drift(stage: String, name: String, defs: Seq[QueryDef], rate: String) =
         defs.find(_.name == name).get.df(s, dir)
           .select(lit(stage).as("stage"), col("source").as("item"),
@@ -1049,19 +1062,16 @@ object CurationPipeline {
       val sub = DedupQueries.defs
         .find(_.name == "q47b_incremental_substring").get.df(s, dir)
       val m = DedupQueries.mergedSaFrame(s, dir)
-      one("curation", "packed_rows", count(lit(1)), packed)
-        .unionByName(one("curation", "sequences",
-          countDistinct(struct(col("lang"), col("seq"))), packed))
+      two("curation", "packed_rows", count(lit(1)),
+          "sequences", countDistinct(struct(col("lang"), col("seq"))), packed)
         .unionByName(one("exact_dedup", "batch_docs", count(lit(1)), nb))
         .unionByName(one("exact_dedup", "new_docs",
           countDistinct(col("doc_id")), bclean))
-        .unionByName(one("substring_dedup", "flagged_docs",
-          count(lit(1)), sub))
-        .unionByName(one("substring_dedup", "dup_tokens",
-          coalesce(sum(col("dup_tokens")), lit(0L)), sub))
-        .unionByName(one("sa_merge", "batch_positions",
-          coalesce(sum(col("isb")), lit(0L)), m))
-        .unionByName(one("sa_merge", "merged_positions", count(lit(1)), m))
+        .unionByName(two("substring_dedup", "flagged_docs", count(lit(1)),
+          "dup_tokens", coalesce(sum(col("dup_tokens")), lit(0L)), sub))
+        .unionByName(two("sa_merge", "batch_positions",
+          coalesce(sum(col("isb")), lit(0L)),
+          "merged_positions", count(lit(1)), m))
         .unionByName(drift("vocab_drift", "q64_vocab_drift",
           CurationQueries.defs, "new_type_frac"))
         .unionByName(drift("neardup_drift", "q65_neardup_drift",

@@ -315,8 +315,8 @@ object DedupQueries {
       .withColumn("_lr",
         dense_rank().over(Window.partitionBy(col("_pid")).orderBy(kc: _*)).cast("long"))
     pinned.write.mode("overwrite").parquet(pinDir)
-    // schema pinned from the frame just written — no footer-inference job
-    val local = s.read.schema(pinned.schema).parquet(pinDir)
+    // one-time POST-write inference per tag (ADVICE r16), zero jobs after
+    val local = Materialize.pinnedRead(s, s"ddr_$tag", pinDir)
     val offs = local.groupBy(col("_pid")).agg(max(col("_lr")).as("_cnt"))
       .withColumn("_off",
         coalesce(sum(col("_cnt")).over(
@@ -374,9 +374,10 @@ object DedupQueries {
       def round(df: DataFrame, tag: String): (DataFrame, String) = {
         val d = graft.TempDirs.create(s"graft_${tag}_")
         df.write.mode("overwrite").parquet(d)
-        // schema pinned from the frame just written: a schemaless re-open
-        // would pay a footer-inference job per round (round 16)
-        (s.read.schema(df.schema).parquet(d), d)
+        // one-time POST-write inference per builder (ADVICE r16): every
+        // round writes the same (doc_id, pos, r) shape, so the first
+        // round's footer job serves the rest
+        (Materialize.pinnedRead(s, s"${mTag}_round", d), d)
       }
       // the superseded round + the pins feeding the round just written are
       // dead the moment the write commits — reclaim them eagerly so the
@@ -524,8 +525,8 @@ object DedupQueries {
         .withColumn("_cb", sum(col("isb")).over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
       pinned.write.mode("overwrite").parquet(pinDir)
-      // schema pinned from the frame just written — no footer-inference job
-      val loc = s.read.schema(pinned.schema).parquet(pinDir)
+      // one-time POST-write inference per merge tag (ADVICE r16)
+      val loc = Materialize.pinnedRead(s, s"${mTag}_pin", pinDir)
       val offs = loc.groupBy(col("_pid"))
         .agg(count(lit(1)).as("_n"), sum(col("isb")).as("_nb"))
         .select(col("_pid"),
@@ -547,6 +548,25 @@ object DedupQueries {
     * the merged frame's row counts off the shared materialization). */
   private[graft] def mergedSaFrame(s: SparkSession, dir: String): DataFrame =
     mergedSa(s, dir)
+
+  /** The SA report's evidence tail shared by q63g/q63i: the bounded
+    * top-k (sa_pos, doc_id, pos) frame broadcast-joins the RAW text scan
+    * and only the ≤ [[SaTopK]] surviving rows are tokenized for their
+    * 8-token prefix (round 17; guide §8 "decide with small rows") —
+    * previously each report tokenized the whole corpus to render a
+    * bounded result. */
+  private def prefix8Report(s: SparkSession, dir: String,
+                            top: DataFrame): DataFrame =
+    Tables.documents(s, dir)
+      .join(broadcast(top), Seq("doc_id"))
+      .select(col("sa_pos"), col("doc_id"), col("pos"),
+        tokens(col("text")).as("toks"))
+      .select(col("sa_pos"), col("doc_id"), col("pos"),
+        concat_ws(" ",
+          (0 until 8).map(j =>
+            try_element_at(col("toks"), (col("pos") + lit(j)).cast("int"))): _*)
+          .as("prefix8"))
+      .orderBy("sa_pos")
 
   /** The q63g/q63h night: tonight's batch (the doc_id % 7 rule) merged
     * into the [[histSaKeys]] standing snapshot, stored once as
@@ -664,7 +684,7 @@ object DedupQueries {
     * corpus-linear work is the merge frame itself, paid once per night.
     * Output: (a_doc, a_pos, b_doc, b_pos, lcp). */
   private def updatedLcp(m: DataFrame, hl: DataFrame,
-                         docsAll: DataFrame): DataFrame = {
+                         docsRaw: DataFrame): DataFrame = {
     val bpos = m.filter(col("isb") === 1).select(col("m_pos"))
     val cand = bpos.select((col("m_pos") - 1).as("lp"), col("m_pos").as("rp"))
       .unionByName(
@@ -677,18 +697,31 @@ object DedupQueries {
     // 4.1x CPU on 2x data. Plain equi-joins let AQE apply the actual
     // size gate — broadcast while the frames are under the threshold
     // (every oracle SF), shuffle-hash once they are not.
-    val left = m.join(cand, col("m_pos") === col("lp"))
-      .select(col("lp"), col("rp"),
-        col("doc_id").as("a_doc"), col("pos").as("a_pos"),
-        col("isb").as("a_isb"))
-    val right = m.join(cand
-          .withColumnRenamed("lp", "lp2").withColumnRenamed("rp", "rp2"),
-        col("m_pos") === col("rp2"))
-      .select(col("lp2"), col("rp2"),
-        col("doc_id").as("b_doc"), col("pos").as("b_pos"),
-        col("isb").as("b_isb"))
-    val np0 = left.join(right,
-      col("lp") === col("lp2") && col("rp") === col("rp2"))
+    //
+    // ONE pass over the merge frame (round 17; previously two): both gap
+    // endpoints probe m through a single side-tagged frame, and the pair
+    // reassembles by a batch-proportional (lp, rp) aggregation instead of
+    // a second m scan + join. m_pos is unique in m and each (lp, rp) gap
+    // has exactly one left and one right probe row, so a group holds BOTH
+    // endpoints iff it has exactly 2 hit rows — the same pairs the old
+    // left-join-right inner join produced (a gap whose rp lies past the
+    // array end, or lp before it, matches one side only and is dropped by
+    // the _ns = 2 filter exactly as the inner join dropped it).
+    val probes = cand
+      .select(col("lp"), col("rp"), col("lp").as("mp"), lit(1L).as("side"))
+      .unionByName(cand
+        .select(col("lp"), col("rp"), col("rp").as("mp"), lit(2L).as("side")))
+    val np0 = m.join(probes, col("m_pos") === col("mp"))
+      .groupBy(col("lp"), col("rp"))
+      .agg(
+        max(when(col("side") === 1, col("doc_id"))).as("a_doc"),
+        max(when(col("side") === 1, col("pos"))).as("a_pos"),
+        max(when(col("side") === 1, col("isb"))).as("a_isb"),
+        max(when(col("side") === 2, col("doc_id"))).as("b_doc"),
+        max(when(col("side") === 2, col("pos"))).as("b_pos"),
+        max(when(col("side") === 2, col("isb"))).as("b_isb"),
+        count(lit(1)).as("_ns"))
+      .filter(col("_ns") === 2)
     val np = np0.select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"))
     val brokenA = np0.filter(col("a_isb") === 0 && col("b_isb") === 1)
       .select(col("a_doc").as("bk_doc"), col("a_pos").as("bk_pos"))
@@ -698,13 +731,20 @@ object DedupQueries {
         "left_anti")
       .select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"),
         col("lcp"))
-    // slices for the new pairs: the narrow distinct endpoint frame rides
-    // the docs scan (AQE broadcasts it while small); the resulting slice
-    // rows are the wide ones and meet the pair frame by equi-join
+    // slices for the new pairs: only the docs the endpoint frame touches
+    // are TOKENIZED at all (round 17; guide §8 "decide with small rows"):
+    // the distinct endpoint doc_ids semi-filter the RAW text scan before
+    // the tokenizer projection, so the per-night tokenize cost is
+    // batch-proportional — previously the whole corpus was tokenized to
+    // serve batch-proportional slice lookups. The resulting slice rows
+    // are the wide ones and meet the pair frame by equi-join.
     val ends = np.select(col("a_doc").as("doc_id"), col("a_pos").as("pos"))
       .unionByName(np.select(col("b_doc").as("doc_id"), col("b_pos").as("pos")))
       .distinct()
-    val slices = docsAll.join(ends, Seq("doc_id"))
+    val needDocs = docsRaw
+      .join(ends.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val slices = needDocs.join(ends, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         slice(col("toks"), col("pos").cast("int"), lit(SaDepth)).as("sfx"))
     val withA = np.join(slices,
@@ -768,9 +808,9 @@ object DedupQueries {
   private[graft] def saChainUpTo(s: SparkSession, dir: String,
                                  nights: Int): (DataFrame, DataFrame) = {
     require(nights >= 0 && nights <= ChainNights, s"nights 0..$ChainNights")
-    // spread: same single-file-scan tokenize as q63h's live frame (§2.5)
-    val docsAll = Spread(Tables.documents(s, dir), col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // raw text scan for the nightly LCP updates: updatedLcp semi-filters
+    // it to each night's endpoint docs before tokenizing (round 17)
+    val docsAll = Tables.documents(s, dir)
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") % 7 >= ChainNights)
     var hk = Materialize(s, dir, "sa_chain_keys_v0") {
@@ -813,13 +853,20 @@ object DedupQueries {
     * width. */
   private def saSubstrDedup(s: SparkSession, dir: String, ww: Int): DataFrame = {
     require(ww <= SaDepth, s"minimum-match width $ww exceeds SA depth $SaDepth")
-    val (docs, lcpT) = saLcp(s, dir)
+    val (_, lcpT) = saLcp(s, dir)
     val marked = lcpT.filter(col("lcp") >= ww)
       .select(explode(array(
         struct(col("a_doc").as("doc_id"), col("a_pos").as("pos")),
         struct(col("b_doc").as("doc_id"), col("b_pos").as("pos")))).as("m"))
       .select(col("m.doc_id"), col("m.pos"))
       .distinct()
+    // tokenize AFTER the marked-doc semi-filter (round 17; guide §8):
+    // only docs that actually hold duplicate mass are tokenized for their
+    // window content — previously the removal tail re-tokenized the WHOLE
+    // corpus per consumer per run to serve marked-position lookups
+    val docs = Tables.documents(s, dir)
+      .join(marked.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     val withWin = marked.join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         size(col("toks")).cast("long").as("n"),
@@ -2051,12 +2098,18 @@ object DedupQueries {
       "q63_suffix_array",
       sqlSaReportOracle) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val (docs, r) = suffixRanks(s, dir)
+      val (_, r) = suffixRanks(s, dir)
       // the report: first SaTopK array entries (TakeOrderedAndProject —
       // map-side top-k partials, never a full result sort) + an 8-token
-      // prefix as human-readable evidence (broadcast join back to the docs)
+      // prefix as human-readable evidence. The RAW text joins the
+      // broadcast top-k first and only the ≤ SaTopK surviving rows are
+      // tokenized (round 17) — previously the whole corpus was tokenized
+      // to render a bounded report.
       val top = r.orderBy(col("r"), col("doc_id"), col("pos")).limit(SaTopK)
-      docs.join(broadcast(top), Seq("doc_id"))
+      Tables.documents(s, dir)
+        .join(broadcast(top), Seq("doc_id"))
+        .select(col("doc_id"), col("pos"), col("r"),
+          tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("pos"), col("r"),
           concat_ws(" ",
             (0 until 8).map(j =>
@@ -2250,15 +2303,7 @@ object DedupQueries {
     QueryDef("q63g_incremental_sa", sqlSaReportOracle) { (s, dir) =>
       val top = mergedSa(s, dir).filter(col("m_pos") <= SaTopK)
         .select(col("m_pos").as("sa_pos"), col("doc_id"), col("pos"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .join(broadcast(top), Seq("doc_id"))
-        .select(col("sa_pos"), col("doc_id"), col("pos"),
-          concat_ws(" ",
-            (0 until 8).map(j =>
-              try_element_at(col("toks"), (col("pos") + lit(j)).cast("int"))): _*)
-            .as("prefix8"))
-        .orderBy("sa_pos")
+      prefix8Report(s, dir, top)
     },
 
     // X1+++/Q63h — INCREMENTAL LCP MAINTENANCE: the second half of the
@@ -2284,12 +2329,12 @@ object DedupQueries {
     // misclassification anywhere flips a count or a witness and fails
     // the hash.
     QueryDef("q63h_incremental_lcp", sqlLcpHistogramOracle) { (s, dir) =>
-      // spread: the new-pair suffix slices join back to this tokenized
-      // frame — off the single-file scan the whole-corpus tokenize ran on
-      // one task per execution (guide §2.5; identity at scale)
-      val docsAll = Spread(Tables.documents(s, dir), col("doc_id"))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      lcpHistogram(updatedLcp(mergedSa(s, dir), histSaLcp(s, dir), docsAll))
+      // raw text scan: updatedLcp semi-filters it to the endpoint docs
+      // BEFORE tokenizing (round 17) — no corpus-wide tokenize, so the
+      // round-16 Spread is obsolete here (the filtered work is
+      // batch-proportional, not scan-bound)
+      lcpHistogram(updatedLcp(mergedSa(s, dir), histSaLcp(s, dir),
+        Tables.documents(s, dir)))
     },
 
     // X1++++/Q63i — MULTI-NIGHT COMPOUNDING, SA side (VERDICT r15 #1):
@@ -2303,15 +2348,7 @@ object DedupQueries {
       val (hk, _) = saChain(s, dir)
       val top = hk.filter(col("sa_pos") <= SaTopK)
         .select(col("sa_pos"), col("doc_id"), col("pos"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .join(broadcast(top), Seq("doc_id"))
-        .select(col("sa_pos"), col("doc_id"), col("pos"),
-          concat_ws(" ",
-            (0 until 8).map(j =>
-              try_element_at(col("toks"), (col("pos") + lit(j)).cast("int"))): _*)
-            .as("prefix8"))
-        .orderBy("sa_pos")
+      prefix8Report(s, dir, top)
     },
 
     // X1++++/Q63j — MULTI-NIGHT COMPOUNDING, LCP side: the q63h update

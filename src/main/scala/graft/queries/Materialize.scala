@@ -55,20 +55,57 @@ object Materialize {
                   partCols: Seq[String])(df: => DataFrame): DataFrame =
     write(s, srcDir, tag, partCols)(df)
 
-  /** Materialization with an explicit pre-write rebalance on `key` to the
-    * session default parallelism — the guide-§6 "control output file
+  /** Materialization with a pre-write rebalance on `key` to the session
+    * default parallelism — the guide-§6 "control output file
     * sizing/partitioning for anything you write" rule. At sf0.1 AQE
     * coalesces a tiny artifact build to ONE output file, so every consumer
     * scans the table on one task and any per-row work it layers on the
     * scan runs serially (measured round 16 on the substring-window and
     * signature tables); at warehouse scale this is the standard REBALANCE-
-    * before-write that sizes an artifact's files to its readers. The
+    * before-write that sizes an artifact's files to its readers.
+    *
+    * GATED like [[Spread]] (ADVICE r16): the rebalance fires only when the
+    * build's planned file-scan parallelism is under half the session
+    * default — the tiny-local-file case. At production file counts the
+    * build reads thousands of splits, the gate never fires, and the write
+    * keeps its natural (AQE size-targeted) partitioning instead of being
+    * forced through a full shuffle capped at total core count. The
     * rebalance runs once per (session, tag) — in the build, never in a
     * serving read. */
   def spreadOnWrite(s: SparkSession, srcDir: String, tag: String,
                     key: org.apache.spark.sql.Column)(df: => DataFrame): DataFrame =
-    write(s, srcDir, tag, Nil)(
-      df.repartition(s.sparkContext.defaultParallelism, key))
+    write(s, srcDir, tag, Nil) {
+      val d = df
+      val target = s.sparkContext.defaultParallelism
+      if (Spread.scanParallelism(d) * 2 >= target) d
+      else d.repartition(target, key)
+    }
+
+  /** (session, pinTag) → post-write inferred schema for the ad-hoc pin
+    * sites (distDenseRank's local-rank pin, the SA builders' per-round
+    * scratch, packSlice's per-slice stage table). See [[pinnedRead]]. */
+  private val pinCache = new ConcurrentHashMap[String,
+    org.apache.spark.sql.types.StructType]()
+
+  /** Re-open a JUST-WRITTEN parquet dir with a one-time POST-write
+    * inferred schema, cached per (session, pinTag) — the same pattern
+    * [[write]] uses for its tags, packaged for the ad-hoc pin sites that
+    * write scratch parquet outside Materialize (ADVICE r16: those sites
+    * pinned the PRE-write frame's schema onto the re-open, and a parquet
+    * round-trip can change schema metadata — nullability, char/varchar
+    * annotations — so the pinned schema could diverge from what was
+    * actually written). The first write under a pinTag pays ONE footer
+    * job; every later re-open under the same pinTag (later rounds of the
+    * same builder, later slices of the same stream, later runs in the
+    * same session) plans with zero jobs. Correct because a pinTag names
+    * ONE fixed program's output shape — rounds/slices/runs of the same
+    * builder write the same schema. */
+  def pinnedRead(s: SparkSession, pinTag: String, dir: String): DataFrame = {
+    val sch = pinCache.computeIfAbsent(
+      s"${graft.SessionToken(s)}|$pinTag",
+      _ => s.read.parquet(dir).schema)
+    s.read.schema(sch).parquet(dir)
+  }
 
   /** The scratch dir backing an ALREADY-BUILT unpartitioned tag, if any —
     * for footer-level statistics (row counts) on the stored table without

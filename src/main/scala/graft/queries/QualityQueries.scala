@@ -399,24 +399,12 @@ object QualityQueries {
       val src = Spread(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-      // top-n-gram ladder: one kind-tagged union -> (doc, kind, gram)
-      // counts -> per-doc max per kind, all map-side-combinable
-      def grams(k: Int) = src.filter(col("n") >= k)
-        .select(col("doc_id"), lit(k).as("kind"),
-          explode(transform(sequence(lit(1), col("n") - (k - 1)),
-            i => concat_ws(" ",
-              (0 until k).map(j => try_element_at(col("toks"), i + lit(j))): _*)))
-            .as("g"))
-      val rt = RepKinds.map(grams).reduce(_ unionByName _)
-        .groupBy(col("doc_id"), col("kind"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(when(col("kind") === 2, col("c"))).as("t2"),
-          max(when(col("kind") === 3, col("c"))).as("t3"),
-          max(when(col("kind") === 4, col("c"))).as("t4"))
-      // dup-3gram position coverage: in-doc repeated windows merged to
-      // maximal spans (per-doc islands — the window key is doc_id, whose
-      // partition size is bounded by document length)
+      // dup-3gram position stream, built FIRST because the ladder's k=3
+      // column rides it too (round 17): the positioned 3-gram strings and
+      // the ladder's kind-3 gram strings are the same strings, so one
+      // explode + one (doc, g) count serves both — previously the corpus
+      // 3-grams were built and shuffled twice (once inside the kind union,
+      // once here)
       val rw = src.filter(col("n") >= 3)
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(1), col("n") - 2)).as("pos"))
@@ -424,9 +412,32 @@ object QualityQueries {
           concat_ws(" ", try_element_at(col("toks"), col("pos")),
             try_element_at(col("toks"), col("pos") + lit(1)),
             try_element_at(col("toks"), col("pos") + lit(2))).as("g"))
-      val rdup = rw.groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      val rc3 = rw.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val rdup = rc3.filter(col("c") >= 2)
         .select(col("doc_id"), col("g"))
+      val t3 = rc3.groupBy(col("doc_id")).agg(max(col("c")).as("t3"))
+      // top-n-gram ladder: kinds 2 and 4 via the kind-tagged union ->
+      // (doc, kind, gram) counts -> per-doc max per kind (all map-side-
+      // combinable); kind 3 joins in from the shared rc3 counts. Every
+      // doc with a kind-3 row (n >= 3) also has kind-2 rows (n >= 2), so
+      // the left join loses nothing.
+      def grams(k: Int) = src.filter(col("n") >= k)
+        .select(col("doc_id"), lit(k).as("kind"),
+          explode(transform(sequence(lit(1), col("n") - (k - 1)),
+            i => concat_ws(" ",
+              (0 until k).map(j => try_element_at(col("toks"), i + lit(j))): _*)))
+            .as("g"))
+      val rt = RepKinds.filterNot(_ == 3).map(grams).reduce(_ unionByName _)
+        .groupBy(col("doc_id"), col("kind"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("kind") === 2, col("c"))).as("t2"),
+          max(when(col("kind") === 4, col("c"))).as("t4"))
+        .join(t3, Seq("doc_id"), "left")
+      // dup-3gram position coverage: in-doc repeated windows merged to
+      // maximal spans (per-doc islands — the window key is doc_id, whose
+      // partition size is bounded by document length)
       val rr = rw.join(rdup, Seq("doc_id", "g"))
         .select(col("doc_id"), col("pos"), (col("pos") + 2).as("endp"))
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

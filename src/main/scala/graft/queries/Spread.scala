@@ -39,17 +39,44 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Spread {
 
+  /** Planned FILE-SCAN parallelism of a frame: the sum of the split counts
+    * of its FileSourceScan leaves, read off the non-adaptive physical plan
+    * (`sparkPlan`) — built on the driver, never executed. This is what
+    * `.rdd.getNumPartitions` used to answer here, but `.rdd` under AQE
+    * finalizes the adaptive plan, which MATERIALIZES query stages (runs
+    * real shuffle jobs) the moment the frame contains an Exchange, and
+    * that work is not reused by the later action (ADVICE r16). Reading
+    * the scan leaves costs only driver-side split planning. A leaf that
+    * is not a file scan (local relation, RDD scan) contributes 0 — the
+    * helper is about spreading unsplittable FILES, nothing else. */
+  private[graft] def scanParallelism(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs().map(_.getNumPartitions).sum
+      case _ => 0
+    }.sum
+
+  /** True when the frame's physical plan contains an Exchange: its
+    * post-shuffle parallelism is governed by shuffle partitions / AQE,
+    * not by file splits, so the spread gate does not apply. */
+  private def hasExchange(df: DataFrame): Boolean =
+    df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+
   /** `df` hash-repartitioned on `key` to the session default parallelism,
-    * iff its planned scan parallelism is below half of it (see object doc).
-    * Values are unchanged for any caller whose results don't depend on
-    * physical row placement (no monotonically_increasing_id /
+    * iff it is scan-rooted (no Exchange anywhere in the plan — a shuffled
+    * frame's parallelism is already the session's shuffle-partition
+    * setting) and its planned scan parallelism is below half of it (see
+    * object doc). Values are unchanged for any caller whose results don't
+    * depend on physical row placement (no monotonically_increasing_id /
     * spark_partition_id / unordered limit downstream). */
   def apply(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // planned partition count of the frame as-is: file splits for a scan
-    // (this builds the physical plan but runs no job)
-    val planned = df.rdd.getNumPartitions
-    if (planned * 2 >= target) df
-    else df.repartition(target, key)
+    if (hasExchange(df)) df
+    else {
+      val planned = scanParallelism(df)
+      if (planned * 2 >= target) df
+      else df.repartition(target, key)
+    }
   }
 }

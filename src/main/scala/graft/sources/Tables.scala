@@ -19,19 +19,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** (session, dir, table) → inferred parquet schema, cached: a schemaless
-    * `read.parquet` runs a footer-inference job (~30 ms) on EVERY call, and
-    * a query build references these tables several times — measured round
-    * 16 as a visible slice of per-query frame-construction wall. The
-    * testdata is immutable for a session (driver contract), so the first
-    * inference is authoritative; reads after it plan with zero jobs. */
+  /** (session, dir, table, file fingerprint) → inferred parquet schema,
+    * cached: a schemaless `read.parquet` runs a footer-inference job
+    * (~30 ms) on EVERY call, and a query build references these tables
+    * several times — measured round 16 as a visible slice of per-query
+    * frame-construction wall. The testdata is immutable for a session
+    * (driver contract); the key additionally folds in the path's
+    * size+mtime fingerprint (ADVICE r16) so a testdata dir regenerated
+    * while a session lives re-infers instead of silently misreading the
+    * new data through a stale schema. One stat call per lookup — no job. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
+
+  private def fingerprint(path: String): String =
+    try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(path),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${a.size}:${a.lastModifiedTime.toMillis}"
+    } catch { case _: Exception => "absent" }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val sch = schemaCache.computeIfAbsent(
-      s"${graft.SessionToken(spark)}|$path",
+      s"${graft.SessionToken(spark)}|$path|${fingerprint(path)}",
       _ => spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }
