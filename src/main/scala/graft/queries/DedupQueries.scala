@@ -697,31 +697,18 @@ object DedupQueries {
     // 4.1x CPU on 2x data. Plain equi-joins let AQE apply the actual
     // size gate — broadcast while the frames are under the threshold
     // (every oracle SF), shuffle-hash once they are not.
-    //
-    // ONE pass over the merge frame (round 17; previously two): both gap
-    // endpoints probe m through a single side-tagged frame, and the pair
-    // reassembles by a batch-proportional (lp, rp) aggregation instead of
-    // a second m scan + join. m_pos is unique in m and each (lp, rp) gap
-    // has exactly one left and one right probe row, so a group holds BOTH
-    // endpoints iff it has exactly 2 hit rows — the same pairs the old
-    // left-join-right inner join produced (a gap whose rp lies past the
-    // array end, or lp before it, matches one side only and is dropped by
-    // the _ns = 2 filter exactly as the inner join dropped it).
-    val probes = cand
-      .select(col("lp"), col("rp"), col("lp").as("mp"), lit(1L).as("side"))
-      .unionByName(cand
-        .select(col("lp"), col("rp"), col("rp").as("mp"), lit(2L).as("side")))
-    val np0 = m.join(probes, col("m_pos") === col("mp"))
-      .groupBy(col("lp"), col("rp"))
-      .agg(
-        max(when(col("side") === 1, col("doc_id"))).as("a_doc"),
-        max(when(col("side") === 1, col("pos"))).as("a_pos"),
-        max(when(col("side") === 1, col("isb"))).as("a_isb"),
-        max(when(col("side") === 2, col("doc_id"))).as("b_doc"),
-        max(when(col("side") === 2, col("pos"))).as("b_pos"),
-        max(when(col("side") === 2, col("isb"))).as("b_isb"),
-        count(lit(1)).as("_ns"))
-      .filter(col("_ns") === 2)
+    val left = m.join(cand, col("m_pos") === col("lp"))
+      .select(col("lp"), col("rp"),
+        col("doc_id").as("a_doc"), col("pos").as("a_pos"),
+        col("isb").as("a_isb"))
+    val right = m.join(cand
+          .withColumnRenamed("lp", "lp2").withColumnRenamed("rp", "rp2"),
+        col("m_pos") === col("rp2"))
+      .select(col("lp2"), col("rp2"),
+        col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+        col("isb").as("b_isb"))
+    val np0 = left.join(right,
+      col("lp") === col("lp2") && col("rp") === col("rp2"))
     val np = np0.select(col("a_doc"), col("a_pos"), col("b_doc"), col("b_pos"))
     val brokenA = np0.filter(col("a_isb") === 0 && col("b_isb") === 1)
       .select(col("a_doc").as("bk_doc"), col("a_pos").as("bk_pos"))

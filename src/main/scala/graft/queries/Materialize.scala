@@ -64,22 +64,47 @@ object Materialize {
     * signature tables); at warehouse scale this is the standard REBALANCE-
     * before-write that sizes an artifact's files to its readers.
     *
-    * GATED like [[Spread]] (ADVICE r16): the rebalance fires only when the
-    * build's planned file-scan parallelism is under half the session
-    * default — the tiny-local-file case. At production file counts the
-    * build reads thousands of splits, the gate never fires, and the write
-    * keeps its natural (AQE size-targeted) partitioning instead of being
-    * forced through a full shuffle capped at total core count. The
-    * rebalance runs once per (session, tag) — in the build, never in a
-    * serving read. */
+    * GATED on the SOURCE CORPUS SIZE (ADVICE r16): the rebalance fires
+    * only when the whole source dir is smaller than (advisory partition
+    * size × session parallelism) — i.e. when AQE's post-shuffle
+    * coalescing is guaranteed to leave FEWER than `target` advisory-sized
+    * partitions, which is exactly the case whose one-file output
+    * serialized the consumers (every artifact here is a projection/
+    * aggregation of the corpus, so corpus bytes bound artifact bytes). At
+    * production scale the corpus is orders of magnitude past that bound,
+    * the gate never fires, and the write keeps its natural AQE
+    * size-targeted partitioning instead of a forced full shuffle capped
+    * at total core count. (Gating on the BUILD FRAME's scan splits — the
+    * [[Spread]] rule — is wrong here: a build that reads an earlier
+    * multi-file artifact counts ≥ target input splits while its
+    * aggregated OUTPUT still coalesces to one file.) The rebalance runs
+    * once per (session, tag) — in the build, never in a serving read. */
   def spreadOnWrite(s: SparkSession, srcDir: String, tag: String,
                     key: org.apache.spark.sql.Column)(df: => DataFrame): DataFrame =
     write(s, srcDir, tag, Nil) {
       val d = df
-      val target = s.sparkContext.defaultParallelism
-      if (Spread.scanParallelism(d) * 2 >= target) d
-      else d.repartition(target, key)
+      val target = s.sparkContext.defaultParallelism.toLong
+      val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+      if (dirBytes(srcDir) >= advisory * target) d
+      else d.repartition(target.toInt, key)
     }
+
+  /** Total regular-file bytes under a dir, cached per dir — one stat walk,
+    * no job; the scale signal [[spreadOnWrite]]'s gate reads. */
+  private val dirBytesCache = new ConcurrentHashMap[String, java.lang.Long]()
+  private def dirBytes(dir: String): Long =
+    dirBytesCache.computeIfAbsent(dir, d => {
+      try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(p =>
+            try java.nio.file.Files.size(p) catch { case _: Exception => 0L })
+          .sum()
+        finally walk.close()
+      } catch { case _: Exception => Long.MaxValue } // unknown ⇒ assume big
+    })
 
   /** (session, pinTag) → post-write inferred schema for the ad-hoc pin
     * sites (distDenseRank's local-rank pin, the SA builders' per-round
